@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions.{hamming64, minhash_sig, simhash64}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design notes (the 100 TB shapes):
+  *  - exact: one hash-partitioned groupBy on the text (or its 64-bit hash) —
+  *    the minimum possible plan; min(id) survivorship is deterministic.
+  *  - minhash/simhash/cosine LSH: candidate generation is an equi join on
+  *    a band/bucket key, so Catalyst plans a shuffle-hash join keyed by the
+  *    bucket; hot buckets (boilerplate shingles) are capped with a
+  *    frequency filter before the self-join — the skew knob.
+  *  - pairs are emitted once with idA < idB; "dedup" = drop the larger id
+  *    of every verified pair (greedy single-pass survivorship, not
+  *    transitive closure; closure would need iterative min-id propagation).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(idCol, textCol, "dup_count")
+
+  /** MinHash LSH candidate pairs: signatures banded; docs sharing any band
+    * bucket become candidates; verified by estimated Jaccard (fraction of
+    * equal signature positions) >= `threshold`. Returns (idA, idB, est_jaccard)
+    * with idA < idB.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64, shingle: Int = 5, bands: Int = 16,
+                   threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"), minhash_sig(col(textCol), k, shingle).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
+
+    // skew cap: drop pathological buckets (boilerplate) before the self-join
+    val bucketCounts = banded.groupBy("band", "bucket").count()
+      .filter(col("count") <= maxBucketSize).select("band", "bucket")
+    val pruned = banded.join(bucketCounts, Seq("band", "bucket"))
+
+    val a = pruned.select(col("band"), col("bucket"), col("id").as("idA"), col("sig").as("sigA"))
+    val b = pruned.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
+    val est = aggregate(
+      zip_with(col("sigA"), col("sigB"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("idA", "idB").agg(first("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Greedy near-dup removal from verified pairs: a doc survives unless a
+    * smaller-id near-duplicate exists.
+    */
+  def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("idB").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming. Banding the
+    * 64-bit signature into (maxHamming + 1) chunks guarantees (pigeonhole)
+    * that every qualifying pair shares at least one exact chunk — candidate
+    * generation is an equi join on (chunk index, chunk value).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunks = (0 until nBands).map(b =>
+      pmod(shiftright(col("sig"), b * width), lit(1L << width)))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("sig").as("sigA"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), hamming64(col("sigA"), col("sigB")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
+  }
+
+  /** Exact word n-gram Jaccard similarity for candidate pairs that share at
+    * least one n-gram (inverted-index join). `maxNgramFreq` drops
+    * stop-n-grams to bound the join fan-out (the skew knob).
+    * Returns (idA, idB, jaccard) with idA < idB, jaccard >= threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxNgramFreq: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val grams = toks.select(col("id"),
+      explode(transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("setSize"))
+
+    val common = grams.join(grams.groupBy("gram").count()
+        .filter(col("count") <= maxNgramFreq).select("gram"), Seq("gram"))
+    val a = common.select(col("gram"), col("id").as("idA"))
+    val b = common.select(col("gram"), col("id").as("idB"))
+    val shared = a.join(b, Seq("gram")).filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("idA"), col("setSize").as("sizeA")), Seq("idA"))
+      .join(sizes.select(col("id").as("idB"), col("setSize").as("sizeB")), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        (col("shared").cast("double") / (col("sizeA") + col("sizeB") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs by cosine >= threshold. Candidates via
+    * random-hyperplane LSH (deterministic planes from `seed`): vectors
+    * sharing a sign-pattern bucket are compared exactly. `nPlanes` trades
+    * recall for bucket size; `bucketGroups` buckets of fewer planes OR'd
+    * raise recall (a pair is a candidate if any group matches).
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, nPlanes: Int = 8,
+                     bucketGroups: Int = 4, dim: Int = 64, seed: Long = 42): DataFrame = {
+    // deterministic planes: plane p component j = mix-based standard-ish uniform in [-1, 1)
+    val planes: Array[Array[Double]] = Array.tabulate(bucketGroups * nPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        (graft.functions.TextHash.mix64(seed + p * 1000003L + j) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
+      }
+    }
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // sign bits per group -> one bucket value per group
+    def planeDot(p: Int): Column = {
+      val terms = (0 until dim).map(j => element_at(col("vec"), j + 1) * planes(p)(j))
+      terms.reduce(_ + _)
+    }
+    val groupBuckets = (0 until bucketGroups).map { g =>
+      val bits = (0 until nPlanes).map { i =>
+        when(planeDot(g * nPlanes + i) >= 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+      bits.as(s"b$g")
+    }
+    val bucketed = v.select((col("id") +: col("vec") +: groupBuckets): _*)
+      .select(col("id"), col("vec"),
+        posexplode(array((0 until bucketGroups).map(g => col(s"b$g")): _*)).as(Seq("grp", "bucket")))
+    val a = bucketed.select(col("grp"), col("bucket"), col("id").as("idA"), col("vec").as("vecA"))
+    val b = bucketed.select(col("grp"), col("bucket"), col("id").as("idB"), col("vec").as("vecB"))
+    a.join(b, Seq("grp", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(first("vecA").as("vecA"), first("vecB").as("vecB"))
+      .select(col("idA"), col("idB"), cosine(col("vecA"), col("vecB")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

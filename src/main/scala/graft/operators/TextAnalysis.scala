@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline: token counting, quality
+  * scoring, language identification, and document fingerprinting — all as
+  * declarative Column expressions (whole-stage codegen; no UDFs on the hot
+  * path except the winnow fingerprint expression).
+  */
+object TextAnalysis {
+
+  /** whitespace token count (0 for blank). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: words are split every `chunk` chars (an upper
+    * bound proxy for byte-pair tokens; deterministic and cheap).
+    */
+  def subwordCount(text: Column, chunk: Int = 4): Column =
+    aggregate(
+      transform(split(trim(text), "\\s+"), w => ceil(length(w).cast("double") / chunk).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Per-document quality metrics (length / punctuation / stopword /
+    * digit / repetition ratios) — the usual pre-training filters.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val isStop = (w: Column) => stop.foldLeft(lit(false))((acc, s) => acc || w === s)
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, (length(trim(t)) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(length(t) > 0, (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double") / length(t))
+          .otherwise(0.0))
+      .withColumn("digit_ratio",
+        when(length(t) > 0, (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double") / length(t))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          size(filter(toks, isStop)).cast("double") / col("n_tokens")).otherwise(0.0))
+      .withColumn("distinct_token_ratio",
+        when(col("n_tokens") > 0,
+          size(array_distinct(toks)).cast("double") / col("n_tokens")).otherwise(0.0))
+  }
+
+  /** Composite quality score in [0, 1]: length band + low punctuation +
+    * vocabulary diversity (deterministic arithmetic only).
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityMetrics(df, textCol).withColumn("quality_score",
+      (when(col("n_tokens").between(10, 10000), 0.4).otherwise(0.0) +
+        when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0) +
+        col("distinct_token_ratio") * 0.3))
+
+  /** language-marker token sets for the n-gram/stopword language-ID
+    * heuristic (top function words per language).
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "nicht"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "dans", "que", "une", "pour"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"))
+
+  /** Language-ID heuristic: score = fraction of tokens that are markers of
+    * each language; argmax wins, "und" when no marker hits. Declarative:
+    * one pass, no UDF.
+    */
+  def langId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val isMarker = (w: Column) => markers.foldLeft(lit(false))((acc, m) => acc || w === m)
+      struct((size(filter(toks, isMarker)).cast("double") / greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    df.withColumn(outCol,
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.plans
+
+import graft.io.ResultStore
+import graft.operators.{Binning, Grids, Postprocess}
+import graft.sources.ObsDocs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full reference pipeline (examples/inline_example.py) as one
+  * orchestrated Spark job sequence over the obs-doc table:
+  *
+  *   synthesize/read obs_docs -> span projection -> z filter -> 50 km bin
+  *   -> expert grid -> [resume anti-join] -> local-expert OI (fit+predict)
+  *   -> result tables -> hyperparameter smoothing -> predict-only rerun
+  *   -> Gaussian-weighted glue.
+  */
+object GpSatPipeline {
+
+  final case class PipelineConfig(
+      nDocs: Long = 50000,
+      seed: Long = 42,
+      zFilter: (Double, Double) = (-0.35, 0.65), // inline_example.py:176
+      binRes: Double = 50000.0,
+      expertRange: (Double, Double) = (-500000.0, 500000.0),
+      expertSpacing: Double = 200000.0,
+      predSpacing: Double = 5000.0,
+      smoothLengthscale: Double = 200000.0, // inline_example.py:459-474
+      oi: OIConfig = OIConfig(
+        lengthscaleBounds = Some(Bounds(Array(1e-8, 1e-8, 1e-8), Array(600000.0, 600000.0, 9.0))),
+        likelihoodVarianceBounds = Some(Bounds(Array(0.00125), Array(0.01)))))
+
+  /** Stage 1-3: obs docs -> filtered, binned observations (the training table). */
+  def binnedObs(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
+    val docs = ObsDocs.synthesize(spark, cfg.nDocs, cfg.seed).toDF()
+    val obs = ObsDocs.extractObs(docs)
+      .filter(col("z") > cfg.zFilter._1 && col("z") < cfg.zFilter._2)
+    Binning.binDataBy(obs, Binning.BinConfig(
+      valCol = "z", byCols = Seq("t", "source"), gridRes = cfg.binRes))
+  }
+
+  def experts(spark: SparkSession, binned: DataFrame, cfg: PipelineConfig): DataFrame =
+    Grids.expertLocations(spark, binned, cfg.expertRange, cfg.expertRange, cfg.expertSpacing)
+
+  def predGrid(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    Grids.predictionGrid(spark, cfg.expertRange, cfg.expertRange, cfg.predSpacing)
+
+  final case class RunSummary(tiles: Long, skipped: Long, predRows: Long, fitSeconds: Double)
+
+  /** Full run with checkpointed result tables; resumable — experts already
+    * present in run_details are skipped via left-anti join.
+    */
+  def runAll(spark: SparkSession, store: ResultStore, cfg: PipelineConfig,
+             smooth: Boolean = true): RunSummary = {
+    val binned = binnedObs(spark, cfg).persist()
+    val allExperts = experts(spark, binned, cfg)
+    val el = if (store.exists("run_details"))
+      LocalExpertOI.resumeFilter(allExperts, store.table("run_details"))
+    else allExperts
+    val pg = predGrid(spark, cfg)
+
+    val t0 = System.nanoTime()
+    val results = LocalExpertOI.run(spark, binned, el, pg, cfg.oi)
+    val tiles = results.count() // materialises the persisted fit pass
+    val fitSec = (System.nanoTime() - t0) / 1e9
+
+    store.append("run_details", LocalExpertOI.runDetails(results))
+    store.append("preds", LocalExpertOI.preds(results))
+    store.append("lengthscales", LocalExpertOI.lengthscales(results))
+    store.append("kernel_variance", LocalExpertOI.kernelVariance(results))
+    store.append("likelihood_variance", LocalExpertOI.likelihoodVariance(results))
+
+    val skipped = results.filter(_.num_obs < cfg.oi.minObs).count()
+    val predRows = results.toDF().select(explode(col("preds"))).count()
+    results.unpersist()
+
+    if (smooth) smoothAndRerun(spark, store, binned, pg, cfg)
+    binned.unpersist()
+    RunSummary(tiles, skipped, predRows, fitSec)
+  }
+
+  /** Smoothing + predict-only rerun (inline_example.py:430-520): smooth each
+    * hyperparameter field across experts, store *_SMOOTHED tables, rerun
+    * with optimise=False loading the smoothed parameters, then glue.
+    */
+  def smoothAndRerun(spark: SparkSession, store: ResultStore, binned: DataFrame,
+                     pg: DataFrame, cfg: PipelineConfig): Unit = {
+    val l = cfg.smoothLengthscale
+    // smooth_config_dict of the inline example: max clamps on variances
+    val lsSm = Postprocess.smoothHyperparameters(store.table("lengthscales"),
+      Postprocess.SmoothConfig("lengthscales", otherDims = Seq("t", "_dim_0"), lX = l, lY = l))
+    val kvSm = Postprocess.smoothHyperparameters(store.table("kernel_variance"),
+      Postprocess.SmoothConfig("kernel_variance", otherDims = Seq("t"), lX = l, lY = l, maxVal = Some(0.1)))
+    val lvSm = Postprocess.smoothHyperparameters(store.table("likelihood_variance"),
+      Postprocess.SmoothConfig("likelihood_variance", otherDims = Seq("t"), lX = l, lY = l, maxVal = Some(0.3)))
+    store.overwrite("lengthscales_SMOOTHED", lsSm)
+    store.overwrite("kernel_variance_SMOOTHED", kvSm)
+    store.overwrite("likelihood_variance_SMOOTHED", lvSm)
+
+    // experts with loaded params: _dim_* rows pivoted back to an array
+    val lsArr = lsSm.groupBy("x", "y", "t")
+      .agg(transform(array_sort(collect_list(struct(col("_dim_0"), col("lengthscales")))),
+        s => s.getField("lengthscales")).as("ls"))
+    val withParams = lsArr
+      .join(kvSm.withColumnRenamed("kernel_variance", "kvar"), Seq("x", "y", "t"))
+      .join(lvSm.withColumnRenamed("likelihood_variance", "lvar"), Seq("x", "y", "t"))
+
+    val rerun = LocalExpertOI.run(spark, binned, withParams, pg,
+      cfg.oi.copy(optimise = false))
+    store.overwrite("preds_SMOOTHED", LocalExpertOI.preds(rerun))
+    store.overwrite("run_details_SMOOTHED", LocalExpertOI.runDetails(rerun))
+    rerun.unpersist()
+
+    // glue overlapping predictions (inference_radius / 2 lengthscale,
+    // inline_example.py:527-534)
+    val glued = Postprocess.getWeightedValues(store.table("preds_SMOOTHED"),
+      refCols = Seq("pred_loc_x", "pred_loc_y", "pred_loc_t"),
+      distToCols = Seq("x", "y", "t"),
+      valCols = Seq("f*", "f*_var"),
+      lengthscale = cfg.oi.inferenceRadius / 2)
+    store.overwrite("preds_glued", glued)
+  }
+}

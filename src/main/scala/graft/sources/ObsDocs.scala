@@ -38,8 +38,10 @@ object ObsDocs {
 
   def makeDoc(i: Long, seed: Long): ObsDoc = {
     def h(k: Long): Long = TextHash.mix64(i * 1315423911L ^ seed ^ TextHash.mix64(k))
-    // Arctic-ish placement: lat in [60, 88], lon in [-180, 180)
-    val lat = 60.0 + 28.0 * u01(h(1))
+    // Arctic placement: lat in [60, 90), lon in [-180, 180); uniform lat
+    // concentrates points toward the pole (area density ~ 1/r), giving the
+    // polar-tile skew the north rule calls out.
+    val lat = 60.0 + 30.0 * u01(h(1))
     val lon = -180.0 + 360.0 * u01(h(2))
     val t = 18322.0 + (h(3) >>> 32) % 9 // 2020-03-01 .. 2020-03-09, float days
     val x = graft.functions.Laea.fwdX(lon, lat)

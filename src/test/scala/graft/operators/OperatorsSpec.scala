@@ -23,7 +23,7 @@ class ObsDocsSpec extends AnyFunSuite with SparkTestBase {
     val r = obs.agg(
       min("lat"), max("lat"), min("t"), max("t"),
       countDistinct("source"), count(when(col("z").isNull, 1))).head()
-    assert(r.getDouble(0) >= 60.0 && r.getDouble(1) <= 88.0)
+    assert(r.getDouble(0) >= 60.0 && r.getDouble(1) <= 90.0)
     assert(r.getDouble(2) >= 18322.0 && r.getDouble(3) <= 18330.0)
     assert(r.getLong(4) === 3)
     assert(r.getLong(5) === 0)

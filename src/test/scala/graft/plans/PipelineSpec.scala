@@ -1,0 +1,95 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.io.ResultStore
+import graft.sources.ObsDocs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_e2e_").toString
+
+  // small but real: 10k docs, 25 experts, coarse 25 km prediction grid
+  private val cfg = {
+    val base = GpSatPipeline.PipelineConfig(nDocs = 10000, predSpacing = 25000.0)
+    base.copy(oi = base.oi.copy(maxIter = 60))
+  }
+
+  test("end-to-end: fit + predict + smooth + glue, interpolation tracks the truth field") {
+    val store = new ResultStore(spark, tmpDir())
+    val summary = GpSatPipeline.runAll(spark, store, cfg)
+
+    assert(summary.tiles === 25, "5x5 expert grid at 200 km over +-500 km")
+    assert(summary.predRows > 0)
+
+    val rd = store.table("run_details")
+    assert(rd.count() === 25)
+    assert(rd.filter(col("optimise_success")).count() >= 20, "most tiles should converge")
+    assert(rd.select("partition_id").distinct().count() >= 1) // lineage present
+
+    // hyperparameters: 3 lengthscale components per fitted tile
+    val ls = store.table("lengthscales")
+    assert(ls.select("_dim_0").distinct().count() === 3)
+
+    // interpolation accuracy: glued posterior mean vs the deterministic truth
+    val glued = store.table("preds_glued")
+    val withTruth = glued.withColumn("truth",
+      udf((x: Double, y: Double, t: Double) => ObsDocs.truthField(x, y, t))
+        .apply(col("pred_loc_x"), col("pred_loc_y"), col("pred_loc_t")))
+    val err = withTruth.agg(
+      avg(abs(col("f*") - col("truth"))).as("mae"),
+      max(abs(col("f*") - col("truth"))).as("maxe")).head()
+    val mae = err.getDouble(0)
+    assert(mae < 0.05, s"glued prediction MAE $mae vs truth field (noise sd ~0.017)")
+
+    // posterior variance is positive and bounded by the prior
+    val v = store.table("preds").agg(min("f*_var"), max("f*_var")).head()
+    assert(v.getDouble(0) > 0.0)
+  }
+
+  test("resume: second run on the same store skips all completed experts") {
+    val dir = tmpDir()
+    val store = new ResultStore(spark, dir)
+    val small = cfg.copy(nDocs = 8000)
+    val first = GpSatPipeline.runAll(spark, store, small, smooth = false)
+    assert(first.tiles === 25)
+    val second = GpSatPipeline.runAll(spark, store, small, smooth = false)
+    assert(second.tiles === 0, "left-anti join vs run_details must skip completed tiles")
+    assert(store.table("run_details").count() === 25, "no duplicate rows appended")
+  }
+
+  test("config identity: same canonical config reuses its id, changed config increments") {
+    val store = new ResultStore(spark, tmpDir())
+    val id0 = store.configId("""{"a":1}""")
+    val id1 = store.configId("""{"a":1}""")
+    val id2 = store.configId("""{"a":2}""")
+    assert(id0 === 0 && id1 === 0 && id2 === 1)
+  }
+
+  test("min_obs skip: experts with fewer than min_obs rows produce stub run_details and no preds") {
+    import spark.implicits._
+    val obs = Seq((0.0, 0.0, 18326.0, 0.5), (1000.0, 0.0, 18326.0, 0.55)).toDF("x", "y", "t", "z")
+    val experts = Seq((0.0, 0.0, 18326.0)).toDF("x", "y", "t")
+    val pg = Seq((500.0, 500.0)).toDF("x", "y")
+    val res = LocalExpertOI.run(spark, obs, experts, pg, OIConfig(minObs = 3))
+    val r = res.collect()
+    assert(r.length === 1)
+    assert(r.head.num_obs === 2 && !r.head.optimise_success && r.head.preds.isEmpty)
+    res.unpersist()
+  }
+
+  test("deterministic: identical run twice yields identical hyperparameters") {
+    import spark.implicits._
+    val store1 = new ResultStore(spark, tmpDir())
+    val store2 = new ResultStore(spark, tmpDir())
+    val small = cfg.copy(nDocs = 8000)
+    GpSatPipeline.runAll(spark, store1, small, smooth = false)
+    GpSatPipeline.runAll(spark, store2, small, smooth = false)
+    val a = store1.table("lengthscales").orderBy("x", "y", "t", "_dim_0").collect().map(_.toSeq)
+    val b = store2.table("lengthscales").orderBy("x", "y", "t", "_dim_0").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+}

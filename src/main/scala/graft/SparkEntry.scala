@@ -59,6 +59,9 @@ object SparkEntry {
     """(SELECT CAST(ix AS DOUBLE) * 200000.0 - 400000.0 AS ex FROM range(5) r(ix)),
       |(SELECT CAST(iy AS DOUBLE) * 200000.0 - 400000.0 AS ey FROM range(5) q(iy))""".stripMargin
 
+  /** single-subquery form usable as a JOIN target. */
+  private val ExpertsSub = s"(SELECT ex, ey FROM $ExpertsSql) xp"
+
   // obs-doc table derived from `documents` with binary-exact coordinates —
   // the axis-A span-projection oracle (values round-trip %.6f exactly).
   private def docsDerived(s: SparkSession, dir: String): DataFrame = {
@@ -161,7 +164,7 @@ object SparkEntry {
 
     "q12_local_select_rows" -> ((s, dir) =>
       SpatialJoin.radiusJoin(
-        obsDerived(s, dir).filter(col("obs_id") % 20 === 0), expertsDerived(s)
+        obsDerived(s, dir).filter(col("obs_id") % 7 === 0), expertsDerived(s)
           .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t")),
         SpatialJoin.RadiusJoinConfig(radius = 300000.0,
           temporal = Some(SpatialJoin.TemporalWindow("t", "t", -4.0, 4.0))))
@@ -389,7 +392,7 @@ object SparkEntry {
 
     "q12_local_select_rows" ->
       s"""SELECT o.obs_id, ex, ey FROM $ExpertsSql
-         |JOIN (SELECT * FROM ($ObsSql) WHERE obs_id % 20 = 0) o
+         |JOIN (SELECT * FROM ($ObsSql) WHERE obs_id % 7 = 0) o
          |  ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 300000.0*300000.0
          | AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4""".stripMargin,
 
@@ -398,7 +401,7 @@ object SparkEntry {
          |  SELECT -500000.0 + (CAST(i AS DOUBLE) + 0.5) * 100000.0 AS px,
          |         -500000.0 + (CAST(j AS DOUBLE) + 0.5) * 100000.0 AS py
          |  FROM range(10) r(i), range(10) q(j))
-         |SELECT px, py, ex, ey FROM pg JOIN $ExpertsSql
+         |SELECT px, py, ex, ey FROM pg JOIN $ExpertsSub
          |  ON (px-ex)*(px-ex) + (py-ey)*(py-ey) < 200000.0*200000.0""".stripMargin,
 
     "q14_knn_join" ->
@@ -407,7 +410,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY o.obs_id
          |      ORDER BY (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) ASC, ex ASC, ey ASC) AS rnk
          |  FROM (SELECT * FROM ($ObsSql) WHERE obs_id % 100 = 0) o
-         |  JOIN $ExpertsSql
+         |  JOIN $ExpertsSub
          |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 1000000.0*1000000.0)
          |WHERE rnk <= 3""".stripMargin,
 
@@ -420,9 +423,9 @@ object SparkEntry {
     "q16_track_num" ->
       """SELECT event_id, user_id, track_num FROM (
         |  SELECT event_id, user_id,
-        |    sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS track_num
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS track_num
         |  FROM (
         |    SELECT event_id, user_id, ts,
         |      CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap
@@ -457,7 +460,7 @@ object SparkEntry {
          |j AS (
          |  SELECT px, py, ex AS expert_x, ey AS expert_y,
          |    ex / 1000000.0 + ey / 2000000.0 AS fstar
-         |  FROM pg JOIN $ExpertsSql
+         |  FROM pg JOIN $ExpertsSub
          |    ON (px-ex)*(px-ex) + (py-ey)*(py-ey) < 200000.0*200000.0)
          |SELECT px, py,
          |  sum(exp(-(((px-expert_x)*(px-expert_x) + (py-expert_y)*(py-expert_y)) / (100000.0*100000.0))/2) * fstar)

@@ -1,0 +1,135 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The declarative config-as-query surface (reference JSON configs,
+  * GPSat/config_dataclasses.py): `where` triples, `row_select` with negate,
+  * `col_funcs` via a whitelisted function registry (the safe
+  * re-implementation of `config_func`, GPSat/utils.py:311-493 — a fixed
+  * whitelist instead of eval), and the scan -> filter -> project loader
+  * micro-lifecycle (`DataLoader.load`, dataloader.py:1681-1799; order
+  * matters: add_cols can create the columns row_select uses).
+  */
+object ConfigExpr {
+
+  /** `{col, comp, val}` triple (dataloader.py:1011-1272). */
+  final case class Where(col: String, comp: String, value: Any)
+
+  def whereToColumn(w: Where): Column = {
+    val c = col(w.col)
+    val v = lit(w.value)
+    w.comp match {
+      case ">=" => c >= v
+      case ">"  => c > v
+      case "==" => c === v
+      case "!=" => c =!= v
+      case "<=" => c <= v
+      case "<"  => c < v
+      case other => throw new IllegalArgumentException(s"comp: $other is not valid")
+    }
+  }
+
+  /** AND (default) / OR fold (`combine_where`, dataloader.py:1172-1176). */
+  def combineWhere(ws: Seq[Where], or: Boolean = false): Column =
+    if (ws.isEmpty) lit(true)
+    else ws.map(whereToColumn).reduce((a, b) => if (or) a || b else a && b)
+
+  /** `row_select` entry: triples and/or named bool funcs, with negate
+    * (row_select_bool, dataloader.py:137-227).
+    */
+  final case class RowSelect(wheres: Seq[Where], negate: Boolean = false)
+
+  def rowSelectColumn(rs: Seq[RowSelect]): Column =
+    if (rs.isEmpty) lit(true)
+    else rs.map { r =>
+      val c = combineWhere(r.wheres)
+      if (r.negate) !c else c
+    }.reduce(_ && _)
+
+  /** The `config_func` whitelist: operator strings become Catalyst binary
+    * ops; named functions resolve from this fixed registry (never eval).
+    * Signature: (column args, literal args) -> Column.
+    */
+  val funcRegistry: Map[String, (Seq[Column], Seq[Any]) => Column] = Map(
+    // binary operator strings (utils.py:400-430)
+    ">=" -> ((cs, as_) => cs.head >= litOf(cs, as_)),
+    ">" -> ((cs, as_) => cs.head > litOf(cs, as_)),
+    "<=" -> ((cs, as_) => cs.head <= litOf(cs, as_)),
+    "<" -> ((cs, as_) => cs.head < litOf(cs, as_)),
+    "==" -> ((cs, as_) => cs.head === litOf(cs, as_)),
+    "!=" -> ((cs, as_) => cs.head =!= litOf(cs, as_)),
+    "+" -> ((cs, as_) => cs.head + litOf(cs, as_)),
+    "-" -> ((cs, as_) => cs.head - litOf(cs, as_)),
+    "*" -> ((cs, as_) => cs.head * litOf(cs, as_)),
+    "/" -> ((cs, as_) => cs.head / litOf(cs, as_)),
+    // named functions
+    "abs" -> ((cs, _) => abs(cs.head)),
+    "exp" -> ((cs, _) => exp(cs.head)),
+    "log" -> ((cs, _) => log(cs.head)),
+    "sqrt" -> ((cs, _) => sqrt(cs.head)),
+    "floor" -> ((cs, _) => floor(cs.head)),
+    "ceil" -> ((cs, _) => ceil(cs.head)),
+    "cumsum" -> ((cs, _) => sum(cs.head).over(
+      org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())
+        .rowsBetween(Long.MinValue, 0))),
+    // datetime <-> float days (examples/inline_example.py:140; datetime_utils.py:143-181)
+    "date_to_float_days" -> ((cs, _) => datediff(cs.head.cast("date"), lit("1970-01-01").cast("date")).cast("double")),
+    "float_days_to_date" -> ((cs, _) => date_add(lit("1970-01-01").cast("date"), cs.head.cast("int"))),
+    // EASE2 projection
+    "laea_x" -> ((cs, _) => graft.functions.laea_x(cs.head, cs(1))),
+    "laea_y" -> ((cs, _) => graft.functions.laea_y(cs.head, cs(1))),
+    "laea_lon" -> ((cs, _) => graft.functions.laea_lon(cs.head, cs(1))),
+    "laea_lat" -> ((cs, _) => graft.functions.laea_lat(cs.head, cs(1))))
+
+  private def litOf(cs: Seq[Column], as_ : Seq[Any]): Column =
+    if (cs.length > 1) cs(1) else lit(as_.head)
+
+  /** One `col_funcs` entry: output column from func + col args + literal args. */
+  final case class ColFunc(out: String, func: String, colArgs: Seq[String] = Seq.empty,
+                           args: Seq[Any] = Seq.empty)
+
+  def applyColFuncs(df: DataFrame, fns: Seq[ColFunc]): DataFrame =
+    fns.foldLeft(df) { (d, f) =>
+      val fn = funcRegistry.getOrElse(f.func,
+        throw new IllegalArgumentException(s"config_func '${f.func}' is not in the whitelist"))
+      d.withColumn(f.out, fn(f.colArgs.map(col), f.args))
+    }
+
+  /** Data-load config: the `DataLoader.load` equivalent. */
+  final case class DataConfig(
+      source: String, // path; format from suffix (csv/tsv/parquet/json)
+      where: Seq[Where] = Seq.empty,
+      colFuncs: Seq[ColFunc] = Seq.empty,
+      rowSelect: Seq[RowSelect] = Seq.empty,
+      colSelect: Seq[String] = Seq.empty,
+      fileRegex: Option[String] = None, // multi-file scan filter
+      sourceColumn: Option[String] = None) // per-file provenance column
+
+  /** suffix -> format dispatch (dataloader.py:28-35) + scan -> where ->
+    * col_funcs -> row_select -> col_select, in reference order
+    * (`_modify_df`, dataloader.py:1681-1799). `where` is applied at the
+    * source so Catalyst pushes it into the scan.
+    */
+  def load(spark: SparkSession, cfg: DataConfig): DataFrame = {
+    val fmt = cfg.source.replaceAll("^.*\\.", "").toLowerCase match {
+      case "csv" => "csv"
+      case "tsv" => "csv"
+      case "parquet" | "pq" => "parquet"
+      case "json" => "json"
+      case other => throw new IllegalArgumentException(s"unsupported source suffix: $other")
+    }
+    var reader = spark.read.format(fmt)
+    if (fmt == "csv") reader = reader.option("header", "true").option("inferSchema", "true")
+    if (cfg.source.endsWith(".tsv")) reader = reader.option("sep", "\t")
+    cfg.fileRegex.foreach(r => reader = reader.option("pathGlobFilter", r))
+    var df = reader.load(cfg.source)
+    cfg.sourceColumn.foreach(c => df = df.withColumn(c,
+      regexp_extract(input_file_name(), "([^/]+)$", 1)))
+    if (cfg.where.nonEmpty) df = df.filter(combineWhere(cfg.where))
+    df = applyColFuncs(df, cfg.colFuncs)
+    if (cfg.rowSelect.nonEmpty) df = df.filter(rowSelectColumn(cfg.rowSelect))
+    if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
+    df
+  }
+}

@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// enable the JDK Vector API so dev.ludovic.netlib picks VectorBLAS (SIMD)
+javaOptions += "--add-modules=jdk.incubator.vector"

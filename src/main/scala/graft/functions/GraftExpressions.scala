@@ -245,3 +245,45 @@ case class WinnowFingerprint(child: Expression, k: Int, window: Int)
         s"graft.functions.TextHash.winnow($c.toString(), $k, $window))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Sign-pattern buckets for random-hyperplane (cosine) LSH: one int64
+  * bucket per plane group. Replaces the unrolled per-component column
+  * arithmetic that blew past Janino's 64 KB method limit — the plane set
+  * rides along as a reference object, the dot products run as a tight
+  * JVM loop.
+  */
+case class HyperplaneLsh(child: Expression, planes: Array[Array[Double]], planesPerGroup: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  require(planes.length % planesPerGroup == 0, "planes must divide into groups")
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_lsh"
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val dim = arr.numElements()
+    val vec = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { vec(i) = arr.getDouble(i); i += 1 }
+    val nGroups = planes.length / planesPerGroup
+    val out = new Array[Long](nGroups)
+    var g = 0
+    while (g < nGroups) {
+      var bits = 0L
+      var p = 0
+      while (p < planesPerGroup) {
+        val plane = planes(g * planesPerGroup + p)
+        var dot = 0.0
+        var j = 0
+        val lim = math.min(dim, plane.length)
+        while (j < lim) { dot += vec(j) * plane(j); j += 1 }
+        if (dot >= 0) bits |= (1L << p)
+        p += 1
+      }
+      out(g) = bits
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

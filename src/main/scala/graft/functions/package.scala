@@ -58,6 +58,10 @@ package object functions {
   /** Hamming distance between two int64 signatures. */
   def hamming64(a: Column, b: Column): Column = col(Hamming64(expr(a), expr(b)))
 
+  /** random-hyperplane LSH sign buckets (one int64 per plane group). */
+  def hyperplane_lsh(vec: Column, planes: Array[Array[Double]], planesPerGroup: Int): Column =
+    col(HyperplaneLsh(expr(vec), planes, planesPerGroup))
+
   /** winnowing fingerprints (k-gram size, window). */
   def winnow_fingerprint(c: Column, k: Int = 8, window: Int = 4): Column =
     col(WinnowFingerprint(expr(c), k, window))

@@ -142,20 +142,12 @@ object Dedup {
     }
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    // sign bits per group -> one bucket value per group
-    def planeDot(p: Int): Column = {
-      val terms = (0 until dim).map(j => element_at(col("vec"), j + 1) * planes(p)(j))
-      terms.reduce(_ + _)
-    }
-    val groupBuckets = (0 until bucketGroups).map { g =>
-      val bits = (0 until nPlanes).map { i =>
-        when(planeDot(g * nPlanes + i) >= 0, lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
-      bits.as(s"b$g")
-    }
-    val bucketed = v.select((col("id") +: col("vec") +: groupBuckets): _*)
+    // sign-pattern buckets via the HyperplaneLsh expression (compact plan;
+    // the unrolled column form exceeded Janino's 64 KB codegen limit)
+    val bucketed = v
+      .withColumn("buckets", graft.functions.hyperplane_lsh(col("vec"), planes, nPlanes))
       .select(col("id"), col("vec"),
-        posexplode(array((0 until bucketGroups).map(g => col(s"b$g")): _*)).as(Seq("grp", "bucket")))
+        posexplode(col("buckets")).as(Seq("grp", "bucket")))
     val a = bucketed.select(col("grp"), col("bucket"), col("id").as("idA"), col("vec").as("vecA"))
     val b = bucketed.select(col("grp"), col("bucket"), col("id").as("idB"), col("vec").as("vecB"))
     a.join(b, Seq("grp", "bucket"))

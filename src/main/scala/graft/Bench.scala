@@ -22,9 +22,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // fit tasks are CPU-bound with heterogeneous per-tile cost: use ~8
+      // tasks per core for load balance, and keep AQE from coalescing by
+      // byte size (tile cost is not proportional to bytes)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "48g"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()

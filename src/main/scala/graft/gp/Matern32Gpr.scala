@@ -101,42 +101,42 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     * [ell..., sf2, sn2]. Returns (+inf, null-gradient) when K + sn2 I is not
     * SPD (reference returns inf, pure_python_gpr.py:499-501).
     */
+  // scratch buffers reused across optimiser evaluations (a fit makes ~50
+  // evals; fresh n^2 buffers each would put ~100 GB/run of GC churn on a
+  // 32-thread executor). Only ONE n^2 scratch: the fit stage is memory-
+  // bandwidth contended at high thread counts, so the gradient pass
+  // recomputes q/exp/kernel values from the cached sqDiff streams instead
+  // of loading separate e/K buffers.
+  private lazy val aBuf = new Array[Double](n * n)
+  private lazy val alphaBuf = new Array[Double](n)
+
   private def evalCore(p: GprParams, wantGrad: Boolean): (Double, Array[Double]) = {
     val ell = p.lengthscales
     val sf2 = p.kernelVariance
     val sn2 = p.likelihoodVariance
-    val nn = n * n
     val inv2l = new Array[Double](d) // 3 / ell_k^2 (the Matern sqrt(3)/ell scaling, squared)
     var k = 0
     while (k < d) { inv2l(k) = 3.0 / (ell(k) * ell(k)); k += 1 }
-
-    // q, e = exp(-q), K = sf2 (1 + q) e
-    val eBuf = new Array[Double](nn)
-    val kBuf = new Array[Double](nn)
+    // build A = K + sn2 I directly (upper triangle is what dpotrf reads;
+    // fill both for the later full-matrix contraction pass)
+    val a = aBuf
     var j = 0
     while (j < n) {
       val jn = j * n
-      kBuf(j + jn) = sf2
-      eBuf(j + jn) = 1.0
+      a(j + jn) = sf2 + sn2
       var i = j + 1
       while (i < n) {
         var s = 0.0
         var kk = 0
         while (kk < d) { s += sqDiff(kk)(i + jn) * inv2l(kk); kk += 1 }
         val q = math.sqrt(s)
-        val e = math.exp(-q)
-        val kv = sf2 * (1.0 + q) * e
-        eBuf(i + jn) = e; eBuf(j + i * n) = e
-        kBuf(i + jn) = kv; kBuf(j + i * n) = kv
+        val kv = sf2 * (1.0 + q) * math.exp(-q)
+        a(i + jn) = kv; a(j + i * n) = kv
         i += 1
       }
       j += 1
     }
-
-    // factor A = chol(K + sn2 I)
-    val a = kBuf.clone()
     var i = 0
-    while (i < n) { a(i + i * n) += sn2; i += 1 }
     val info = new intW(0)
     lapack.dpotrf("U", n, a, n, info)
     if (info.`val` != 0) return (Double.PositiveInfinity, null)
@@ -145,7 +145,8 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     i = 0
     while (i < n) { logDet += math.log(a(i + i * n)); i += 1 }
 
-    val alpha = yArr.clone()
+    val alpha = alphaBuf
+    System.arraycopy(yArr, 0, alpha, 0, n)
     lapack.dpotrs("U", n, 1, a, n, alpha, n, info)
     var yAlpha = 0.0
     i = 0
@@ -161,6 +162,7 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     //   grad_ell_k = (3 sf2 / ell_k^3) * Sum_ij Qm_ij sqDiff_k(ij) e_ij / 2
     //   grad_sf2   = Sum_ij Qm_ij K_ij / (2 sf2)
     //   grad_sn2   = tr(Qm) / 2
+    // e/K recomputed from sqDiff (already streamed) — fewer DRAM streams
     val gl = new Array[Double](d)
     var gsf = 0.0
     var gsn = 0.0
@@ -168,17 +170,21 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     while (j < n) {
       val jn = j * n
       val aj = alpha(j)
-      // diagonal: sqDiff = 0 -> no lengthscale term
+      // diagonal: sqDiff = 0 -> no lengthscale term; K_jj = sf2
       val qmd = a(j + jn) - aj * aj
-      gsf += qmd * kBuf(j + jn)
+      gsf += qmd * sf2
       gsn += qmd
       var i2 = 0
       while (i2 < j) { // strict upper triangle, weight 2
         val qm = 2.0 * (a(i2 + jn) - alpha(i2) * aj)
-        val e = eBuf(i2 + jn)
+        var s = 0.0
         var kk = 0
-        while (kk < d) { gl(kk) += qm * sqDiff(kk)(i2 + jn) * e; kk += 1 }
-        gsf += qm * kBuf(i2 + jn)
+        while (kk < d) { s += sqDiff(kk)(i2 + jn) * inv2l(kk); kk += 1 }
+        val q = math.sqrt(s)
+        val e = math.exp(-q)
+        var kk2 = 0
+        while (kk2 < d) { gl(kk2) += qm * sqDiff(kk2)(i2 + jn) * e; kk2 += 1 }
+        gsf += qm * sf2 * (1.0 + q) * e
         i2 += 1
       }
       j += 1

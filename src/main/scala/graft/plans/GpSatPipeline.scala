@@ -52,6 +52,8 @@ object GpSatPipeline {
   def runAll(spark: SparkSession, store: ResultStore, cfg: PipelineConfig,
              smooth: Boolean = true): RunSummary = {
     val binned = binnedObs(spark, cfg).persist()
+    binned.count() // materialise: data loading is a separate stage from the
+                   // fit in the reference accounting (BASELINE.md rows 2-3)
     val allExperts = experts(spark, binned, cfg)
     val el = if (store.exists("run_details"))
       LocalExpertOI.resumeFilter(allExperts, store.table("run_details"))

@@ -257,16 +257,18 @@ object SparkEntry {
       Dedup.exact(pq(s, dir, "documents"), "doc_id", "text")),
 
     "q23_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(pq(s, dir, "documents"), "doc_id", "text",
-        n = 1, threshold = 0.8, maxNgramFreq = 100000)
+      // doc_id < 1000 caps the quadratic candidate space at larger SFs
+      Dedup.ngramJaccardPairs(pq(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", n = 1, threshold = 0.8, maxNgramFreq = 100000)
         .select(col("idA"), col("idB"), col("jaccard"))),
 
     "q24_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(pq(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5)),
+      Dedup.minhashPairs(pq(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.5)),
 
     "q25_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(pq(s, dir, "documents"), "doc_id", "text", maxHamming = 8)),
+      Dedup.simhashPairs(pq(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", maxHamming = 8)),
 
     "q26_embedding_dedup" -> ((s, dir) =>
       Dedup.cosinePairsLsh(pq(s, dir, "embeddings"), "vec_id", "embedding",
@@ -500,7 +502,8 @@ object SparkEntry {
 
     "q23_ngram_jaccard" ->
       """WITH grams AS (
-        |  SELECT DISTINCT doc_id AS id, unnest(string_split(trim(text), ' ')) AS gram FROM documents),
+        |  SELECT DISTINCT doc_id AS id, unnest(string_split(trim(text), ' ')) AS gram
+        |  FROM documents WHERE doc_id < 1000),
         |sizes AS (SELECT id, count(*) AS setSize FROM grams GROUP BY id),
         |shared AS (
         |  SELECT a.id AS idA, b.id AS idB, count(*) AS shared

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer internals and codegen"),
+    (5L, "another unrelated document mentioning gaussian process interpolation on sea ice")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val got = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(got.length === 4)
+    assert(got.head.getLong(0) === 1L && got.head.getLong(2) === 2L) // id 1 survives with dup_count 2
+  }
+
+  test("minhash pairs find the exact and near duplicate, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must be found")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near dup should be found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("greedy dedup drops the larger id of each pair") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+    val kept = Dedup.dropDuplicatesByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+  }
+
+  test("simhash pairs: hamming bound holds exactly (pigeonhole banding is complete)") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10).collect()
+    // verify against brute force over all pairs
+    val sigs = docs.select(col("doc_id"), graft.functions.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 10
+    } yield (a, b, h)).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === brute)
+  }
+
+  test("ngram jaccard matches brute-force set jaccard") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def grams(s: String): Set[String] =
+      s.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      ga = grams(texts(a)); gb = grams(texts(b))
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size if j >= 0.3
+    } yield (a, b) -> j).toMap
+    assert(got.keySet === brute.keySet)
+    for ((k, v) <- brute) assert(math.abs(got(k) - v) < 1e-12)
+  }
+
+  test("embedding cosine LSH finds a duplicated vector") {
+    val vecs = Seq(
+      (1L, Seq.tabulate(64)(i => math.sin(i * 0.3).toFloat)),
+      (2L, Seq.tabulate(64)(i => math.sin(i * 0.3).toFloat)), // identical to 1
+      (3L, Seq.tabulate(64)(i => math.cos(i * 1.7).toFloat))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairsLsh(vecs, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val items = Seq.tabulate(50) { i =>
+    (i.toLong, Seq.tabulate(16)(j => (math.sin(i * 0.7 + j) + 0.1 * i).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k is exact vs manual computation") {
+    val q = items.filter(col("vec_id") === 7)
+    val got = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .orderBy("rank").collect().map(_.getLong(1))
+    // manual
+    val all = items.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val qv = all.find(_._1 == 7L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = all.map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.head === 7L) // self is most similar
+  }
+
+  test("IVF top-k returns k results with self as rank 1 and high recall vs brute force") {
+    val q = items.filter(col("vec_id") < 5)
+    val ivf = SimilaritySearch.ivfTopK(items, q, "vec_id", "embedding", "vec_id", 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+    assert((0 until 5).forall(i => ivf.contains((i.toLong, i.toLong))), "self must be found")
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("token count handles blanks, multiple spaces") {
+    val df = Seq("a b c", "  one   two  ", "", "single").toDF("t")
+    val got = df.select(TextAnalysis.tokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(3, 2, 0, 1))
+  }
+
+  test("quality metrics are consistent") {
+    val df = Seq((1L, "the cat sat on the mat 42 times!")).toDF("id", "text")
+    val r = TextAnalysis.qualityMetrics(df, "text").head()
+    val m = r.getValuesMap[Any](Seq("n_tokens", "punct_ratio", "digit_ratio", "stopword_ratio"))
+    assert(m("n_tokens") === 8)
+    assert(m("punct_ratio").asInstanceOf[Double] > 0.0)
+    assert(m("digit_ratio").asInstanceOf[Double] > 0.0)
+    assert(m("stopword_ratio").asInstanceOf[Double] === 0.25) // "the" twice / 8
+  }
+
+  test("language id picks the marker-heavy language, und when none") {
+    val df = Seq(
+      "the cat and the dog sat in that spot for it was warm",
+      "el perro y la casa de los vecinos en las montanas",
+      "der hund und die katze ist von den bergen im wald",
+      "qwerty zxcvb asdfgh").toDF("text")
+    val got = TextAnalysis.langId(df, "text").select("lang_pred").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("en", "es", "de", "und"))
+  }
+
+  test("subword count upper-bounds token count") {
+    val df = Seq("internationalization multi word text").toDF("t")
+    val r = df.select(TextAnalysis.subwordCount(col("t"), 4).as("s"), TextAnalysis.tokenCount(col("t")).as("n")).head()
+    assert(r.getLong(0) >= r.getInt(1))
+  }
+}

@@ -48,6 +48,20 @@ final class ResultStore(spark: SparkSession, root: String) {
     logSnapshot(name, t0, runInfo + ("mode" -> "overwrite"))
   }
 
+  /** Results reader (reference `get_results_from_h5file`,
+    * GPSat/local_experts.py:1467-1620): read a result table and left-join
+    * the expert-location attributes onto it on the coordinate columns,
+    * suffixing colliding names with `_expert_location`.
+    */
+  def tableWithExpertLocs(name: String, expertTable: String = "run_details",
+                          coordsCol: Seq[String] = Seq("x", "y", "t")): DataFrame = {
+    val t = table(name)
+    var e = table(expertTable).dropDuplicates(coordsCol)
+    for (c <- e.columns if !coordsCol.contains(c) && t.columns.contains(c))
+      e = e.withColumnRenamed(c, c + "_expert_location")
+    t.join(e, coordsCol, "left")
+  }
+
   /** Config identity (reference `get_previous_oi_config`, utils.py:1136-1273):
     * exact canonical-JSON equality against previously stored configs; a match
     * reuses its idx, otherwise max(idx) + 1 is assigned and appended.

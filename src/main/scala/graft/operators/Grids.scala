@@ -52,6 +52,23 @@ object Grids {
   def addDataToCol(df: DataFrame, colName: String, values: Seq[Any]): DataFrame =
     df.drop(colName).withColumn(colName, explode(array(values.map(lit): _*)))
 
+  /** `shift_arrays` prediction locations (GPSat/prediction_locations.py:182-205):
+    * the meshgrid of per-dimension offsets added to each expert location —
+    * an explode of the offset cross-product.
+    */
+  def shiftArrays(experts: DataFrame, xShifts: Seq[Double], yShifts: Seq[Double],
+                  xCol: String = "x", yCol: String = "y"): DataFrame = {
+    val offsets = for (dy <- yShifts; dx <- xShifts) yield (dx, dy)
+    val offCol = array(offsets.map { case (dx, dy) =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    }: _*)
+    experts
+      .withColumn("__off", explode(offCol))
+      .withColumn("pred_x", col(xCol) + col("__off.dx"))
+      .withColumn("pred_y", col(yCol) + col("__off.dy"))
+      .drop("__off")
+  }
+
   /** Prediction grid: fine lattice, optionally masked by point-in-polygon
     * "ocean" rings (examples/inline_example.py:250-266).
     */

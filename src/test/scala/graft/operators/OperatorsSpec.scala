@@ -185,3 +185,15 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 }
+
+class ShiftArraysSpec extends AnyFunSuite with graft.SparkTestBase {
+  import spark.implicits._
+  test("shiftArrays emits the offset meshgrid per expert") {
+    val e = Seq((100.0, 200.0)).toDF("x", "y")
+    val got = Grids.shiftArrays(e, Seq(-10.0, 0.0, 10.0), Seq(-5.0, 5.0))
+      .select("pred_x", "pred_y").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val want = (for (dy <- Seq(-5.0, 5.0); dx <- Seq(-10.0, 0.0, 10.0)) yield (100.0 + dx, 200.0 + dy)).toSet
+    assert(got === want)
+    assert(got.size === 6)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.functions.{cell_encode, laea_x, laea_y}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming ingestion for the obs-doc table. The reference engine is
+  * strictly batch (SURVEY.md §2.10) — its "incremental" behavior is resume
+  * via anti-join — but a continuously-arriving observation feed is the
+  * natural 100 TB ingest shape, so the library ships the streaming half of
+  * the pipeline: obs-doc stream -> span projection -> cell/tile binning
+  * with event-time watermarking. The output (per-tile partial aggregates)
+  * appends to the same binned table the batch OI job reads, making the
+  * batch fit incremental at the tile level.
+  *
+  * All transforms are the SAME declarative expressions as the batch path
+  * (ObsDocs.extractObs / Binning.binDataBy semantics) — Structured
+  * Streaming just changes the source/sink; watermark + append mode keep
+  * state bounded.
+  */
+object ObsDocStream {
+
+  /** Span projection on a streaming DataFrame of obs docs
+    * (doc_id, spans, event_time). Same expressions as the batch
+    * `ObsDocs.extractObs`, plus the event-time column carried through.
+    */
+  def extractObs(docs: DataFrame): DataFrame = {
+    val reading = element_at(
+      filter(col("spans"), s => s.getField("kind") === "text" && s.getField("text").startsWith("lon=")), 1)
+    docs
+      .withColumn("__reading", reading)
+      .filter(col("__reading").isNotNull)
+      .withColumn("__kv", expr("str_to_map(__reading.text, ';', '=')"))
+      .select(
+        col("doc_id"),
+        col("event_time"),
+        col("__kv")("lon").cast("double").as("lon"),
+        col("__kv")("lat").cast("double").as("lat"),
+        col("__kv")("t").cast("double").as("t"),
+        col("__kv")("z").cast("double").as("z"),
+        col("__kv")("source").as("source"),
+        col("spans"))
+      .withColumn("x", laea_x(col("lon"), col("lat")))
+      .withColumn("y", laea_y(col("lon"), col("lat")))
+  }
+
+  /** Windowed tile aggregation: per (event-time window, tile cell, t,
+    * source) partial sums. Append-mode-safe via the watermark; the
+    * batch-side bin mean is sum/count, so partials merge exactly.
+    */
+  def binStream(obs: DataFrame, gridRes: Double = 50000.0,
+                origin: Double = -4500000.0,
+                watermark: String = "10 minutes",
+                window: String = "5 minutes"): DataFrame =
+    obs
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window),
+        cell_encode(col("x"), col("y"), gridRes, origin, origin).as("cell"),
+        col("t"), col("source"))
+      .agg(sum("z").as("z_sum"), count(lit(1)).as("n"),
+        min("z").as("z_min"), max("z").as("z_max"))
+}

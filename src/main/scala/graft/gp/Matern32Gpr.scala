@@ -2,8 +2,6 @@ package graft.gp
 
 import breeze.linalg.{DenseMatrix, DenseVector}
 import breeze.optimize.{DiffFunction, LBFGS}
-import dev.ludovic.netlib.lapack.LAPACK
-import org.netlib.util.intW
 
 /** Hyperparameters in constrained (parameter) space; vector order follows the
   * reference convention [lengthscales..., kernel_variance, likelihood_variance]
@@ -71,7 +69,6 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
   val d: Int = coords.cols
 
   private val Log2Pi = math.log(2.0 * math.Pi)
-  private val lapack = LAPACK.getInstance
   private val yArr: Array[Double] = y.toArray
 
   /** Per-dim squared coordinate differences (ell-independent; cached).
@@ -107,7 +104,7 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
   // bandwidth contended at high thread counts, so the gradient pass
   // recomputes q/exp/kernel values from the cached sqDiff streams instead
   // of loading separate e/K buffers.
-  private lazy val aBuf = new Array[Double](n * n)
+  private lazy val aBuf = new Array[Double](n * n + n) // padded: netlib bound checks
   private lazy val alphaBuf = new Array[Double](n)
 
   private def evalCore(p: GprParams, wantGrad: Boolean): (Double, Array[Double]) = {
@@ -137,9 +134,7 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
       j += 1
     }
     var i = 0
-    val info = new intW(0)
-    lapack.dpotrf("U", n, a, n, info)
-    if (info.`val` != 0) return (Double.PositiveInfinity, null)
+    if (FastSpd.potrfUpper(a, n) != 0) return (Double.PositiveInfinity, null)
 
     var logDet = 0.0
     i = 0
@@ -147,7 +142,7 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
 
     val alpha = alphaBuf
     System.arraycopy(yArr, 0, alpha, 0, n)
-    lapack.dpotrs("U", n, 1, a, n, alpha, n, info)
+    FastSpd.potrsUpper(a, n, alpha)
     var yAlpha = 0.0
     i = 0
     while (i < n) { yAlpha += yArr(i) * alpha(i); i += 1 }
@@ -155,8 +150,7 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     if (!wantGrad) return (value, null)
 
     // Kinv into a's upper triangle
-    lapack.dpotri("U", n, a, n, info)
-    if (info.`val` != 0) return (Double.PositiveInfinity, null)
+    if (FastSpd.potriUpper(a, n) != 0) return (Double.PositiveInfinity, null)
 
     // fused contractions: Qm_ij = Kinv_ij - alpha_i alpha_j
     //   grad_ell_k = (3 sf2 / ell_k^3) * Sum_ij Qm_ij sqDiff_k(ij) e_ij / 2
@@ -263,8 +257,8 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     val sn2 = p.likelihoodVariance
     val Sqrt3 = math.sqrt(3.0)
 
-    // K + sn2 I and its Cholesky factor
-    val kn = new Array[Double](n * n)
+    // K + sn2 I and its Cholesky factor (padded: netlib bound checks)
+    val kn = new Array[Double](n * n + n)
     var j = 0
     while (j < n) {
       val jn = j * n
@@ -284,12 +278,11 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
       }
       j += 1
     }
-    val info = new intW(0)
-    lapack.dpotrf("U", n, kn, n, info)
-    require(info.`val` == 0, s"Cholesky failed in predict (info=${info.`val`})")
+    val rc = FastSpd.potrfUpper(kn, n)
+    require(rc == 0, s"Cholesky failed in predict (info=$rc)")
 
     val alpha = yArr.clone()
-    lapack.dpotrs("U", n, 1, kn, n, alpha, n, info)
+    FastSpd.potrsUpper(kn, n, alpha)
 
     // cross kernel n x m (column-major), solved in one dpotrs call
     val kc = new Array[Double](n * m)
@@ -312,7 +305,7 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
       jm += 1
     }
     val w = kc.clone()
-    lapack.dpotrs("U", n, m, kn, n, w, n, info)
+    FastSpd.potrsUpper(kn, n, w, m)
 
     val fs = new Array[Double](m)
     val fsVar = new Array[Double](m)

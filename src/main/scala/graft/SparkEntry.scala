@@ -327,6 +327,36 @@ object SparkEntry {
       LocalExpertOI.runDetails(results).drop("run_time", "partition_id")
     }),
 
+    "q36_bin_median" -> ((s, dir) =>
+      Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", byCols = Seq.empty, gridRes = 400000.0,
+        xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0),
+        statistics = Seq("median")))
+        .withColumnRenamed("z", "z_median")),
+
+    "q37_union_distinct" -> ((s, dir) => {
+      val a = obsDerived(s, dir).filter(col("t") <= 18325.0).select("obs_id", "t")
+      val b = obsDerived(s, dir).filter(col("t") >= 18324.0).select("obs_id", "t")
+      a.unionByName(b).distinct()
+    }),
+
+    "q38_track_num_for_date" -> ((s, dir) => {
+      // within-date row counter resetting on date change (utils.py:2477-2487)
+      val w = Window.partitionBy(col("user_id"), to_date(col("ts")).cast("string"))
+        .orderBy("ts", "event_id")
+      pq(s, dir, "events")
+        .withColumn("track_in_date", row_number().over(w) - 1)
+        .select("event_id", "user_id", "track_in_date")
+    }),
+
+    "q39_grid_spacing_infer" -> ((s, dir) => {
+      // min diff of sorted distinct coordinate (utils.py:2058-2059)
+      val w = Window.orderBy("t")
+      obsDerived(s, dir).select("t").distinct()
+        .withColumn("d", col("t") - lag("t", 1).over(w))
+        .agg(min("d").as("grid_spacing"))
+    }),
+
     "q35_laea_roundtrip" -> ((s, dir) =>
       // not SQL-expressible (no LAEA in DuckDB): rows-only + ScalaTest goldens
       obsDerived(s, dir).limit(1000)
@@ -529,6 +559,32 @@ object SparkEntry {
         |  CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
         |    / len(string_split(trim(text), ' ')) AS distinct_token_ratio
         |FROM documents""".stripMargin,
+
+    "q36_bin_median" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
+         | quantile_cont(z, 0.5) AS z_median FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/400000.0), 3) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    "q37_union_distinct" ->
+      s"""SELECT DISTINCT obs_id, t FROM (
+         |  SELECT obs_id, t FROM ($ObsSql) WHERE t <= 18325.0
+         |  UNION ALL
+         |  SELECT obs_id, t FROM ($ObsSql) WHERE t >= 18324.0)""".stripMargin,
+
+    "q38_track_num_for_date" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
+        |    ORDER BY ts, event_id) - 1 AS INT) AS track_in_date
+        |FROM events""".stripMargin,
+
+    "q39_grid_spacing_infer" ->
+      s"""SELECT min(d) AS grid_spacing FROM (
+         |  SELECT t - lag(t, 1) OVER (ORDER BY t) AS d
+         |  FROM (SELECT DISTINCT t FROM ($ObsSql)))""".stripMargin,
 
     "q31_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

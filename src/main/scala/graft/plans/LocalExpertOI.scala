@@ -27,6 +27,11 @@ final case class OIConfig(
     maxObsPerTile: Int = 0,        // 0 = off; deterministic subsample cap for
                                    // pathologically dense tiles (reference
                                    // N_subsample, IS2_SMAP_GPSat_train.py:463-464)
+    nystroemAboveN: Int = 0,       // 0 = off; windows larger than this use the
+                                   // Nystroem low-rank model (the reference's
+                                   // large-window SGPR analog / model swap,
+                                   // local_experts.py:1021-1041)
+    nystroemM: Int = 100,          // landmark count for the Nystroem path
     maxIter: Int = 100,
     tolerance: Double = 1e-7,
     lengthscaleBounds: Option[Bounds] = None,
@@ -147,8 +152,8 @@ object LocalExpertOI {
     val mean = if (cfg.obsMeanLocal) rawY.sum / n else 0.0
     val yv = DenseVector(rawY.map(_ - mean))
 
-    val gp = new Matern32Gpr(coords, yv)
     val bij = bijectors(cfg)
+    val useNystroem = cfg.nystroemAboveN > 0 && n > cfg.nystroemAboveN
 
     // initial / loaded parameters; loaded (smoothed) params ride on the
     // expert row (reference _read_params_from_file, local_experts.py:608-689)
@@ -163,9 +168,18 @@ object LocalExpertOI {
       bij(3).moveWithinBound(init0.kernelVariance),
       bij(4).moveWithinBound(init0.likelihoodVariance))
 
+    val landmarks = if (useNystroem) NystroemGpr.strideSelect(n, math.min(cfg.nystroemM, n)) else null
+    val gp = if (useNystroem) null else new Matern32Gpr(coords, yv)
     val fit =
-      if (cfg.optimise) gp.optimise(init, bij, cfg.maxIter, cfg.tolerance)
-      else GprFitResult(init, gp.nlml(init), success = true, 0)
+      if (!cfg.optimise) {
+        val obj =
+          if (useNystroem) NystroemGpr.nlml(yv, NystroemGpr.fit(coords, yv, landmarks,
+            init.lengthscales, init.kernelVariance, init.likelihoodVariance))
+          else gp.nlml(init)
+        GprFitResult(init, obj, success = true, 0)
+      } else if (useNystroem)
+        NystroemOptimise.optimise(coords, yv, landmarks, init, bij, math.min(cfg.maxIter, 30))
+      else gp.optimise(init, bij, cfg.maxIter, cfg.tolerance)
 
     val preds =
       if (pred.isEmpty) Seq.empty[PredOut]
@@ -175,7 +189,13 @@ object LocalExpertOI {
         val xs = DenseMatrix.tabulate[Double](m, 3) { (i, j) =>
           (j match { case 0 => pred(i).px; case 1 => pred(i).py; case 2 => et }) / cs(j)
         }
-        val p = gp.predict(xs, fit.params)
+        val p =
+          if (useNystroem) {
+            val st = NystroemGpr.fit(coords, yv, landmarks, fit.params.lengthscales,
+              fit.params.kernelVariance, fit.params.likelihoodVariance)
+            NystroemGpr.predict(coords, xs, st, fit.params.lengthscales,
+              fit.params.kernelVariance, fit.params.likelihoodVariance)
+          } else gp.predict(xs, fit.params)
         Array.tabulate(m) { i =>
           PredOut(pred(i).px, pred(i).py, et, p.fs(i) + mean, p.fsVar(i), p.yVar(i))
         }.toSeq
@@ -183,7 +203,7 @@ object LocalExpertOI {
 
     TileResult(ex, ey, et, n, (System.nanoTime() - t0) / 1e9, fit.objective,
       parameters_optimised = cfg.optimise, optimise_success = fit.success,
-      "GraftGPR", "cpu", cfg.configId,
+      if (useNystroem) "GraftNystroem" else "GraftGPR", "cpu", cfg.configId,
       fit.params.lengthscales.toSeq, fit.params.kernelVariance, fit.params.likelihoodVariance,
       preds)
   }

@@ -81,6 +81,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     res.unpersist()
   }
 
+  test("Nystroem model swap engages for large windows and still interpolates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val obs = Seq.tabulate(400) { i =>
+      val x = rng.nextDouble() * 400000 - 200000
+      val y = rng.nextDouble() * 400000 - 200000
+      (x, y, 18326.0, 0.2 * math.sin(x / 2e5) + 0.1 * math.cos(y / 2e5) + 0.01 * rng.nextGaussian())
+    }.toDF("x", "y", "t", "z")
+    val experts = Seq((0.0, 0.0, 18326.0)).toDF("x", "y", "t")
+    val pg = Seq((0.0, 0.0), (50000.0, 50000.0)).toDF("x", "y")
+    val res = LocalExpertOI.run(spark, obs, experts, pg,
+      OIConfig(nystroemAboveN = 100, nystroemM = 60, maxIter = 20)).collect()
+    assert(res.length === 1)
+    assert(res.head.model === "GraftNystroem")
+    assert(res.head.num_obs === 400)
+    assert(res.head.preds.nonEmpty)
+    val p0 = res.head.preds.minBy(p => math.abs(p.pred_loc_x) + math.abs(p.pred_loc_y))
+    val truth = 0.2 * math.sin(0.0) + 0.1 * math.cos(0.0)
+    assert(math.abs(p0.fs - truth) < 0.05, s"nystroem f*=${p0.fs} vs truth $truth")
+  }
+
   test("deterministic: identical run twice yields identical hyperparameters") {
     import spark.implicits._
     val store1 = new ResultStore(spark, tmpDir())

@@ -180,8 +180,10 @@ object SparkEntry {
     }),
 
     "q14_knn_join" -> ((s, dir) =>
+      // % 97: l_linenumber is 1..7, so obs_id % 100 == 0 was unsatisfiable
+      // (vacuous 0-row oracle); % 97 keeps ~600 rows flowing at sf0.01
       SpatialJoin.knnJoin(
-        obsDerived(s, dir).filter(col("obs_id") % 100 === 0), expertsDerived(s)
+        obsDerived(s, dir).filter(col("obs_id") % 97 === 0), expertsDerived(s)
           .select(col("ex").as("x"), col("ey").as("y")),
         Seq("obs_id"), 3,
         SpatialJoin.RadiusJoinConfig(radius = 1000000.0))
@@ -262,17 +264,38 @@ object SparkEntry {
         "doc_id", "text", n = 1, threshold = 0.8, maxNgramFreq = 100000)
         .select(col("idA"), col("idB"), col("jaccard"))),
 
-    "q24_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(pq(s, dir, "documents").filter(col("doc_id") < 1000),
-        "doc_id", "text", threshold = 0.5)),
+    // pair-generation machinery (banding, capped bucket self-join,
+    // verification) over SQL-expressible synthetic signatures so the
+    // DuckDB oracle pins the scale-critical join logic exactly; the hash
+    // expressions themselves (minhash_sig/simhash64) are golden-tested
+    // against brute force in DedupSpec.
+    "q24_minhash_pairs" -> ((s, dir) => {
+      val sig = pq(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").as("id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (floor(col("doc_id") / pow(lit(2.0), pmod(i, lit(7)).cast("double"))).cast("long") * 7919L
+              + i.cast("long") * 104729L) % 1000003L).as("sig"))
+      Dedup.minhashPairsFromSig(sig, k = 64, bands = 16, threshold = 0.5, maxBucketSize = 6)
+    }),
 
-    "q25_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(pq(s, dir, "documents").filter(col("doc_id") < 1000),
-        "doc_id", "text", maxHamming = 8)),
+    "q25_simhash_pairs" -> ((s, dir) => {
+      // synthetic 63-bit signature built from four 15-bit lanes (no int64
+      // overflow under ANSI mode; same arithmetic in the DuckDB oracle);
+      // ids in the same 8-block differ only in the low 3 bits
+      val block = shiftright(col("doc_id"), 3) + 1L
+      val lanes = Seq((1000003L, 12345L, 1L), (7919L, 54321L, 65536L),
+        (104729L, 777L, 4294967296L), (31337L, 999L, 281474976710656L))
+      val sigExpr = lanes.map { case (c, d, scale) =>
+        ((block * c + d) % 32749L) * scale
+      }.reduce(_ + _).bitwiseXOR(pmod(col("doc_id"), lit(8L)))
+      val sig = pq(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").as("id"), sigExpr.as("sig"))
+      Dedup.simhashPairsFromSig(sig, maxHamming = 8, maxBucketSize = 8)
+    }),
 
     "q26_embedding_dedup" -> ((s, dir) =>
       Dedup.cosinePairsLsh(pq(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.5, nPlanes = 4, bucketGroups = 4)),
+        threshold = 0.5, nPlanes = 4, bucketGroups = 4, maxBucketSize = 1000)),
 
     // ----- text analysis -----
     "q27_token_counts" -> ((s, dir) =>
@@ -317,14 +340,20 @@ object SparkEntry {
           col("media_ref"), col("width"), col("height"), col("n_frames"))
     }),
 
-    // ----- the GP engine itself (rows-only; golden-tested in ScalaTest) -----
-    "q34_gp_run_details" -> ((s, _) => {
-      val cfg = GpSatPipeline.PipelineConfig(nDocs = 4000, predSpacing = 100000.0)
-      val binned = GpSatPipeline.binnedObs(s, cfg)
-      val results = LocalExpertOI.run(s, binned,
-        GpSatPipeline.experts(s, binned, cfg), GpSatPipeline.predGrid(s, cfg),
-        cfg.oi.copy(maxIter = 30))
-      LocalExpertOI.runDetails(results).drop("run_time", "partition_id")
+    // ----- the GP engine run over oracle-checkable windows -----
+    // real exact-GP fits on the derived obs table (x > 0 half-plane leaves
+    // the ex<0 experts with ZERO observations, exercising the stub-row
+    // path); the oracle pins (x, y, t, num_obs) — the q11-style window
+    // count SQL including num_obs=0 stubs. GP numerics are golden-tested
+    // in GprSpec/PipelineSpec.
+    "q34_gp_run_details" -> ((s, dir) => {
+      val obs = obsDerived(s, dir).filter(col("x") > 0.0)
+      val experts = expertsDerived(s)
+        .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
+      val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      val results = LocalExpertOI.run(s, obs, experts, pg,
+        OIConfig(trainingRadius = 80000.0, maxIter = 30))
+      LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs")
     }),
 
     "q36_bin_median" -> ((s, dir) =>
@@ -358,17 +387,120 @@ object SparkEntry {
     }),
 
     "q35_laea_roundtrip" -> ((s, dir) =>
-      // not SQL-expressible (no LAEA in DuckDB): rows-only + ScalaTest goldens
-      obsDerived(s, dir).limit(1000)
+      // LAEA inverse + forward roundtrip, DuckDB-oracled: the Snyder
+      // formulas are plain trig, replicated in SQL with the same constants;
+      // lon/lat rounded to 6dp to absorb libm ulp differences
+      obsDerived(s, dir).filter(col("obs_id") % 61 === 0)
         .withColumn("lon", laea_lon(col("x"), col("y")))
         .withColumn("lat", laea_lat(col("x"), col("y")))
-        .select(col("obs_id"), col("lon"), col("lat"),
-          (abs(laea_x(col("lon"), col("lat")) - col("x")) < 1e-6).as("roundtrip_ok")))
+        .select(col("obs_id"),
+          round(col("lon"), 6).as("lon_r"), round(col("lat"), 6).as("lat_r"),
+          (abs(laea_x(col("lon"), col("lat")) - col("x")) < 1e-3).as("roundtrip_ok")))
   )
 
   // =====================================================================
   // oracle SQL (DuckDB), same aliases + types as the Spark results
   // =====================================================================
+
+  /** cosine-similarity SQL between two double-list expressions (sequential
+    * left-to-right list_sum matches Spark's aggregate() fold order). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))""".stripMargin
+
+  /** q26 oracle: the hyperplane-LSH sign buckets regenerated in SQL from the
+    * SAME deterministic plane arrays the operator uses (Double.toString
+    * round-trips exactly through DuckDB's literal parser). */
+  private def q26OracleSql: String = {
+    val planes = Dedup.lshPlanes(nPlanes = 4, bucketGroups = 4, dim = 64, seed = 42)
+    def dot(plane: Array[Double]): String = {
+      val lits = plane.map(java.lang.Double.toString).mkString(", ")
+      s"list_sum(list_transform(list_zip(vec, [$lits]), z -> z[1] * z[2]))"
+    }
+    val groups = (0 until 4).map { g =>
+      val bits = (0 until 4).map { p =>
+        s"(CASE WHEN ${dot(planes(g * 4 + p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT id, $g AS grp, $bits AS bucket FROM v"
+    }.mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+       |b AS ($groups),
+       |ok AS (SELECT grp, bucket FROM b GROUP BY grp, bucket HAVING count(*) <= 1000),
+       |p AS (SELECT b.* FROM b JOIN ok USING (grp, bucket)),
+       |cand AS (SELECT DISTINCT a.id AS idA, c.id AS idB
+       |  FROM p a JOIN p c ON a.grp = c.grp AND a.bucket = c.bucket AND a.id < c.id),
+       |scored AS (
+       |  SELECT idA, idB, ${cosSql("va.vec", "vb.vec")} AS cosine
+       |  FROM cand JOIN v va ON va.id = cand.idA JOIN v vb ON vb.id = cand.idB)
+       |SELECT idA, idB, cosine FROM scored WHERE cosine >= 0.5""".stripMargin
+  }
+
+  /** q29 oracle: marker scoring regenerated from the SAME marker lists the
+    * operator uses; CJK script ranges via RE2 \x{...} classes. */
+  private def q29OracleSql: String = {
+    def score(markers: Seq[String]): String = {
+      val in = markers.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(tk, w -> w IN ($in))) AS DOUBLE) / greatest(len(tk), 1)"
+    }
+    val m = graft.operators.TextAnalysis.langMarkers
+    val mx = "greatest(s_en, s_es, s_de, s_fr)"
+    s"""WITH toks AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |sc AS (SELECT doc_id, text,
+       |  ${score(m("en"))} AS s_en, ${score(m("es"))} AS s_es,
+       |  ${score(m("de"))} AS s_de, ${score(m("fr"))} AS s_fr
+       | FROM toks)
+       |SELECT doc_id,
+       | CASE
+       |  WHEN length(text) - length(regexp_replace(text, '[\\x{3040}-\\x{30FF}]', '', 'g')) > 0 THEN 'ja'
+       |  WHEN length(text) - length(regexp_replace(text, '[\\x{AC00}-\\x{D7AF}]', '', 'g')) > 0 THEN 'ko'
+       |  WHEN CAST(length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS DOUBLE)
+       |       / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1) > 0.05 THEN 'zh'
+       |  WHEN $mx > 0 THEN
+       |    CASE WHEN s_fr = $mx THEN 'fr' WHEN s_es = $mx THEN 'es'
+       |         WHEN s_en = $mx THEN 'en' ELSE 'de' END
+       |  ELSE 'und' END AS lang_pred
+       |FROM sc""".stripMargin
+  }
+
+  /** q35 oracle: Snyder (1987) LAEA inverse + forward replicated in SQL with
+    * the library's exact constants (interpolated via Double.toString). */
+  private def q35OracleSql: String = {
+    val A = 6378137.0
+    val F = 1.0 / 298.257223563
+    val e2 = F * (2.0 - F)
+    val e = math.sqrt(e2)
+    def qAt(s: Double): Double =
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    val qp = qAt(math.sin(math.Pi / 2.0))
+    val c1 = e2 / 3.0 + 31.0 * e2 * e2 / 180.0 + 517.0 * e2 * e2 * e2 / 5040.0
+    val c2 = 23.0 * e2 * e2 / 360.0 + 251.0 * e2 * e2 * e2 / 3780.0
+    val c3 = 761.0 * e2 * e2 * e2 / 45360.0
+    def d(v: Double): String = java.lang.Double.toString(v)
+    val (sa, se, se2, sqp, sc1, sc2, sc3) = (d(A), d(e), d(e2), d(qp), d(c1), d(c2), d(c3))
+    // q(phi) and one inverse-iteration delta as SQL snippets over a sin value
+    def qSql(sinv: String): String =
+      s"(1 - $se2) * ($sinv/(1 - $se2*$sinv*$sinv) - (1/(2*$se))*ln((1 - $se*$sinv)/(1 + $se*$sinv)))"
+    def deltaSql(phi: String): String =
+      s"""(1 - $se2*sin($phi)*sin($phi))*(1 - $se2*sin($phi)*sin($phi)) / (2*cos($phi)) *
+         | ( qq/(1 - $se2) - sin($phi)/(1 - $se2*sin($phi)*sin($phi))
+         |   + (1/(2*$se))*ln((1 - $se*sin($phi))/(1 + $se*sin($phi))) )""".stripMargin
+    s"""WITH o AS (SELECT obs_id, x, y FROM ($ObsSql) WHERE obs_id % 61 = 0),
+       |i1 AS (SELECT obs_id, x, y, degrees(atan2(x, -y)) AS lon,
+       |  $sqp - (sqrt(x*x + y*y)/$sa)*(sqrt(x*x + y*y)/$sa) AS qq FROM o),
+       |i2 AS (SELECT *, asin(greatest(-1.0, least(1.0, qq / $sqp))) AS beta FROM i1),
+       |i3 AS (SELECT *, beta + $sc1*sin(2*beta) + $sc2*sin(4*beta) + $sc3*sin(6*beta) AS phi0 FROM i2),
+       |i4 AS (SELECT *, CASE WHEN abs(phi0) < pi()/2 - 1e-12
+       |  THEN phi0 + ${deltaSql("phi0")} ELSE phi0 END AS phi1 FROM i3),
+       |i5 AS (SELECT *, CASE WHEN abs(phi1) < pi()/2 - 1e-12
+       |  THEN phi1 + ${deltaSql("phi1")} ELSE phi1 END AS phi2 FROM i4),
+       |fin AS (SELECT obs_id, x, y, lon, degrees(phi2) AS lat FROM i5),
+       |fwd AS (SELECT obs_id, lon, lat, x,
+       |  $sa * sqrt($sqp - ${qSql("sin(radians(lat))")}) * sin(radians(lon)) AS fx FROM fin)
+       |SELECT obs_id, round(lon, 6) AS lon_r, round(lat, 6) AS lat_r,
+       |  abs(fx - x) < 1e-3 AS roundtrip_ok FROM fwd""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" -> s"SELECT obs_id, x, y, t, z FROM ($ObsSql)",
 
@@ -441,7 +573,7 @@ object SparkEntry {
          |  SELECT o.obs_id, ex, ey,
          |    row_number() OVER (PARTITION BY o.obs_id
          |      ORDER BY (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) ASC, ex ASC, ey ASC) AS rnk
-         |  FROM (SELECT * FROM ($ObsSql) WHERE obs_id % 100 = 0) o
+         |  FROM (SELECT * FROM ($ObsSql) WHERE obs_id % 97 = 0) o
          |  JOIN $ExpertsSub
          |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 1000000.0*1000000.0)
          |WHERE rnk <= 3""".stripMargin,
@@ -585,6 +717,87 @@ object SparkEntry {
       s"""SELECT min(d) AS grid_spacing FROM (
          |  SELECT t - lag(t, 1) OVER (ORDER BY t) AS d
          |  FROM (SELECT DISTINCT t FROM ($ObsSql)))""".stripMargin,
+
+    "q24_minhash_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id,
+        |    list_transform(range(0, 64), i ->
+        |      ((doc_id // (1 << (i % 7))) * 7919 + i * 104729) % 1000003) AS sig
+        |  FROM documents WHERE doc_id < 1000),
+        |banded AS (
+        |  SELECT id, sig, band, sig[band*4 + 1 : band*4 + 4] AS bucket
+        |  FROM s, (SELECT unnest(range(0, 16)) AS band) b),
+        |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) <= 6),
+        |p AS (SELECT banded.* FROM banded JOIN ok USING (band, bucket)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS idA, b.id AS idB,
+        |    CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+        |      z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+        |  FROM p a JOIN p b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+        |SELECT idA, idB, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "q25_simhash_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id,
+        |    xor(
+        |      (((doc_id >> 3) + 1) * 1000003 + 12345) % 32749
+        |      + ((((doc_id >> 3) + 1) * 7919 + 54321) % 32749) * 65536
+        |      + ((((doc_id >> 3) + 1) * 104729 + 777) % 32749) * 4294967296
+        |      + ((((doc_id >> 3) + 1) * 31337 + 999) % 32749) * 281474976710656,
+        |      doc_id % 8) AS sig
+        |  FROM documents WHERE doc_id < 1000),
+        |banded AS (
+        |  SELECT id, sig, band, (sig >> (band * 7)) % 128 AS chunk
+        |  FROM s, (SELECT unnest(range(0, 9)) AS band) b),
+        |ok AS (SELECT band, chunk FROM banded GROUP BY band, chunk HAVING count(*) <= 8),
+        |p AS (SELECT banded.* FROM banded JOIN ok USING (band, chunk)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS idA, b.id AS idB,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |  FROM p a JOIN p b ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
+        |SELECT idA, idB, hamming FROM pairs WHERE hamming <= 8""".stripMargin,
+
+    "q26_embedding_dedup" -> q26OracleSql,
+
+    "q29_lang_id" -> q29OracleSql,
+
+    "q32_ann_ivf" -> {
+      s"""WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),
+         |c AS (SELECT item_id AS list_id, ivec AS cvec FROM it ORDER BY item_id LIMIT 8),
+         |asg AS (
+         |  SELECT item_id, ivec, list_id FROM (
+         |    SELECT i.item_id, i.ivec, c.list_id,
+         |      row_number() OVER (PARTITION BY i.item_id
+         |        ORDER BY ${cosSql("i.ivec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM it i, c) WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+         |      FROM embeddings WHERE vec_id < 3),
+         |probes AS (
+         |  SELECT query_id, qvec, list_id FROM (
+         |    SELECT q.query_id, q.qvec, c.list_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("q.qvec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM q, c) WHERE r <= 3)
+         |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
+         |  SELECT p.query_id, a.item_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${cosSql("p.qvec", "a.ivec")} DESC, a.item_id ASC) AS rank
+         |  FROM asg a JOIN probes p USING (list_id))
+         |WHERE rank <= 3""".stripMargin
+    },
+
+    "q34_gp_run_details" ->
+      s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
+         |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
+         |cnt AS (
+         |  SELECT ex, ey, count(*) AS n FROM e JOIN o
+         |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
+         |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
+         |  GROUP BY 1, 2)
+         |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs
+         |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
+
+    "q35_laea_roundtrip" -> q35OracleSql,
 
     "q31_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

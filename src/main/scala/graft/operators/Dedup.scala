@@ -33,13 +33,26 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 64, shingle: Int = 5, bands: Int = 16,
-                   threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+                   threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame =
+    minhashPairsFromSig(
+      df.select(col(idCol).as("id"), minhash_sig(col(textCol), k, shingle).as("sig")),
+      k, bands, threshold, maxBucketSize)
+
+  /** Banding + bucket self-join + estimated-Jaccard verification over a
+    * precomputed signature table (id, sig: array). Split out so the
+    * scale-critical join machinery is DuckDB-oracle-checkable with
+    * SQL-expressible synthetic signatures, independent of the hash
+    * expression (which is golden-tested against brute force in DedupSpec).
+    * The band bucket key is the signature slice itself (array equi-join
+    * key) — semantically identical to hashing it, minus hash collisions.
+    */
+  def minhashPairsFromSig(sig: DataFrame, k: Int, bands: Int, threshold: Double,
+                          maxBucketSize: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sig = df.select(col(idCol).as("id"), minhash_sig(col(textCol), k, shingle).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
+        b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
 
     // skew cap: drop pathological buckets (boilerplate) before the self-join
     val bucketCounts = banded.groupBy("band", "bucket").count()
@@ -70,16 +83,34 @@ object Dedup {
     * generation is an equi join on (chunk index, chunk value).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simhashPairsFromSig(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")),
+      maxHamming, maxBucketSize)
+
+  /** Banding + capped bucket self-join + Hamming verification over a
+    * precomputed 64-bit signature column (id, sig) — split out so the join
+    * machinery is DuckDB-oracle-checkable with SQL-expressible synthetic
+    * signatures. `maxBucketSize` caps hot chunks (blank/boilerplate docs
+    * all simhash to the same chunk values), keeping the self-join linear.
+    */
+  def simhashPairsFromSig(sig: DataFrame, maxHamming: Int,
+                          maxBucketSize: Int): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val sig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunks = (0 until nBands).map(b =>
       pmod(shiftright(col("sig"), b * width), lit(1L << width)))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
-    val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("sig").as("sigA"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("sig").as("sigB"))
+
+    // skew cap: same knob as minhashPairs — hot chunk values are dropped
+    // before the self-join (pairs in them are only found via other bands)
+    val bucketCounts = banded.groupBy("band", "chunk").count()
+      .filter(col("count") <= maxBucketSize).select("band", "chunk")
+    val pruned = banded.join(bucketCounts, Seq("band", "chunk"))
+
+    val a = pruned.select(col("band"), col("chunk"), col("id").as("idA"), col("sig").as("sigA"))
+    val b = pruned.select(col("band"), col("chunk"), col("id").as("idB"), col("sig").as("sigB"))
     a.join(b, Seq("band", "chunk"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"), hamming64(col("sigA"), col("sigB")).as("hamming"))
@@ -133,27 +164,47 @@ object Dedup {
     */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, nPlanes: Int = 8,
-                     bucketGroups: Int = 4, dim: Int = 64, seed: Long = 42): DataFrame = {
-    // deterministic planes: plane p component j = mix-based standard-ish uniform in [-1, 1)
-    val planes: Array[Array[Double]] = Array.tabulate(bucketGroups * nPlanes) { p =>
+                     bucketGroups: Int = 4, dim: Int = 64, seed: Long = 42,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val planes = lshPlanes(nPlanes, bucketGroups, dim, seed)
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // sign-pattern buckets via the HyperplaneLsh expression (compact plan;
+    // the unrolled column form exceeded Janino's 64 KB codegen limit).
+    // Vectors are NOT carried into the bucket self-join: candidate ids are
+    // generated and deduped on (grp, bucket, id) keys only, then the two
+    // vectors are equi-joined back for the exact-cosine verification — the
+    // pair shuffle moves 16 bytes/row instead of 2 x dim doubles.
+    val bucketed = v
+      .withColumn("buckets", graft.functions.hyperplane_lsh(col("vec"), planes, nPlanes))
+      .select(col("id"), posexplode(col("buckets")).as(Seq("grp", "bucket")))
+
+    // skew cap: hot sign-pattern buckets (zero/boilerplate embeddings)
+    // are dropped before the self-join
+    val bucketCounts = bucketed.groupBy("grp", "bucket").count()
+      .filter(col("count") <= maxBucketSize).select("grp", "bucket")
+    val pruned = bucketed.join(bucketCounts, Seq("grp", "bucket"))
+
+    val a = pruned.select(col("grp"), col("bucket"), col("id").as("idA"))
+    val b = pruned.select(col("grp"), col("bucket"), col("id").as("idB"))
+    val candidates = a.join(b, Seq("grp", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    candidates
+      .join(v.select(col("id").as("idA"), col("vec").as("vecA")), Seq("idA"))
+      .join(v.select(col("id").as("idB"), col("vec").as("vecB")), Seq("idB"))
+      .select(col("idA"), col("idB"), cosine(col("vecA"), col("vecB")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic random-hyperplane directions (plane p component j from a
+    * splitmix-style mix of the seed) — shared by the operator and the
+    * generated DuckDB oracle SQL.
+    */
+  def lshPlanes(nPlanes: Int, bucketGroups: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bucketGroups * nPlanes) { p =>
       Array.tabulate(dim) { j =>
         (graft.functions.TextHash.mix64(seed + p * 1000003L + j) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
       }
     }
-    val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-    // sign-pattern buckets via the HyperplaneLsh expression (compact plan;
-    // the unrolled column form exceeded Janino's 64 KB codegen limit)
-    val bucketed = v
-      .withColumn("buckets", graft.functions.hyperplane_lsh(col("vec"), planes, nPlanes))
-      .select(col("id"), col("vec"),
-        posexplode(col("buckets")).as(Seq("grp", "bucket")))
-    val a = bucketed.select(col("grp"), col("bucket"), col("id").as("idA"), col("vec").as("vecA"))
-    val b = bucketed.select(col("grp"), col("bucket"), col("id").as("idB"), col("vec").as("vecB"))
-    a.join(b, Seq("grp", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .groupBy("idA", "idB").agg(first("vecA").as("vecA"), first("vecB").as("vecB"))
-      .select(col("idA"), col("idB"), cosine(col("vecA"), col("vecB")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-  }
 }

@@ -37,7 +37,12 @@ object Postprocess {
       val lo = cfg.minVal.map(v => greatest(c, lit(v))).getOrElse(c)
       cfg.maxVal.map(v => least(lo, lit(v))).getOrElse(lo)
     }
-    val clamped = df.withColumn("__v", clamp(col(cfg.valCol)))
+    // NaN must survive to the source-side isnan filter: Spark's
+    // least(NaN, max) evaluates to max, which would turn NaN values into
+    // maxVal-valued smoothing sources instead of skipping them
+    // (postprocessing.py:305-311 semantics).
+    val clamped = df.withColumn("__v",
+      when(isnan(col(cfg.valCol)), col(cfg.valCol)).otherwise(clamp(col(cfg.valCol))))
 
     val tgt = clamped.select(
       (Seq(col(cfg.xCol).as("__x0"), col(cfg.yCol).as("__y0")) ++ cfg.otherDims.map(col)): _*)

@@ -38,31 +38,49 @@ object SimilaritySearch {
     * ids (a deterministic, data-independent coarse codebook — stands in
     * for k-means at fixture scale; swap centroid selection for trained
     * centroids without touching the plan).
+    *
+    * Scale design: the centroid codebook is aggregated into a single
+    * array-of-structs row and broadcast, so item→list assignment is a
+    * per-row argmax expression inside the scan stage — ZERO shuffle of the
+    * item table (the previous crossJoin + per-item row_number window
+    * shuffled and sorted the full item table just to take an argmin).
+    * Centroid selection itself is a TakeOrderedAndProject (per-partition
+    * top-nlist, driver merge of nlist rows), not a global sort.
     */
   def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val it = items.select(col(idCol).as("item_id"),
       transform(col(vecCol), x => x.cast("double")).as("ivec"))
-    val centroids = it.orderBy("item_id").limit(nlist)
-      .select(col("item_id").as("list_id"), col("ivec").as("cvec"))
+    // one row: array of (list_id, cvec) sorted by list_id ascending
+    val centroidArr = it.orderBy("item_id").limit(nlist)
+      .agg(array_sort(collect_list(struct(col("item_id").as("list_id"),
+        col("ivec").as("cvec")))).as("cents"))
 
-    // assign each item to its nearest centroid (broadcast nlist rows)
-    val wItem = Window.partitionBy("item_id").orderBy(col("csim").desc, col("list_id").asc)
-    val assigned = it.crossJoin(broadcast(centroids))
-      .select(col("item_id"), col("ivec"), col("list_id"),
-        Dedup.cosine(col("ivec"), col("cvec")).as("csim"))
-      .withColumn("r", row_number().over(wItem)).filter(col("r") === 1)
-      .select("item_id", "ivec", "list_id")
+    // per-row argmax of cosine over the broadcast centroid array; ties take
+    // the smaller list_id (array is list_id-ascending and only a strictly
+    // greater similarity replaces the running best)
+    val bestList = aggregate(col("cents"),
+      struct(lit(Double.NegativeInfinity).as("csim"), lit(Long.MaxValue).as("list_id")),
+      (acc, c) => {
+        val s = Dedup.cosine(col("ivec"), c.getField("cvec"))
+        when(s > acc.getField("csim"),
+          struct(s.as("csim"), c.getField("list_id").as("list_id"))).otherwise(acc)
+      },
+      acc => acc.getField("list_id"))
+    val assigned = it.crossJoin(broadcast(centroidArr))
+      .select(col("item_id"), col("ivec"), bestList.as("list_id"))
 
-    // each query probes its nprobe nearest lists
+    // each query probes its nprobe nearest lists: score the array, sort by
+    // (csim desc, list_id asc), take the first nprobe
     val q = queries.select(col(queryIdCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qvec"))
-    val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("list_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qvec"), col("list_id"),
-        Dedup.cosine(col("qvec"), col("cvec")).as("csim"))
-      .withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
-      .select("query_id", "qvec", "list_id")
+    val scoredLists = transform(col("cents"), c =>
+      struct((-Dedup.cosine(col("qvec"), c.getField("cvec"))).as("neg_csim"),
+        c.getField("list_id").as("list_id")))
+    val probes = q.crossJoin(broadcast(centroidArr))
+      .select(col("query_id"), col("qvec"),
+        explode(slice(array_sort(scoredLists), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qvec"), col("p.list_id").as("list_id"))
 
     val wRank = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("item_id").asc)
     assigned.join(broadcast(probes), Seq("list_id"))

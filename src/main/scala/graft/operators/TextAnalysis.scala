@@ -27,11 +27,15 @@ object TextAnalysis {
     */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = split(trim(t), "\\s+")
+    // materialise the token array ONCE — the per-metric expressions below
+    // reference the column, not the split, so codegen runs the regex split
+    // a single time per row instead of once per metric
+    val toks = col("__toks")
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     val isStop = (w: Column) => stop.foldLeft(lit(false))((acc, s) => acc || w === s)
-    df.withColumn("n_chars", length(t))
-      .withColumn("n_tokens", tokenCount(t))
+    df.withColumn("__toks", split(trim(t), "\\s+"))
+      .withColumn("n_chars", length(t))
+      .withColumn("n_tokens", when(length(trim(t)) === 0, 0).otherwise(size(toks)))
       .withColumn("avg_token_len",
         when(col("n_tokens") > 0, (length(trim(t)) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
           .otherwise(0.0))
@@ -47,6 +51,7 @@ object TextAnalysis {
       .withColumn("distinct_token_ratio",
         when(col("n_tokens") > 0,
           size(array_distinct(toks)).cast("double") / col("n_tokens")).otherwise(0.0))
+      .drop("__toks")
   }
 
   /** Composite quality score in [0, 1]: length band + low punctuation +
@@ -61,19 +66,32 @@ object TextAnalysis {
   /** language-marker token sets for the n-gram/stopword language-ID
     * heuristic (top function words per language).
     */
-  private val langMarkers: Map[String, Seq[String]] = Map(
+  /** Marker (function-word) profiles for space-delimited languages. CJK
+    * languages are detected by Unicode script range instead — romanized
+    * marker lists can never fire on real Han/Kana/Hangul text (it has no
+    * whitespace tokens).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "nicht"),
-    "fr" -> Seq("le", "la", "les", "des", "est", "et", "dans", "que", "une", "pour"),
-    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"))
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "dans", "que", "une", "pour"))
 
-  /** Language-ID heuristic: score = fraction of tokens that are markers of
-    * each language; argmax wins, "und" when no marker hits. Declarative:
-    * one pass, no UDF.
+  /** Language-ID heuristic, declarative (one pass, no UDF):
+    *  1. script-range detection for CJK — any Kana => "ja", any Hangul =>
+    *     "ko", Han fraction of non-space chars > 0.05 => "zh";
+    *  2. otherwise marker-token scoring: score = fraction of tokens that
+    *     are markers of each language; argmax wins (ties resolve to the
+    *     lexicographically largest language, the array_max struct order);
+    *  3. "und" when nothing fires.
     */
   def langId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val t = col(textCol)
+    val nKana = length(t) - length(regexp_replace(t, "[\\u3040-\\u30FF]", ""))
+    val nHangul = length(t) - length(regexp_replace(t, "[\\uAC00-\\uD7AF]", ""))
+    val nHan = length(t) - length(regexp_replace(t, "[\\u4E00-\\u9FFF]", ""))
+    val nNonSpace = length(regexp_replace(t, "\\s", ""))
+    val toks = split(lower(trim(t)), "\\s+")
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       val isMarker = (w: Column) => markers.foldLeft(lit(false))((acc, m) => acc || w === m)
       struct((size(filter(toks, isMarker)).cast("double") / greatest(size(toks), lit(1))).as("score"),
@@ -81,6 +99,10 @@ object TextAnalysis {
     }
     val best = array_max(array(scores: _*))
     df.withColumn(outCol,
-      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")))
+      when(nKana > 0, "ja")
+        .when(nHangul > 0, "ko")
+        .when(nHan.cast("double") / greatest(nNonSpace, lit(1)) > 0.05, "zh")
+        .when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("und")))
   }
 }

@@ -245,13 +245,30 @@ object LocalExpertOI {
         col("x").as("px"), col("y").as("py"))
       .as[PredRow]
 
+    // one marker row per expert rides the (tiny) pred side so EVERY visited
+    // expert reaches the cogroup — experts with no obs and no pred rows get
+    // a num_obs=0 stub run_details row, so resume skips them instead of
+    // re-joining empty tiles every restart (reference writes a stub row per
+    // visited expert, local_experts.py:988-1012)
+    val markers = e.select(
+      col("x").as("ex"), col("y").as("ey"), col("t").as("et"),
+      lit(Double.NaN).as("px"), lit(Double.NaN).as("py")).as[PredRow]
+
     val results = trainJoined
       .groupByKey(r => (r.ex, r.ey, r.et))
-      .cogroup(predJoined.groupByKey(p => (p.ex, p.ey, p.et))) {
+      .cogroup(predJoined.unionByName(markers).groupByKey(p => (p.ex, p.ey, p.et))) {
         (key, trainIter, predIter) =>
           val train = trainIter.toArray
-          if (train.isEmpty) Iterator.empty // prediction-only tiles: no window, no fit
-          else Iterator.single(fitTile(key, train, predIter.toArray, cfg))
+          if (train.isEmpty) {
+            // no training window: stub row (no model, no predictions)
+            val (ex, ey, et) = key
+            Iterator.single(TileResult(ex, ey, et, 0, 0.0, Double.NaN,
+              parameters_optimised = false, optimise_success = false, "GraftGPR", "cpu",
+              cfg.configId, Seq.empty, Double.NaN, Double.NaN, Seq.empty))
+          } else {
+            val pred = predIter.toArray.filter(p => !p.px.isNaN)
+            Iterator.single(fitTile(key, train, pred, cfg))
+          }
       }
 
     // one expensive pass feeds run_details / preds / hyperparameter sinks

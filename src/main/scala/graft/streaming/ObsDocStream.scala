@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.{cell_encode, laea_x, laea_y}
+import graft.functions.{laea_x, laea_y}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -50,14 +50,33 @@ object ObsDocStream {
     */
   def binStream(obs: DataFrame, gridRes: Double = 50000.0,
                 origin: Double = -4500000.0,
+                extent: Double = 4500000.0,
                 watermark: String = "10 minutes",
-                window: String = "5 minutes"): DataFrame =
+                window: String = "5 minutes"): DataFrame = {
+    // same edge semantics as batch Binning.binDataBy: out-of-range points
+    // drop, and the rightmost bin is closed on both sides (v == extent
+    // lands in the last bin), so streaming partials land in exactly the
+    // cells the batch bin table would contain.
+    val n = ((extent - origin) / gridRes).toLong
+    require(n > 0, "grid_res larger than range")
+    val inRange = col("x").between(origin, extent) && col("y").between(origin, extent)
+    val ix = least(floor((col("x") - lit(origin)) / gridRes), lit(n - 1)).cast("long")
+    val iy = least(floor((col("y") - lit(origin)) / gridRes), lit(n - 1)).cast("long")
+    val cell = (ix + CellPack.Offset) * CellPack.Stride + (iy + CellPack.Offset)
     obs
+      .filter(inRange)
       .withWatermark("event_time", watermark)
       .groupBy(
         org.apache.spark.sql.functions.window(col("event_time"), window),
-        cell_encode(col("x"), col("y"), gridRes, origin, origin).as("cell"),
+        cell.as("cell"),
         col("t"), col("source"))
       .agg(sum("z").as("z_sum"), count(lit(1)).as("n"),
         min("z").as("z_min"), max("z").as("z_max"))
+  }
+
+  /** cell-id packing constants shared with the CellEncode expression. */
+  private object CellPack {
+    val Offset = 1048576L // 2^20
+    val Stride = 2097152L // 2^21
+  }
 }

@@ -386,6 +386,20 @@ object SparkEntry {
         .agg(min("d").as("grid_spacing"))
     }),
 
+    // SGPR (Titsias sparse GP, the reference's production model) run over
+    // the same oracle-checkable windows as q34: tiles above the threshold
+    // fit with inducing points, empty tiles stub — the model column is
+    // derivable from the window count, so the swap itself is oracle-pinned.
+    "q40_sgpr_run_details" -> ((s, dir) => {
+      val obs = obsDerived(s, dir).filter(col("x") > 0.0)
+      val experts = expertsDerived(s)
+        .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
+      val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      val results = LocalExpertOI.run(s, obs, experts, pg,
+        OIConfig(trainingRadius = 80000.0, maxIter = 30, sgprAboveN = 100, sgprM = 64))
+      LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
+    }),
+
     "q35_laea_roundtrip" -> ((s, dir) =>
       // LAEA inverse + forward roundtrip, DuckDB-oracled: the Snyder
       // formulas are plain trig, replicated in SQL with the same constants;
@@ -795,6 +809,18 @@ object SparkEntry {
          |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
          |  GROUP BY 1, 2)
          |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs
+         |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
+
+    "q40_sgpr_run_details" ->
+      s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
+         |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
+         |cnt AS (
+         |  SELECT ex, ey, count(*) AS n FROM e JOIN o
+         |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
+         |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
+         |  GROUP BY 1, 2)
+         |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs,
+         |  CASE WHEN coalesce(cnt.n, 0) > 100 THEN 'GraftSGPR' ELSE 'GraftGPR' END AS model
          |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
 
     "q35_laea_roundtrip" -> q35OracleSql,

@@ -32,6 +32,12 @@ final case class OIConfig(
                                    // large-window SGPR analog / model swap,
                                    // local_experts.py:1021-1041)
     nystroemM: Int = 100,          // landmark count for the Nystroem path
+    sgprAboveN: Int = 0,           // 0 = off; windows larger than this use
+                                   // Titsias SGPR — the reference's production
+                                   // model family (gpflow_models.py:666-901).
+                                   // Takes precedence over the Nystroem swap.
+    sgprM: Int = 500,              // inducing-point count (reference default
+                                   // num_inducing_points=500, gpflow_models.py:704)
     maxIter: Int = 100,
     tolerance: Double = 1e-7,
     lengthscaleBounds: Option[Bounds] = None,
@@ -153,7 +159,8 @@ object LocalExpertOI {
     val yv = DenseVector(rawY.map(_ - mean))
 
     val bij = bijectors(cfg)
-    val useNystroem = cfg.nystroemAboveN > 0 && n > cfg.nystroemAboveN
+    val useSgpr = cfg.sgprAboveN > 0 && n > cfg.sgprAboveN
+    val useNystroem = !useSgpr && cfg.nystroemAboveN > 0 && n > cfg.nystroemAboveN
 
     // initial / loaded parameters; loaded (smoothed) params ride on the
     // expert row (reference _read_params_from_file, local_experts.py:608-689)
@@ -169,15 +176,19 @@ object LocalExpertOI {
       bij(4).moveWithinBound(init0.likelihoodVariance))
 
     val landmarks = if (useNystroem) NystroemGpr.strideSelect(n, math.min(cfg.nystroemM, n)) else null
-    val gp = if (useNystroem) null else new Matern32Gpr(coords, yv)
+    val sgpr = if (useSgpr) new SgprGpr(coords, yv, SgprGpr.strideSelect(n, cfg.sgprM)) else null
+    val gp = if (useNystroem || useSgpr) null else new Matern32Gpr(coords, yv)
     val fit =
       if (!cfg.optimise) {
         val obj =
-          if (useNystroem) NystroemGpr.nlml(yv, NystroemGpr.fit(coords, yv, landmarks,
+          if (useSgpr) sgpr.negElbo(init)
+          else if (useNystroem) NystroemGpr.nlml(yv, NystroemGpr.fit(coords, yv, landmarks,
             init.lengthscales, init.kernelVariance, init.likelihoodVariance))
           else gp.nlml(init)
         GprFitResult(init, obj, success = true, 0)
-      } else if (useNystroem)
+      } else if (useSgpr)
+        sgpr.optimise(init, bij, cfg.maxIter, cfg.tolerance)
+      else if (useNystroem)
         NystroemOptimise.optimise(coords, yv, landmarks, init, bij, math.min(cfg.maxIter, 30))
       else gp.optimise(init, bij, cfg.maxIter, cfg.tolerance)
 
@@ -190,7 +201,8 @@ object LocalExpertOI {
           (j match { case 0 => pred(i).px; case 1 => pred(i).py; case 2 => et }) / cs(j)
         }
         val p =
-          if (useNystroem) {
+          if (useSgpr) sgpr.predict(xs, fit.params)
+          else if (useNystroem) {
             val st = NystroemGpr.fit(coords, yv, landmarks, fit.params.lengthscales,
               fit.params.kernelVariance, fit.params.likelihoodVariance)
             NystroemGpr.predict(coords, xs, st, fit.params.lengthscales,
@@ -203,7 +215,8 @@ object LocalExpertOI {
 
     TileResult(ex, ey, et, n, (System.nanoTime() - t0) / 1e9, fit.objective,
       parameters_optimised = cfg.optimise, optimise_success = fit.success,
-      if (useNystroem) "GraftNystroem" else "GraftGPR", "cpu", cfg.configId,
+      if (useSgpr) "GraftSGPR" else if (useNystroem) "GraftNystroem" else "GraftGPR",
+      "cpu", cfg.configId,
       fit.params.lengthscales.toSeq, fit.params.kernelVariance, fit.params.likelihoodVariance,
       preds)
   }

@@ -102,6 +102,49 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(p0.fs - truth) < 0.05, s"nystroem f*=${p0.fs} vs truth $truth")
   }
 
+  test("SGPR model swap engages for large windows and still interpolates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val obs = Seq.tabulate(400) { i =>
+      val x = rng.nextDouble() * 400000 - 200000
+      val y = rng.nextDouble() * 400000 - 200000
+      (x, y, 18326.0, 0.2 * math.sin(x / 2e5) + 0.1 * math.cos(y / 2e5) + 0.01 * rng.nextGaussian())
+    }.toDF("x", "y", "t", "z")
+    val experts = Seq((0.0, 0.0, 18326.0)).toDF("x", "y", "t")
+    val pg = Seq((0.0, 0.0), (50000.0, 50000.0)).toDF("x", "y")
+    val res = LocalExpertOI.run(spark, obs, experts, pg,
+      OIConfig(sgprAboveN = 100, sgprM = 60, maxIter = 40)).collect()
+    assert(res.length === 1)
+    assert(res.head.model === "GraftSGPR")
+    assert(res.head.num_obs === 400)
+    assert(res.head.optimise_success)
+    assert(res.head.preds.nonEmpty)
+    val p0 = res.head.preds.minBy(p => math.abs(p.pred_loc_x) + math.abs(p.pred_loc_y))
+    val truth = 0.2 * math.sin(0.0) + 0.1 * math.cos(0.0)
+    assert(math.abs(p0.fs - truth) < 0.05, s"sgpr f*=${p0.fs} vs truth $truth")
+    assert(res.head.preds.forall(p => p.fs_var > 0 && !p.fs_var.isNaN))
+  }
+
+  test("zero-obs experts get stub run_details rows and resume skips them") {
+    import spark.implicits._
+    // two experts: one with a window, one with NO obs and NO pred rows
+    val obs = Seq.tabulate(10)(i => (i * 1000.0, 0.0, 18326.0, 0.5 + i * 0.01))
+      .toDF("x", "y", "t", "z")
+    val experts = Seq((0.0, 0.0, 18326.0), (9e6, 9e6, 18326.0)).toDF("x", "y", "t")
+    val pg = Seq((500.0, 500.0)).toDF("x", "y")
+    val cfgOi = OIConfig(minObs = 3, maxIter = 10)
+    val res = LocalExpertOI.run(spark, obs, experts, pg, cfgOi)
+    val rows = res.collect()
+    assert(rows.length === 2, "every visited expert emits a run_details row")
+    val empty = rows.find(_.x == 9e6).get
+    assert(empty.num_obs === 0 && empty.preds.isEmpty && !empty.optimise_success)
+
+    // resume: anti-join vs run_details must remove BOTH experts
+    val remaining = LocalExpertOI.resumeFilter(experts, LocalExpertOI.runDetails(res))
+    assert(remaining.count() === 0, "empty tiles must not be re-visited on resume")
+    res.unpersist()
+  }
+
   test("deterministic: identical run twice yields identical hyperparameters") {
     import spark.implicits._
     val store1 = new ResultStore(spark, tmpDir())

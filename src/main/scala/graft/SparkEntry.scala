@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.ConfigExpr
 import graft.functions._
 import graft.operators._
 import graft.plans._
@@ -398,6 +399,51 @@ object SparkEntry {
       val results = LocalExpertOI.run(s, obs, experts, pg,
         OIConfig(trainingRadius = 80000.0, maxIter = 30, sgprAboveN = 100, sgprM = 64))
       LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
+    }),
+
+    // ----- expert-location masks (SURVEY §2.3, dataloader.py:2715-2805) -----
+    "q41_had_obs_mask" -> ((s, dir) => {
+      // bin only the (+,+) quadrant: experts on unobserved cells must drop
+      val binned = Binning.binDataBy(
+        obsDerived(s, dir).filter(col("x") > 0.0 && col("y") > 0.0),
+        Binning.BinConfig(valCol = "z", gridRes = 200000.0,
+          xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0)))
+      val experts = Grids.grid2dFlatten(s, (-800000.0, 800000.0), (-800000.0, 800000.0), 200000.0)
+      Grids.hadObsMask(experts, binned, obsCol = "z").select("x", "y")
+    }),
+
+    "q42_grid_space_mask" -> ((s, _) =>
+      Grids.gridSpaceMask(
+        Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0),
+        dims = Seq("x", "y"), gridSpace = 3, gridSpaceOffset = 1)
+        .select("x", "y")),
+
+    // ----- local_select on generated prediction locations (§2.9) -----
+    "q43_pred_local_select" -> ((s, _) => {
+      val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      val joined = SpatialJoin.radiusJoin(pg, expertsDerived(s)
+          .select(col("ex").as("x"), col("ey").as("y")),
+        SpatialJoin.RadiusJoinConfig(radius = 200000.0, inclusive = false))
+      Grids.localSelect(joined,
+        Seq(("x", "<=", 0.0), ("y", ">", -100000.0)))
+        .select(col("x").as("px"), col("y").as("py"),
+          col("expert_x").as("ex"), col("expert_y").as("ey"))
+    }),
+
+    // ----- config_func multi-output + DMS parse (§2.2) -----
+    "q44_col_funcs_multi" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("obs_id"),
+        col("l_quantity"),
+        concat(
+          (col("l_orderkey") % 90).cast("string"), lit(" "),
+          format_string("%.4f", (col("l_partkey") % 5999).cast("double") / 100.0), lit(" "),
+          when(col("l_suppkey") % 2 === 0, "S").otherwise("N")).as("lat_dms"))
+      ConfigExpr.applyColFuncs(li, Seq(
+        ConfigExpr.ColFunc(out = "", func = "divmod", colArgs = Seq("l_quantity"),
+          args = Seq(7), outs = Seq("qt", "rem")),
+        ConfigExpr.ColFunc(out = "lat_f", func = "dms_to_float", colArgs = Seq("lat_dms"))))
+        .select("obs_id", "qt", "rem", "lat_f")
     }),
 
     "q35_laea_roundtrip" -> ((s, dir) =>
@@ -822,6 +868,55 @@ object SparkEntry {
          |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs,
          |  CASE WHEN coalesce(cnt.n, 0) > 100 THEN 'GraftSGPR' ELSE 'GraftGPR' END AS model
          |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
+
+    "q41_had_obs_mask" ->
+      s"""WITH obs AS (SELECT x, y, z FROM ($ObsSql) WHERE x > 0.0 AND y > 0.0),
+         |cells AS (
+         |  SELECT DISTINCT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |                  LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy
+         |  FROM obs
+         |  WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0
+         |    AND z IS NOT NULL),
+         |grid AS (
+         |  SELECT -800000.0 + (CAST(i AS DOUBLE) + 0.5) * 200000.0 AS x,
+         |         -800000.0 + (CAST(j AS DOUBLE) + 0.5) * 200000.0 AS y,
+         |         i, j
+         |  FROM range(8) r(i), range(8) q(j))
+         |SELECT g.x, g.y FROM grid g JOIN cells c ON g.i = c.ix AND g.j = c.iy""".stripMargin,
+
+    "q42_grid_space_mask" ->
+      """WITH g AS (
+        |  SELECT -500000.0 + (CAST(i AS DOUBLE) + 0.5) * 100000.0 AS x,
+        |         -500000.0 + (CAST(j AS DOUBLE) + 0.5) * 100000.0 AS y
+        |  FROM range(10) r(i), range(10) q(j)),
+        |kx AS (SELECT x FROM (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk
+        |       FROM (SELECT DISTINCT x FROM g)) WHERE rk % 3 = 1),
+        |ky AS (SELECT y FROM (SELECT y, row_number() OVER (ORDER BY y) - 1 AS rk
+        |       FROM (SELECT DISTINCT y FROM g)) WHERE rk % 3 = 1)
+        |SELECT g.x, g.y FROM g JOIN kx USING (x) JOIN ky USING (y)""".stripMargin,
+
+    "q43_pred_local_select" ->
+      s"""WITH pg AS (
+         |  SELECT -500000.0 + (CAST(i AS DOUBLE) + 0.5) * 100000.0 AS px,
+         |         -500000.0 + (CAST(j AS DOUBLE) + 0.5) * 100000.0 AS py
+         |  FROM range(10) r(i), range(10) q(j))
+         |SELECT px, py, ex, ey FROM pg JOIN $ExpertsSub
+         |  ON (px-ex)*(px-ex) + (py-ey)*(py-ey) < 200000.0*200000.0
+         |WHERE px <= ex + 0.0 AND py > ey + (-100000.0)""".stripMargin,
+
+    "q44_col_funcs_multi" ->
+      """WITH li AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS obs_id, l_quantity,
+        |    CAST(l_orderkey % 90 AS VARCHAR) || ' ' ||
+        |    format('{:.4f}', CAST(l_partkey % 5999 AS DOUBLE) / 100.0) || ' ' ||
+        |    CASE WHEN l_suppkey % 2 = 0 THEN 'S' ELSE 'N' END AS lat_dms
+        |  FROM lineitem)
+        |SELECT obs_id, CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qt, l_quantity % 7 AS rem,
+        |  CASE WHEN split_part(lat_dms, ' ', 3) IN ('S', 'W') THEN
+        |    -(CAST(split_part(lat_dms, ' ', 1) AS DOUBLE) + CAST(split_part(lat_dms, ' ', 2) AS DOUBLE)/60.0)
+        |  ELSE CAST(split_part(lat_dms, ' ', 1) AS DOUBLE) + CAST(split_part(lat_dms, ' ', 2) AS DOUBLE)/60.0
+        |  END AS lat_f
+        |FROM li""".stripMargin,
 
     "q35_laea_roundtrip" -> q35OracleSql,
 

@@ -80,20 +80,76 @@ object ConfigExpr {
     "laea_x" -> ((cs, _) => graft.functions.laea_x(cs.head, cs(1))),
     "laea_y" -> ((cs, _) => graft.functions.laea_y(cs.head, cs(1))),
     "laea_lon" -> ((cs, _) => graft.functions.laea_lon(cs.head, cs(1))),
-    "laea_lat" -> ((cs, _) => graft.functions.laea_lat(cs.head, cs(1))))
+    "laea_lat" -> ((cs, _) => graft.functions.laea_lat(cs.head, cs(1))),
+    // DMS "deg minutes N|S|E|W" string -> signed float degrees
+    // (convert_lon_lat_str, GPSat/utils.py:1885-1930)
+    "dms_to_float" -> ((cs, _) => {
+      val parts = split(regexp_replace(trim(cs.head), "\\s+", " "), " ")
+      val deg = element_at(parts, 1).cast("double")
+      val minutes = element_at(parts, 2).cast("double") / 60.0
+      val dir = element_at(parts, 3)
+      when(dir === "S" || dir === "W", -(deg + minutes)).otherwise(deg + minutes)
+    }))
+
+  /** Multi-output functions — the reference's tuple-key `col_func_dict`
+    * entries (DataLoader.add_cols, dataloader.py:121-134): one function
+    * call assigns several columns at once.
+    */
+  val multiFuncRegistry: Map[String, (Seq[Column], Seq[Any]) => Seq[Column]] = Map(
+    "lon_lat_to_xy" -> ((cs, _) => Seq(
+      graft.functions.laea_x(cs.head, cs(1)), graft.functions.laea_y(cs.head, cs(1)))),
+    "xy_to_lon_lat" -> ((cs, _) => Seq(
+      graft.functions.laea_lon(cs.head, cs(1)), graft.functions.laea_lat(cs.head, cs(1)))),
+    "divmod" -> ((cs, as_) => Seq(
+      floor(cs.head / lit(as_.head)), pmod(cs.head, lit(as_.head)))))
+
+  /** Declared parameter order per function that accepts the reference's
+    * `col_kwargs` form (config_func, GPSat/utils.py:311-493): keyword column
+    * arguments resolve by name into the slots after the positional col_args.
+    */
+  val funcParamNames: Map[String, Seq[String]] = Map(
+    "laea_x" -> Seq("lon", "lat"), "laea_y" -> Seq("lon", "lat"),
+    "laea_lon" -> Seq("x", "y"), "laea_lat" -> Seq("x", "y"),
+    "lon_lat_to_xy" -> Seq("lon", "lat"), "xy_to_lon_lat" -> Seq("x", "y"),
+    "+" -> Seq("x", "y"), "-" -> Seq("x", "y"), "*" -> Seq("x", "y"), "/" -> Seq("x", "y"))
 
   private def litOf(cs: Seq[Column], as_ : Seq[Any]): Column =
     if (cs.length > 1) cs(1) else lit(as_.head)
 
-  /** One `col_funcs` entry: output column from func + col args + literal args. */
+  /** One `col_funcs` entry: output column(s) from func + col args + literal
+    * args. `outs` non-empty selects the multi-output (tuple-key) form;
+    * `colKwargs` passes columns by parameter name (col_kwargs).
+    */
   final case class ColFunc(out: String, func: String, colArgs: Seq[String] = Seq.empty,
-                           args: Seq[Any] = Seq.empty)
+                           args: Seq[Any] = Seq.empty,
+                           outs: Seq[String] = Seq.empty,
+                           colKwargs: Map[String, String] = Map.empty)
 
   def applyColFuncs(df: DataFrame, fns: Seq[ColFunc]): DataFrame =
     fns.foldLeft(df) { (d, f) =>
-      val fn = funcRegistry.getOrElse(f.func,
-        throw new IllegalArgumentException(s"config_func '${f.func}' is not in the whitelist"))
-      d.withColumn(f.out, fn(f.colArgs.map(col), f.args))
+      val positional = f.colArgs.map(col)
+      val kwargCols =
+        if (f.colKwargs.isEmpty) Seq.empty
+        else {
+          val names = funcParamNames.getOrElse(f.func,
+            throw new IllegalArgumentException(s"config_func '${f.func}' does not accept col_kwargs"))
+          names.drop(positional.length).map(nm => col(f.colKwargs.getOrElse(nm,
+            throw new IllegalArgumentException(s"col_kwargs missing parameter '$nm' for '${f.func}'"))))
+        }
+      val cs = positional ++ kwargCols
+      if (f.outs.nonEmpty) {
+        val fn = multiFuncRegistry.getOrElse(f.func,
+          throw new IllegalArgumentException(s"multi-output config_func '${f.func}' is not in the whitelist"))
+        val vals = fn(cs, f.args)
+        require(vals.length == f.outs.length,
+          s"columns: ${f.outs.mkString(",")} have length ${f.outs.length} " +
+            s"but function '${f.func}' returned ${vals.length} values")
+        f.outs.zip(vals).foldLeft(d) { case (dd, (o, v)) => dd.withColumn(o, v) }
+      } else {
+        val fn = funcRegistry.getOrElse(f.func,
+          throw new IllegalArgumentException(s"config_func '${f.func}' is not in the whitelist"))
+        d.withColumn(f.out, fn(cs, f.args))
+      }
     }
 
   /** Data-load config: the `DataLoader.load` equivalent. */
@@ -104,7 +160,9 @@ object ConfigExpr {
       rowSelect: Seq[RowSelect] = Seq.empty,
       colSelect: Seq[String] = Seq.empty,
       fileRegex: Option[String] = None, // multi-file scan filter
-      sourceColumn: Option[String] = None) // per-file provenance column
+      sourceColumn: Option[String] = None, // per-file provenance column
+      newColumnNames: Option[Seq[String]] = None) // positional full rename
+                                                  // (dataloader.py:428-432)
 
   /** suffix -> format dispatch (dataloader.py:28-35) + scan -> where ->
     * col_funcs -> row_select -> col_select, in reference order
@@ -124,6 +182,9 @@ object ConfigExpr {
     if (cfg.source.endsWith(".tsv")) reader = reader.option("sep", "\t")
     cfg.fileRegex.foreach(r => reader = reader.option("pathGlobFilter", r))
     var df = reader.load(cfg.source)
+    // positional rename applies to the scanned columns, before the
+    // provenance column and any filter (read_flat_files order)
+    cfg.newColumnNames.foreach(ns => df = df.toDF(ns: _*))
     cfg.sourceColumn.foreach(c => df = df.withColumn(c,
       regexp_extract(input_file_name(), "([^/]+)$", 1)))
     if (cfg.where.nonEmpty) df = df.filter(combineWhere(cfg.where))

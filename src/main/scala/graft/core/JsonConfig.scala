@@ -73,6 +73,10 @@ object JsonConfig {
       obsMeanLocal = (m \ "obs_mean").toOption.contains(JString("local")),
       minObs = d(m, "min_obs", 3).toInt,
       maxObsPerTile = d(m, "max_obs_per_tile", 0).toInt,
+      nystroemAboveN = d(m, "nystroem_above_n", 0).toInt,
+      nystroemM = d(m, "nystroem_m", 100).toInt,
+      sgprAboveN = d(m, "sgpr_above_n", 0).toInt,
+      sgprM = d(m, "num_inducing_points", 500).toInt, // reference kwarg name
       maxIter = d(m, "max_iter", 100).toInt,
       lengthscaleBounds = bounds(cons, "lengthscales", 3),
       kernelVarianceBounds = bounds(cons, "kernel_variance", 1),
@@ -88,6 +92,12 @@ object JsonConfig {
       binRes = d(j, "bin_res", base.binRes),
       expertRange = (er(0), er(1)),
       expertSpacing = d(j, "expert_spacing", base.expertSpacing),
+      expertMasks = (j \ "el_masks").toOption.collect {
+        case JArray(vs) => vs.map {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(s"el_masks: non-string $other")
+        }
+      }.getOrElse(Seq.empty),
       predSpacing = d(j, "pred_spacing", base.predSpacing),
       smoothLengthscale = d(j, "smooth_lengthscale", base.smoothLengthscale),
       oi = oi)

@@ -69,6 +69,64 @@ object Grids {
       .drop("__off")
   }
 
+  /** `had_obs` expert-location mask (reference get_masks_for_expert_loc,
+    * GPSat/dataloader.py:2784-2792): keep expert locations whose (x, y)
+    * grid cell had at least one non-NaN observation on ANY date. The
+    * reference builds an xarray any-over-dates boolean mask; over a sparse
+    * binned table the same semantics is one left-semi equi join against
+    * the distinct observed (x, y) — no mask array, no extra pass at scale.
+    */
+  def hadObsMask(experts: DataFrame, binnedRef: DataFrame, obsCol: String,
+                 xCol: String = "x", yCol: String = "y"): DataFrame =
+    experts.join(
+      binnedRef
+        .filter(col(obsCol).isNotNull && !isnan(col(obsCol).cast("double")))
+        .select(col(xCol), col(yCol)).distinct(),
+      Seq(xCol, yCol), "left_semi")
+
+  /** `grid_space` lattice mask (reference sparse_true_array,
+    * GPSat/utils.py:1075-1133 via dataloader.py:2793-2803): keep every
+    * `gridSpace`-th distinct coordinate value per dimension (rank %
+    * gridSpace == offset over the sorted distinct values). Distinct
+    * coordinate counts are lattice-sized, so each dimension's rank table is
+    * computed on the (tiny) distinct set and broadcast back — the full
+    * table is never window-shuffled.
+    */
+  def gridSpaceMask(df: DataFrame, dims: Seq[String], gridSpace: Int,
+                    gridSpaceOffset: Int = 0): DataFrame = {
+    require(gridSpace > 0, "grid_space must be positive")
+    import org.apache.spark.sql.expressions.Window
+    dims.foldLeft(df) { (d, dim) =>
+      val keep = d.select(dim).distinct()
+        .withColumn("__rk", row_number().over(Window.orderBy(dim)) - 1)
+        .filter(pmod(col("__rk"), lit(gridSpace)) === gridSpaceOffset)
+        .drop("__rk")
+      d.join(broadcast(keep), Seq(dim), "left_semi")
+    }
+  }
+
+  /** `local_select` applied to generated prediction locations relative to
+    * their expert (reference PredictionLocations, prediction_locations.py:106-111
+    * -> DataLoader.local_data_select, dataloader.py:2354-2447): keep rows
+    * where pred[col] comp (expert[col] + val). Operates on an already
+    * expert-joined frame (expert columns prefixed), so it is a plain
+    * filter — no extra join or shuffle.
+    */
+  def localSelect(joined: DataFrame, conditions: Seq[(String, String, Double)],
+                  expertPrefix: String = "expert_"): DataFrame =
+    conditions.foldLeft(joined) { case (d, (c, comp, v)) =>
+      val ref = col(expertPrefix + c) + v
+      val cc = col(c)
+      d.filter(comp match {
+        case ">=" => cc >= ref
+        case ">"  => cc > ref
+        case "==" => cc === ref
+        case "<=" => cc <= ref
+        case "<"  => cc < ref
+        case other => throw new IllegalArgumentException(s"comp: $other is not valid")
+      })
+    }
+
   /** Prediction grid: fine lattice, optionally masked by point-in-polygon
     * "ocean" rings (examples/inline_example.py:250-266).
     */

@@ -23,6 +23,8 @@ object GpSatPipeline {
       binRes: Double = 50000.0,
       expertRange: (Double, Double) = (-500000.0, 500000.0),
       expertSpacing: Double = 200000.0,
+      expertMasks: Seq[String] = Seq.empty, // "had_obs" | "grid_space:<n>"
+                                            // (el_masks, dataloader.py:2715-2805)
       predSpacing: Double = 5000.0,
       smoothLengthscale: Double = 200000.0, // inline_example.py:459-474
       oi: OIConfig = OIConfig(
@@ -38,8 +40,27 @@ object GpSatPipeline {
       valCol = "z", byCols = Seq("t", "source"), gridRes = cfg.binRes))
   }
 
+  /** Expert locations. Without masks: the regular lattice at
+    * expertSpacing. With `expertMasks` (reference el_masks production
+    * shape, e.g. ["had_obs", "grid_space:4"]): experts ARE the binned
+    * reference-grid cells, trimmed by each mask in order
+    * (dataloader.py:2715-2805 + utils.py:1075-1133).
+    */
   def experts(spark: SparkSession, binned: DataFrame, cfg: PipelineConfig): DataFrame =
-    Grids.expertLocations(spark, binned, cfg.expertRange, cfg.expertRange, cfg.expertSpacing)
+    if (cfg.expertMasks.isEmpty)
+      Grids.expertLocations(spark, binned, cfg.expertRange, cfg.expertRange, cfg.expertSpacing)
+    else {
+      val lattice = Grids.grid2dFlatten(spark, cfg.expertRange, cfg.expertRange, cfg.binRes)
+      val masked = cfg.expertMasks.foldLeft(lattice) { (d, mk) =>
+        if (mk == "had_obs") Grids.hadObsMask(d, binned, "z")
+        else if (mk.startsWith("grid_space:"))
+          Grids.gridSpaceMask(d, Seq("x", "y"), mk.stripPrefix("grid_space:").toInt)
+        else throw new IllegalArgumentException(s"mask: $mk not understood")
+      }
+      val t = binned.agg(floor(avg(col("t"))).as("t"))
+      masked.crossJoin(t.hint("broadcast"))
+        .select(col("x"), col("y"), col("t").cast("double").as("t"))
+    }
 
   def predGrid(spark: SparkSession, cfg: PipelineConfig): DataFrame =
     Grids.predictionGrid(spark, cfg.expertRange, cfg.expertRange, cfg.predSpacing)

@@ -46,6 +46,66 @@ class ConfigExprSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-output (tuple-key) col_funcs assign several columns at once") {
+    // mirrors test_add_multiple_columns_from_multi_output_function
+    // (reference tests/test_dataloader.py:86-103)
+    val out = applyColFuncs(df, Seq(
+      ColFunc(out = "", func = "divmod", colArgs = Seq("v"), args = Seq(7),
+        outs = Seq("q", "r"))))
+    val rows = out.orderBy("id").select("q", "r").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L))
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(3.0, 6.0, 2.0, 5.0))
+    // arity mismatch rejected like the reference's assert
+    intercept[IllegalArgumentException] {
+      applyColFuncs(df, Seq(ColFunc(out = "", func = "divmod", colArgs = Seq("v"),
+        args = Seq(7), outs = Seq("only_one"))))
+    }
+    // multi-output projection pair
+    val xy = applyColFuncs(
+      Seq((10.0, 75.0)).toDF("lon", "lat"),
+      Seq(ColFunc(out = "", func = "lon_lat_to_xy", colArgs = Seq("lon", "lat"),
+        outs = Seq("x", "y")))).head()
+    assert(math.abs(xy.getDouble(2) - graft.functions.Laea.fwdX(10.0, 75.0)) < 1e-12)
+    assert(math.abs(xy.getDouble(3) - graft.functions.Laea.fwdY(10.0, 75.0)) < 1e-12)
+  }
+
+  test("col_kwargs resolve by declared parameter name") {
+    val d2 = Seq((10.0, 75.0)).toDF("my_lon", "my_lat")
+    val out = applyColFuncs(d2, Seq(
+      ColFunc(out = "x", func = "laea_x",
+        colKwargs = Map("lon" -> "my_lon", "lat" -> "my_lat")))).head()
+    assert(math.abs(out.getDouble(2) - graft.functions.Laea.fwdX(10.0, 75.0)) < 1e-12)
+    intercept[IllegalArgumentException] { // missing kwarg
+      applyColFuncs(d2, Seq(ColFunc(out = "x", func = "laea_x",
+        colKwargs = Map("lon" -> "my_lon"))))
+    }
+    intercept[IllegalArgumentException] { // function without declared params
+      applyColFuncs(d2, Seq(ColFunc(out = "x", func = "sqrt",
+        colKwargs = Map("x" -> "my_lon"))))
+    }
+  }
+
+  test("dms_to_float parses 'deg minutes direction' strings (utils.py doctest values)") {
+    val d2 = Seq("74 0.1878 N", " 140 0.1198 W").toDF("s")
+    val out = applyColFuncs(d2, Seq(ColFunc(out = "v", func = "dms_to_float", colArgs = Seq("s"))))
+      .select("v").as[Double].collect()
+    // doctest prints rounded values (74.00313 / -140.001997); compare exact
+    assert(math.abs(out(0) - (74.0 + 0.1878 / 60.0)) < 1e-12)
+    assert(math.abs(out(1) - -(140.0 + 0.1198 / 60.0)) < 1e-12, s"got ${out(1)}")
+  }
+
+  test("new_column_names: positional full rename after scan") {
+    val dir = Files.createTempDirectory("cfgrename_").toString
+    df.write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val out = ConfigExpr.load(spark, DataConfig(
+      source = s"$dir/t.parquet",
+      newColumnNames = Some(Seq("ident", "value", "grp")),
+      where = Seq(Where("value", ">=", 20.0)),
+      colSelect = Seq("ident", "grp")))
+    assert(out.columns.toSeq === Seq("ident", "grp"))
+    assert(out.count() === 3)
+  }
+
   test("load: suffix dispatch, where pushdown, col_funcs order, per-file source column") {
     val dir = Files.createTempDirectory("cfgload_").toString
     df.write.mode("overwrite").parquet(s"$dir/t.parquet")

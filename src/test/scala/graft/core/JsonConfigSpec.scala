@@ -40,6 +40,16 @@ class JsonConfigSpec extends AnyFunSuite {
     assert(cfg.oi.trainingRadius === 300000.0)
     assert(cfg.oi.coordsScale.toSeq === Seq(50000.0, 50000.0, 1.0))
     assert(cfg.oi.lengthscaleBounds.isEmpty)
+    assert(cfg.oi.sgprAboveN === 0 && cfg.oi.sgprM === 500)
+    assert(cfg.expertMasks.isEmpty)
+  }
+
+  test("parses el_masks and SGPR model-swap keys") {
+    val cfg = JsonConfig.parsePipeline(
+      """{"el_masks": ["had_obs", "grid_space:4"],
+        | "model": {"sgpr_above_n": 1000, "num_inducing_points": 300}}""".stripMargin)
+    assert(cfg.expertMasks === Seq("had_obs", "grid_space:4"))
+    assert(cfg.oi.sgprAboveN === 1000 && cfg.oi.sgprM === 300)
   }
 
   test("canonical rendering is key-order independent (config identity)") {

@@ -109,6 +109,44 @@ class GridsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() === 4)
     assert(out.select("date").distinct().count() === 2)
   }
+
+  test("hadObsMask keeps only expert locations whose cell had any observation") {
+    import spark.implicits._
+    // binned table on the same 1.0-res lattice as the expert grid; one cell
+    // carries a NaN-only value and must NOT count as observed
+    val binned = Seq(
+      (0.5, 0.5, 1.0), (1.5, 0.5, 2.0), (0.5, 1.5, Double.NaN)
+    ).toDF("x", "y", "z")
+    val experts = Grids.grid2dFlatten(spark, (0.0, 2.0), (0.0, 2.0), 1.0)
+    val kept = Grids.hadObsMask(experts, binned, "z")
+      .orderBy("y", "x").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(kept.toSeq === Seq((0.5, 0.5), (1.5, 0.5)))
+  }
+
+  test("gridSpaceMask keeps every grid_space-th distinct coordinate per dim") {
+    val g = Grids.grid2dFlatten(spark, (0.0, 6.0), (0.0, 6.0), 1.0) // 6x6 centers
+    val kept = Grids.gridSpaceMask(g, Seq("x", "y"), gridSpace = 2)
+      .select("x", "y").orderBy("y", "x").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // rank % 2 == 0 -> centers 0.5, 2.5, 4.5 in each dim
+    val want = for (y <- Seq(0.5, 2.5, 4.5); x <- Seq(0.5, 2.5, 4.5)) yield (x, y)
+    assert(kept.toSeq === want)
+    // offset shifts the lattice
+    val off = Grids.gridSpaceMask(g, Seq("x"), gridSpace = 3, gridSpaceOffset = 1)
+    assert(off.select("x").distinct().orderBy("x").collect().map(_.getDouble(0)).toSeq
+      === Seq(1.5, 4.5))
+  }
+
+  test("localSelect filters prediction rows relative to their expert") {
+    import spark.implicits._
+    val joined = Seq(
+      (1.0, 5.0, 2.0, 3.0), // x <= ex+0 fails (1 <= 2 ok) / y > ey+1 (5 > 4 ok)
+      (3.0, 5.0, 2.0, 3.0), // x <= ex fails
+      (1.0, 3.5, 2.0, 3.0)  // y > ey+1 fails
+    ).toDF("x", "y", "expert_x", "expert_y")
+    val out = Grids.localSelect(joined, Seq(("x", "<=", 0.0), ("y", ">", 1.0)))
+    assert(out.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq === Seq((1.0, 5.0)))
+    intercept[IllegalArgumentException](Grids.localSelect(joined, Seq(("x", "~", 0.0))))
+  }
 }
 
 class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {

@@ -145,6 +145,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     res.unpersist()
   }
 
+  test("el_masks: had_obs + grid_space trim the expert lattice to observed coarse cells") {
+    val mcfg = cfg.copy(nDocs = 4000, expertMasks = Seq("had_obs", "grid_space:4"))
+    val binned = GpSatPipeline.binnedObs(spark, mcfg)
+    val el = GpSatPipeline.experts(spark, binned, mcfg).cache()
+    val lattice = binned.select("x", "y").distinct().count()
+    val n = el.count()
+    assert(n > 0, "masked expert set must not be empty")
+    assert(n < lattice, s"grid_space:4 must thin the $lattice observed cells, got $n")
+    // every masked expert sits on an observed bin cell (had_obs)
+    val offCell = el.join(binned.select("x", "y").distinct(), Seq("x", "y"), "left_anti")
+    assert(offCell.count() === 0, "every expert must be on a cell that had observations")
+  }
+
   test("deterministic: identical run twice yields identical hyperparameters") {
     import spark.implicits._
     val store1 = new ResultStore(spark, tmpDir())

@@ -109,6 +109,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"IVF recall $recall")
     assert((0 until 5).forall(i => ivf.contains((i.toLong, i.toLong))), "self must be found")
   }
+
+  test("IVF plan shape: item->centroid assignment is a per-row argmax, not a window shuffle") {
+    val q = items.filter(col("vec_id") < 5)
+    val out = SimilaritySearch.ivfTopK(items, q, "vec_id", "embedding", "vec_id", 5,
+      nlist = 8, nprobe = 4)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // exactly ONE window: the final per-query rank (queries are tiny);
+    // the item-table assignment must NOT appear as a window
+    assert(windows.size === 1, s"expected 1 Window, got ${windows.size}:\n" +
+      out.queryExecution.optimizedPlan.treeString)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("hashpartitioning(item_id"),
+      s"item table must not be shuffled by item_id:\n$physical")
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
@@ -138,6 +154,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       "qwerty zxcvb asdfgh").toDF("text")
     val got = TextAnalysis.langId(df, "text").select("lang_pred").collect().map(_.getString(0))
     assert(got.toSeq === Seq("en", "es", "de", "und"))
+  }
+
+  test("language id detects CJK scripts by Unicode range (no whitespace tokens needed)") {
+    val df = Seq(
+      "这是一个中文测试文本",  // zh: Han only
+      "これはテストです",              // ja: kana
+      "한국어 텍스트",                         // ko: hangul
+      "mixed 漢字 inside an otherwise english text the the the the the the the the the the the the the the the the the the the the").toDF("text")
+    val got = TextAnalysis.langId(df, "text").select("lang_pred").collect().map(_.getString(0))
+    assert(got(0) === "zh" && got(1) === "ja" && got(2) === "ko")
+    assert(got(3) === "en", "low Han fraction must fall through to marker scoring")
   }
 
   test("subword count upper-bounds token count") {

@@ -22,10 +22,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // fit tasks are CPU-bound with heterogeneous per-tile cost: use ~8
-      // tasks per core for load balance, and keep AQE from coalescing by
-      // byte size (tile cost is not proportional to bytes)
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
+      // fit tasks are CPU-bound with heterogeneous per-tile cost: default
+      // ~24 tasks per core so most shuffle partitions hold 0-1 tiles (the
+      // straggler-tail knob), and keep AQE from coalescing by byte size
+      // (tile cost is not proportional to bytes)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
@@ -41,12 +43,15 @@ object Bench {
     // 441 experts (21x21 at 200 km over +-2.1e6 m); per-tile window capped
     // at 400 obs — n=400 keeps 32 concurrent factorizations L3-resident
     // (measured kernel scaling 0.89 at 8->32 threads vs 0.81 at n=500)
+    // debug knobs for scaling experiments (not used by the driver)
+    val maxIter = sys.env.getOrElse("SPARK_GRAFT_MAXITER", "50").toInt
+    val minObs = sys.env.getOrElse("SPARK_GRAFT_MINOBS", "3").toInt
     val cfg = GpSatPipeline.PipelineConfig(
       nDocs = nDocs,
       predSpacing = 25000.0,
       expertRange = (-2100000.0, 2100000.0),
       oi = GpSatPipeline.PipelineConfig().oi.copy(
-        maxObsPerTile = 400, maxIter = 50))
+        maxObsPerTile = 400, maxIter = maxIter, minObs = minObs))
     val storeDir = Files.createTempDirectory("graft_bench_").toString
     val store = new ResultStore(spark, storeDir)
     val t0 = System.nanoTime()

@@ -352,8 +352,11 @@ object SparkEntry {
       val experts = expertsDerived(s)
         .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
       val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      // maxObsPerTile = 600 never binds at the oracle SF (sf0.01 max window
+      // is 508) but bounds the exact-GP O(n^3) cost at larger bench SFs
+      // (sf0.1 windows reach ~5,000 obs — that regime belongs to SGPR, q40)
       val results = LocalExpertOI.run(s, obs, experts, pg,
-        OIConfig(trainingRadius = 80000.0, maxIter = 30))
+        OIConfig(trainingRadius = 80000.0, maxIter = 30, maxObsPerTile = 600))
       LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs")
     }),
 

@@ -71,27 +71,16 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
   private val Log2Pi = math.log(2.0 * math.Pi)
   private val yArr: Array[Double] = y.toArray
 
-  /** Per-dim squared coordinate differences (ell-independent; cached).
-    * Column-major n x n, symmetric, zero diagonal.
+  /** Per-dim coordinate arrays (d x n, L1-resident). Squared differences
+    * are recomputed on the fly in the kernel-build and gradient passes:
+    * at 32 concurrent fits the n^2 passes are DRAM-bandwidth-bound, and
+    * trading 3 cached n^2 sqDiff STREAMS (24 B/entry) for 3 subs+muls per
+    * entry cuts the dominant memory traffic ~4x — the 8->32 thread scaling
+    * lever (BENCH.md). Arithmetic is unchanged ((c_i - c_j)^2 in the same
+    * order), so results are bit-identical to the cached-sqDiff form.
     */
-  private lazy val sqDiff: Array[Array[Double]] = Array.tabulate(d) { k =>
-    val m = new Array[Double](n * n)
-    val c = new Array[Double](n)
-    var i = 0
-    while (i < n) { c(i) = coords(i, k); i += 1 }
-    i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val dv = c(i) - c(j)
-        val v = dv * dv
-        m(i + j * n) = v
-        m(j + i * n) = v
-        j += 1
-      }
-      i += 1
-    }
-    m
+  private val cArr: Array[Array[Double]] = Array.tabulate(d) { k =>
+    Array.tabulate(n)(i => coords(i, k))
   }
 
   /** Shared evaluation: value and (optionally) the analytic gradient w.r.t.
@@ -114,21 +103,27 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     val inv2l = new Array[Double](d) // 3 / ell_k^2 (the Matern sqrt(3)/ell scaling, squared)
     var k = 0
     while (k < d) { inv2l(k) = 3.0 / (ell(k) * ell(k)); k += 1 }
-    // build A = K + sn2 I directly (upper triangle is what dpotrf reads;
-    // fill both for the later full-matrix contraction pass)
+    // build A = K + sn2 I, UPPER triangle only — dpotrf/dpotrs/dpotri and
+    // the gradient contraction below all read the upper triangle alone, so
+    // mirroring the lower half would double the store traffic for nothing
     val a = aBuf
+    val c0 = cArr(0); val c1 = if (d > 1) cArr(1) else null; val c2 = if (d > 2) cArr(2) else null
     var j = 0
     while (j < n) {
       val jn = j * n
       a(j + jn) = sf2 + sn2
-      var i = j + 1
-      while (i < n) {
+      val xj0 = c0(j); val xj1 = if (d > 1) c1(j) else 0.0; val xj2 = if (d > 2) c2(j) else 0.0
+      var i = 0
+      while (i < j) {
         var s = 0.0
-        var kk = 0
-        while (kk < d) { s += sqDiff(kk)(i + jn) * inv2l(kk); kk += 1 }
+        val dv0 = c0(i) - xj0
+        s += dv0 * dv0 * inv2l(0)
+        if (d > 1) { val dv1 = c1(i) - xj1; s += dv1 * dv1 * inv2l(1) }
+        if (d > 2) { val dv2 = c2(i) - xj2; s += dv2 * dv2 * inv2l(2) }
+        var kk = 3
+        while (kk < d) { val dv = cArr(kk)(i) - cArr(kk)(j); s += dv * dv * inv2l(kk); kk += 1 }
         val q = math.sqrt(s)
-        val kv = sf2 * (1.0 + q) * math.exp(-q)
-        a(i + jn) = kv; a(j + i * n) = kv
+        a(i + jn) = sf2 * (1.0 + q) * math.exp(-q)
         i += 1
       }
       j += 1
@@ -156,7 +151,8 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     //   grad_ell_k = (3 sf2 / ell_k^3) * Sum_ij Qm_ij sqDiff_k(ij) e_ij / 2
     //   grad_sf2   = Sum_ij Qm_ij K_ij / (2 sf2)
     //   grad_sn2   = tr(Qm) / 2
-    // e/K recomputed from sqDiff (already streamed) — fewer DRAM streams
+    // squared diffs / e / K recomputed from the L1-resident coordinate
+    // arrays — the only n^2 DRAM stream left is Kinv itself
     val gl = new Array[Double](d)
     var gsf = 0.0
     var gsn = 0.0
@@ -164,20 +160,34 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     while (j < n) {
       val jn = j * n
       val aj = alpha(j)
-      // diagonal: sqDiff = 0 -> no lengthscale term; K_jj = sf2
+      // diagonal: zero distance -> no lengthscale term; K_jj = sf2
       val qmd = a(j + jn) - aj * aj
       gsf += qmd * sf2
       gsn += qmd
+      val xj0 = c0(j); val xj1 = if (d > 1) c1(j) else 0.0; val xj2 = if (d > 2) c2(j) else 0.0
       var i2 = 0
       while (i2 < j) { // strict upper triangle, weight 2
         val qm = 2.0 * (a(i2 + jn) - alpha(i2) * aj)
-        var s = 0.0
-        var kk = 0
-        while (kk < d) { s += sqDiff(kk)(i2 + jn) * inv2l(kk); kk += 1 }
+        val dv0 = c0(i2) - xj0
+        val sq0 = dv0 * dv0
+        var s = sq0 * inv2l(0)
+        var sq1 = 0.0
+        var sq2 = 0.0
+        if (d > 1) { val dv1 = c1(i2) - xj1; sq1 = dv1 * dv1; s += sq1 * inv2l(1) }
+        if (d > 2) { val dv2 = c2(i2) - xj2; sq2 = dv2 * dv2; s += sq2 * inv2l(2) }
+        var kk = 3
+        while (kk < d) { val dv = cArr(kk)(i2) - cArr(kk)(j); s += dv * dv * inv2l(kk); kk += 1 }
         val q = math.sqrt(s)
         val e = math.exp(-q)
-        var kk2 = 0
-        while (kk2 < d) { gl(kk2) += qm * sqDiff(kk2)(i2 + jn) * e; kk2 += 1 }
+        gl(0) += qm * sq0 * e
+        if (d > 1) gl(1) += qm * sq1 * e
+        if (d > 2) gl(2) += qm * sq2 * e
+        var kk2 = 3
+        while (kk2 < d) {
+          val dv = cArr(kk2)(i2) - cArr(kk2)(j)
+          gl(kk2) += qm * dv * dv * e
+          kk2 += 1
+        }
         gsf += qm * sf2 * (1.0 + q) * e
         i2 += 1
       }
@@ -257,23 +267,25 @@ final class Matern32Gpr(coords: DenseMatrix[Double], y: DenseVector[Double]) {
     val sn2 = p.likelihoodVariance
     val Sqrt3 = math.sqrt(3.0)
 
-    // K + sn2 I and its Cholesky factor (padded: netlib bound checks)
+    // K + sn2 I, upper triangle (all downstream LAPACK/BLAS calls read "U";
+    // padded: netlib bound checks)
+    val inv2l = Array.tabulate(d)(k => 3.0 / (ell(k) * ell(k)))
     val kn = new Array[Double](n * n + n)
     var j = 0
     while (j < n) {
       val jn = j * n
       kn(j + jn) = sf2 + sn2
-      var i = j + 1
-      while (i < n) {
+      var i = 0
+      while (i < j) {
         var s = 0.0
         var kk = 0
         while (kk < d) {
-          s += sqDiff(kk)(i + jn) * 3.0 / (ell(kk) * ell(kk))
+          val dv = cArr(kk)(i) - cArr(kk)(j)
+          s += dv * dv * inv2l(kk)
           kk += 1
         }
         val q = math.sqrt(s)
-        val v = sf2 * (1.0 + q) * math.exp(-q)
-        kn(i + jn) = v; kn(j + i * n) = v
+        kn(i + jn) = sf2 * (1.0 + q) * math.exp(-q)
         i += 1
       }
       j += 1

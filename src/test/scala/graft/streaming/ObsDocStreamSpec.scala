@@ -49,4 +49,38 @@ class ObsDocStreamSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally q.stop()
   }
+
+  case class EdgePoint(x: Double, y: Double, t: Double, z: Double,
+                       source: String, event_time: Timestamp)
+
+  test("binStream batch-parity edge semantics: out-of-range drops, v == extent lands in last bin") {
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new Timestamp(1700000000000L)
+    val input = MemoryStream[EdgePoint]
+    // grid [0, 10] at res 1 -> 10 bins, indices 0..9
+    val binned = ObsDocStream.binStream(input.toDF(), gridRes = 1.0,
+      origin = 0.0, extent = 10.0, watermark = "1 minute", window = "10 minutes")
+    val q = binned.writeStream.outputMode("complete")
+      .format("memory").queryName("edge_stream")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      input.addData(
+        EdgePoint(10.0, 10.0, 1.0, 1.0, "A", ts),  // exactly at extent -> LAST bin (9,9)
+        EdgePoint(10.5, 5.0, 1.0, 1.0, "A", ts),   // beyond extent -> dropped
+        EdgePoint(-0.1, 5.0, 1.0, 1.0, "A", ts),   // below origin -> dropped
+        EdgePoint(0.0, 0.0, 1.0, 1.0, "A", ts))    // at origin -> bin (0,0)
+      q.processAllAvailable()
+      val cells = spark.table("edge_stream").select("cell").collect().map(_.getLong(0)).toSet
+      def cell(ix: Long, iy: Long): Long = (ix + 1048576L) * 2097152L + (iy + 1048576L)
+      assert(cells === Set(cell(9, 9), cell(0, 0)),
+        s"expected last-bin clamp + in-range only, got $cells")
+      // same points through batch Binning.binDataBy land in the same cells
+      val batchDf = Seq((10.0, 10.0, 1.0), (10.5, 5.0, 1.0), (-0.1, 5.0, 1.0), (0.0, 0.0, 1.0))
+        .toDF("x", "y", "z")
+      val batch = graft.operators.Binning.binDataBy(batchDf, graft.operators.Binning.BinConfig(
+        valCol = "z", gridRes = 1.0, xRange = (0.0, 10.0), yRange = (0.0, 10.0)))
+        .select("x", "y").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      assert(batch === Set((9.5, 9.5), (0.5, 0.5)))
+    } finally q.stop()
+  }
 }

@@ -449,6 +449,21 @@ object SparkEntry {
         .select("obs_id", "qt", "rem", "lat_f")
     }),
 
+    // ----- netCDF gridded source + sink (§2.1) -----
+    // bin -> write ONE classic netCDF-3 granule -> parallel binaryFile
+    // read-back; doubles roundtrip bit-exactly, so the bin-mean oracle
+    // pins BOTH the writer and the reader.
+    "q45_netcdf_roundtrip" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q45_").toString + "/grid.nc"
+      graft.sources.NetCdfGrid.writeGrid2d(binned, tmp, "x", "y", Seq("z_mean"))
+      graft.sources.NetCdfGrid.readGrid2d(s, tmp, "x", "y", Seq("z_mean"))
+        .select("x", "y", "z_mean")
+    }),
+
     "q35_laea_roundtrip" -> ((s, dir) =>
       // LAEA inverse + forward roundtrip, DuckDB-oracled: the Snyder
       // formulas are plain trig, replicated in SQL with the same constants;
@@ -920,6 +935,15 @@ object SparkEntry {
         |  ELSE CAST(split_part(lat_dms, ' ', 1) AS DOUBLE) + CAST(split_part(lat_dms, ' ', 2) AS DOUBLE)/60.0
         |  END AS lat_f
         |FROM li""".stripMargin,
+
+    "q45_netcdf_roundtrip" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
 
     "q35_laea_roundtrip" -> q35OracleSql,
 

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Gridded-granule netCDF source/sink — the Spark analog of the reference's
+  * xarray branch (`DataLoader.load` on .nc, GPSat/dataloader.py:1124-1158:
+  * open_dataset -> to_dataframe -> reset_index) and its gridded output sink
+  * (dataloader.py:775-780).
+  *
+  * Scale shape: granule FILES are the unit of parallelism. `readGrid2d`
+  * scans a path glob with Spark's binaryFile source (one task per granule,
+  * no driver-side I/O), parses each granule with the pure-JVM [[NetCdf3]]
+  * codec inside `flatMap`, and emits the xarray `to_dataframe` row layout:
+  * one row per (coord values) with the data variables as columns plus the
+  * granule path for provenance. A 100 TB archive of granules reads as
+  * one declarative scan -> flatMap pipeline; filters on the emitted
+  * coordinate columns prune after parse (granule-level pruning composes
+  * with `pathGlobFilter`).
+  */
+object NetCdfGrid {
+
+  /** Read 2-d (yDim, xDim) double variables from every granule matching
+    * `pathGlob` into rows (source_file, xDim, yDim, vars...). Variables
+    * must be laid out (yDim, xDim) C-order with 1-d coordinate variables
+    * named like their dims — the xarray gridded convention.
+    */
+  def readGrid2d(spark: SparkSession, pathGlob: String, xDim: String, yDim: String,
+                 varNames: Seq[String]): DataFrame = {
+    val schema = StructType(
+      StructField("source_file", StringType, nullable = false) +:
+        StructField(xDim, DoubleType, nullable = false) +:
+        StructField(yDim, DoubleType, nullable = false) +:
+        varNames.map(v => StructField(v, DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+    files.flatMap { r =>
+      val path = r.getString(0)
+      val nc = NetCdf3.parse(r.getAs[Array[Byte]](1))
+      val xs = nc.readDoubles(xDim)
+      val ys = nc.readDoubles(yDim)
+      val data = varNames.map(v => {
+        require(nc.shape(v) == Seq(ys.length, xs.length),
+          s"$v shape ${nc.shape(v)} != (${ys.length}, ${xs.length})")
+        nc.readDoubles(v)
+      })
+      for {
+        iy <- ys.indices.iterator
+        ix <- xs.indices
+      } yield Row.fromSeq(
+        path +: xs(ix) +: ys(iy) +: data.map(_(iy * xs.length + ix)))
+    }(enc)
+  }
+
+  /** Write a gridded table to ONE classic netCDF-3 file: rows must cover
+    * the full (distinct xCol) x (distinct yCol) lattice. The output field
+    * is grid-sized (the reference writes the final glued field this way),
+    * so a driver-side collect is the honest cost — the big tables stay in
+    * parquet/Iceberg.
+    */
+  def writeGrid2d(df: DataFrame, path: String, xCol: String, yCol: String,
+                  valCols: Seq[String], gattrs: Map[String, String] = Map.empty): Unit = {
+    val rows = df.select((xCol +: yCol +: valCols).map(col): _*).collect()
+    val xs = rows.map(_.getDouble(0)).distinct.sorted
+    val ys = rows.map(_.getDouble(1)).distinct.sorted
+    val xIdx = xs.zipWithIndex.toMap
+    val yIdx = ys.zipWithIndex.toMap
+    require(rows.length == xs.length * ys.length,
+      s"rows ${rows.length} != full ${xs.length} x ${ys.length} lattice")
+    val grids = valCols.indices.map { vi =>
+      val g = new Array[Double](xs.length * ys.length)
+      rows.foreach(r => g(yIdx(r.getDouble(1)) * xs.length + xIdx(r.getDouble(0))) = r.getDouble(2 + vi))
+      g
+    }
+    val dims = Seq(NetCdf3.NcDim(yCol, ys.length), NetCdf3.NcDim(xCol, xs.length))
+    val vars =
+      NetCdf3.WVar(yCol, Seq(yCol), ys) +:
+        NetCdf3.WVar(xCol, Seq(xCol), xs) +:
+        valCols.zipWithIndex.map { case (v, i) => NetCdf3.WVar(v, Seq(yCol, xCol), grids(i)) }
+    Files.write(Paths.get(path), NetCdf3.write(dims, vars, gattrs))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+class NetCdfSpec extends AnyFunSuite with SparkTestBase {
+
+  test("writer emits byte-exact classic CDF-1 (hand-derived golden per the public spec)") {
+    // one dim x(2), one double coord var x = [1.5, 2.5], no attrs.
+    // header: magic 'CDF'\x01 | numrecs 0
+    // dim_list:  tag 0x0A, n=1, name "x" (len 1 + 3 pad), len 2      -> 20 B
+    // gatt_list: 0, 0                                                ->  8 B
+    // var_list:  tag 0x0B, n=1, name "x", ndims 1, dimids [0],
+    //            atts (0,0), nc_type 6, vsize 16, begin 80           -> 44 B
+    // => header 80 bytes, then 2 big-endian doubles
+    val want = ByteBuffer.allocate(96).order(ByteOrder.BIG_ENDIAN)
+    want.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(1.toByte).putInt(0)
+    want.putInt(0x0A).putInt(1)
+    want.putInt(1).put('x'.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(2)
+    want.putInt(0).putInt(0)
+    want.putInt(0x0B).putInt(1)
+    want.putInt(1).put('x'.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    want.putInt(1).putInt(0)
+    want.putInt(0).putInt(0)
+    want.putInt(6).putInt(16).putInt(80)
+    want.putDouble(1.5).putDouble(2.5)
+
+    val got = NetCdf3.write(
+      Seq(NetCdf3.NcDim("x", 2)),
+      Seq(NetCdf3.WVar("x", Seq("x"), Array(1.5, 2.5))))
+    assert(got.toSeq === want.array().toSeq)
+  }
+
+  test("parse roundtrips write: dims, shapes, attrs, values") {
+    val bytes = NetCdf3.write(
+      Seq(NetCdf3.NcDim("y", 3), NetCdf3.NcDim("x", 2)),
+      Seq(
+        NetCdf3.WVar("y", Seq("y"), Array(10.0, 20.0, 30.0)),
+        NetCdf3.WVar("x", Seq("x"), Array(1.0, 2.0)),
+        NetCdf3.WVar("z", Seq("y", "x"), Array(1, 2, 3, 4, 5, 6).map(_.toDouble),
+          attrs = Map("units" -> "m"))),
+      gattrs = Map("title" -> "graft test granule"))
+    val nc = NetCdf3.parse(bytes)
+    assert(nc.dims === Seq(NetCdf3.NcDim("y", 3), NetCdf3.NcDim("x", 2)))
+    assert(nc.gattrs === Map("title" -> "graft test granule"))
+    assert(nc.shape("z") === Seq(3, 2))
+    assert(nc.variable("z").attrs === Map("units" -> "m"))
+    assert(nc.readDoubles("z").toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    assert(nc.readDoubles("y").toSeq === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("reader handles CDF-2 (64-bit begin offsets) and int/float/short payloads") {
+    // hand-build a v2 file: dim x(2); vars i:int[2], f:float[2], s:short[2]
+    def nameField(b: ByteBuffer, s: String): Unit = {
+      b.putInt(s.length); s.foreach(c => b.put(c.toByte))
+      (0 until (4 - s.length % 4) % 4).foreach(_ => b.put(0.toByte))
+    }
+    val header = 8 + (8 + 12) + 8 + (8 + 3 * (8 + 4 + 4 + 8 + 4 + 4 + 8))
+    val buf = ByteBuffer.allocate(header + 8 + 8 + 4 + 4 /* short pad to 4 */)
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(2.toByte).putInt(0)
+    buf.putInt(0x0A).putInt(1); nameField(buf, "x"); buf.putInt(2)
+    buf.putInt(0).putInt(0)
+    buf.putInt(0x0B).putInt(3)
+    var begin = header.toLong
+    def varEntry(nm: String, t: Int, vsize: Int): Unit = {
+      nameField(buf, nm); buf.putInt(1).putInt(0); buf.putInt(0).putInt(0)
+      buf.putInt(t).putInt(vsize).putLong(begin); begin += vsize
+    }
+    varEntry("i", 4, 8); varEntry("f", 5, 8); varEntry("s", 3, 4)
+    buf.putInt(7).putInt(-9)
+    buf.putFloat(1.25f).putFloat(-2.5f)
+    buf.putShort(300.toShort).putShort((-5).toShort)
+    val nc = NetCdf3.parse(buf.array())
+    assert(nc.readDoubles("i").toSeq === Seq(7.0, -9.0))
+    assert(nc.readDoubles("f").toSeq === Seq(1.25, -2.5))
+    assert(nc.readDoubles("s").toSeq === Seq(300.0, -5.0))
+  }
+
+  test("readGrid2d: per-granule parallel scan emits the xarray to_dataframe layout") {
+    val dir = Files.createTempDirectory("graft_nc_").toString
+    def granule(path: String, bias: Double): Unit =
+      Files.write(Paths.get(path), NetCdf3.write(
+        Seq(NetCdf3.NcDim("y", 2), NetCdf3.NcDim("x", 3)),
+        Seq(
+          NetCdf3.WVar("y", Seq("y"), Array(0.0, 1.0)),
+          NetCdf3.WVar("x", Seq("x"), Array(10.0, 20.0, 30.0)),
+          NetCdf3.WVar("z", Seq("y", "x"), Array.tabulate(6)(i => bias + i)))))
+    granule(s"$dir/a.nc", 0.0)
+    granule(s"$dir/b.nc", 100.0)
+
+    val df = NetCdfGrid.readGrid2d(spark, s"$dir/*.nc", "x", "y", Seq("z"))
+    assert(df.count() === 12)
+    assert(df.columns.toSeq === Seq("source_file", "x", "y", "z"))
+    val a = df.filter(org.apache.spark.sql.functions.col("source_file").endsWith("a.nc"))
+      .orderBy("y", "x").collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(a.toSeq === Seq(
+      (10.0, 0.0, 0.0), (20.0, 0.0, 1.0), (30.0, 0.0, 2.0),
+      (10.0, 1.0, 3.0), (20.0, 1.0, 4.0), (30.0, 1.0, 5.0)))
+  }
+
+  test("writeGrid2d -> readGrid2d roundtrip preserves doubles bit-exactly") {
+    import spark.implicits._
+    val rows = for (y <- 0 until 4; x <- 0 until 3)
+      yield (x * 1000.0 + 0.1, y * 500.0 - 0.25, math.Pi * (x + 1) / (y + 1), x - y * 0.5)
+    val df = rows.toDF("x", "y", "v1", "v2")
+    val path = Files.createTempDirectory("graft_ncw_").toString + "/grid.nc"
+    NetCdfGrid.writeGrid2d(df, path, "x", "y", Seq("v1", "v2"), Map("source" -> "graft"))
+    val back = NetCdfGrid.readGrid2d(spark, path, "x", "y", Seq("v1", "v2"))
+      .select("x", "y", "v1", "v2")
+    val got = back.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === rows.toSet)
+  }
+}

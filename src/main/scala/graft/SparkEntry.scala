@@ -298,6 +298,16 @@ object SparkEntry {
       Dedup.cosinePairsLsh(pq(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.5, nPlanes = 4, bucketGroups = 4, maxBucketSize = 1000)),
 
+    // greedy survivorship over verified near-dup pairs: a doc survives
+    // unless a smaller-id near-duplicate exists (single anti-join pass)
+    "q46_dedup_drop" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.8, maxNgramFreq = 100000)
+      Dedup.dropDuplicatesByPairs(docs, "doc_id", pairs)
+        .select("doc_id", "n_chars")
+    }),
+
     // ----- text analysis -----
     "q27_token_counts" -> ((s, dir) =>
       pq(s, dir, "documents").select(col("doc_id"),
@@ -753,6 +763,23 @@ object SparkEntry {
         |  CAST(shared AS DOUBLE) / (sa.setSize + sb.setSize - shared) AS jaccard
         |FROM shared JOIN sizes sa ON idA = sa.id JOIN sizes sb ON idB = sb.id
         |WHERE CAST(shared AS DOUBLE) / (sa.setSize + sb.setSize - shared) >= 0.8""".stripMargin,
+
+    "q46_dedup_drop" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(string_split(trim(text), ' ')) AS gram
+        |  FROM documents WHERE doc_id < 1000),
+        |sizes AS (SELECT id, count(*) AS setSize FROM grams GROUP BY id),
+        |shared AS (
+        |  SELECT a.id AS idA, b.id AS idB, count(*) AS shared
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT idA, idB FROM shared
+        |  JOIN sizes sa ON idA = sa.id JOIN sizes sb ON idB = sb.id
+        |  WHERE CAST(shared AS DOUBLE) / (sa.setSize + sb.setSize - shared) >= 0.8)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id < 1000
+        |  AND doc_id NOT IN (SELECT DISTINCT idB FROM pairs)""".stripMargin,
 
     "q27_token_counts" ->
       """SELECT doc_id,

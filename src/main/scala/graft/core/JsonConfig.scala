@@ -73,6 +73,7 @@ object JsonConfig {
       obsMeanLocal = (m \ "obs_mean").toOption.contains(JString("local")),
       minObs = d(m, "min_obs", 3).toInt,
       maxObsPerTile = d(m, "max_obs_per_tile", 0).toInt,
+      model = (m \ "name").toOption.collect { case JString(s) => s }.getOrElse(""),
       nystroemAboveN = d(m, "nystroem_above_n", 0).toInt,
       nystroemM = d(m, "nystroem_m", 100).toInt,
       sgprAboveN = d(m, "sgpr_above_n", 0).toInt,

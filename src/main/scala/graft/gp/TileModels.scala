@@ -1,0 +1,74 @@
+package graft.gp
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+
+/** Uniform per-tile model interface + name-driven registry — the engine's
+  * analog of the reference's BaseGPRModel hierarchy selected by class name
+  * in the run config (`model` key -> GPSat/models/__init__.py getattr,
+  * local_experts.py:608-689): every model exposes the same
+  * objective / optimise / predict surface over the shared GprParams
+  * hyperparameter vector, so swapping the model never touches the plan.
+  */
+trait TileModel {
+  /** the minimised objective at p (NLML for exact/Nystroem, -ELBO for SGPR) */
+  def objective(p: GprParams): Double
+  def optimise(init: GprParams, bijectors: Array[Bijector],
+               maxIter: Int, tolerance: Double): GprFitResult
+  def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction
+  def name: String
+}
+
+object TileModels {
+
+  private final class ExactModel(coords: DenseMatrix[Double], y: DenseVector[Double])
+      extends TileModel {
+    private val gp = new Matern32Gpr(coords, y)
+    def objective(p: GprParams): Double = gp.nlml(p)
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult =
+      gp.optimise(init, bij, maxIter, tol)
+    def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction = gp.predict(xs, p)
+    def name: String = "GraftGPR"
+  }
+
+  private final class SgprModel(coords: DenseMatrix[Double], y: DenseVector[Double], m: Int)
+      extends TileModel {
+    private val gp = new SgprGpr(coords, y, SgprGpr.strideSelect(coords.rows, m))
+    def objective(p: GprParams): Double = gp.negElbo(p)
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult =
+      gp.optimise(init, bij, maxIter, tol)
+    def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction = gp.predict(xs, p)
+    def name: String = "GraftSGPR"
+  }
+
+  private final class NystroemModel(coords: DenseMatrix[Double], y: DenseVector[Double], m: Int)
+      extends TileModel {
+    private val landmarks = NystroemGpr.strideSelect(coords.rows, math.min(m, coords.rows))
+    def objective(p: GprParams): Double =
+      NystroemGpr.nlml(y, NystroemGpr.fit(coords, y, landmarks,
+        p.lengthscales, p.kernelVariance, p.likelihoodVariance))
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult =
+      // FD-gradient path: iteration cap mirrors the pre-registry behavior
+      NystroemOptimise.optimise(coords, y, landmarks, init, bij, math.min(maxIter, 30))
+    def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction = {
+      val st = NystroemGpr.fit(coords, y, landmarks,
+        p.lengthscales, p.kernelVariance, p.likelihoodVariance)
+      NystroemGpr.predict(coords, xs, st, p.lengthscales, p.kernelVariance, p.likelihoodVariance)
+    }
+    def name: String = "GraftNystroem"
+  }
+
+  /** registered model names (the `model` config values). */
+  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftNystroem")
+
+  /** Instantiate a model by name. `rank` is the low-rank knob (inducing
+    * points for SGPR, landmarks for Nystroem; ignored by the exact model).
+    */
+  def create(name: String, coords: DenseMatrix[Double], y: DenseVector[Double],
+             rank: Int): TileModel = name match {
+    case "GraftGPR" => new ExactModel(coords, y)
+    case "GraftSGPR" => new SgprModel(coords, y, math.min(rank, coords.rows))
+    case "GraftNystroem" => new NystroemModel(coords, y, rank)
+    case other => throw new IllegalArgumentException(
+      s"model '$other' not registered (known: ${names.mkString(", ")})")
+  }
+}

@@ -38,6 +38,10 @@ final case class OIConfig(
                                    // Takes precedence over the Nystroem swap.
     sgprM: Int = 500,              // inducing-point count (reference default
                                    // num_inducing_points=500, gpflow_models.py:704)
+    model: String = "",            // explicit model name from TileModels.names —
+                                   // the reference's name-driven model selection
+                                   // (models/__init__.py getattr). Empty = pick
+                                   // by the sgprAboveN/nystroemAboveN thresholds.
     maxIter: Int = 100,
     tolerance: Double = 1e-7,
     lengthscaleBounds: Option[Bounds] = None,
@@ -159,8 +163,11 @@ object LocalExpertOI {
     val yv = DenseVector(rawY.map(_ - mean))
 
     val bij = bijectors(cfg)
-    val useSgpr = cfg.sgprAboveN > 0 && n > cfg.sgprAboveN
-    val useNystroem = !useSgpr && cfg.nystroemAboveN > 0 && n > cfg.nystroemAboveN
+    val modelName =
+      if (cfg.model.nonEmpty) cfg.model
+      else if (cfg.sgprAboveN > 0 && n > cfg.sgprAboveN) "GraftSGPR"
+      else if (cfg.nystroemAboveN > 0 && n > cfg.nystroemAboveN) "GraftNystroem"
+      else "GraftGPR"
 
     // initial / loaded parameters; loaded (smoothed) params ride on the
     // expert row (reference _read_params_from_file, local_experts.py:608-689)
@@ -175,22 +182,15 @@ object LocalExpertOI {
       bij(3).moveWithinBound(init0.kernelVariance),
       bij(4).moveWithinBound(init0.likelihoodVariance))
 
-    val landmarks = if (useNystroem) NystroemGpr.strideSelect(n, math.min(cfg.nystroemM, n)) else null
-    val sgpr = if (useSgpr) new SgprGpr(coords, yv, SgprGpr.strideSelect(n, cfg.sgprM)) else null
-    val gp = if (useNystroem || useSgpr) null else new Matern32Gpr(coords, yv)
+    val rank = modelName match {
+      case "GraftSGPR" => cfg.sgprM
+      case "GraftNystroem" => math.min(cfg.nystroemM, n)
+      case _ => 0
+    }
+    val model = TileModels.create(modelName, coords, yv, rank)
     val fit =
-      if (!cfg.optimise) {
-        val obj =
-          if (useSgpr) sgpr.negElbo(init)
-          else if (useNystroem) NystroemGpr.nlml(yv, NystroemGpr.fit(coords, yv, landmarks,
-            init.lengthscales, init.kernelVariance, init.likelihoodVariance))
-          else gp.nlml(init)
-        GprFitResult(init, obj, success = true, 0)
-      } else if (useSgpr)
-        sgpr.optimise(init, bij, cfg.maxIter, cfg.tolerance)
-      else if (useNystroem)
-        NystroemOptimise.optimise(coords, yv, landmarks, init, bij, math.min(cfg.maxIter, 30))
-      else gp.optimise(init, bij, cfg.maxIter, cfg.tolerance)
+      if (!cfg.optimise) GprFitResult(init, model.objective(init), success = true, 0)
+      else model.optimise(init, bij, cfg.maxIter, cfg.tolerance)
 
     val preds =
       if (pred.isEmpty) Seq.empty[PredOut]
@@ -200,14 +200,7 @@ object LocalExpertOI {
         val xs = DenseMatrix.tabulate[Double](m, 3) { (i, j) =>
           (j match { case 0 => pred(i).px; case 1 => pred(i).py; case 2 => et }) / cs(j)
         }
-        val p =
-          if (useSgpr) sgpr.predict(xs, fit.params)
-          else if (useNystroem) {
-            val st = NystroemGpr.fit(coords, yv, landmarks, fit.params.lengthscales,
-              fit.params.kernelVariance, fit.params.likelihoodVariance)
-            NystroemGpr.predict(coords, xs, st, fit.params.lengthscales,
-              fit.params.kernelVariance, fit.params.likelihoodVariance)
-          } else gp.predict(xs, fit.params)
+        val p = model.predict(xs, fit.params)
         Array.tabulate(m) { i =>
           PredOut(pred(i).px, pred(i).py, et, p.fs(i) + mean, p.fsVar(i), p.yVar(i))
         }.toSeq
@@ -215,8 +208,7 @@ object LocalExpertOI {
 
     TileResult(ex, ey, et, n, (System.nanoTime() - t0) / 1e9, fit.objective,
       parameters_optimised = cfg.optimise, optimise_success = fit.success,
-      if (useSgpr) "GraftSGPR" else if (useNystroem) "GraftNystroem" else "GraftGPR",
-      "cpu", cfg.configId,
+      model.name, "cpu", cfg.configId,
       fit.params.lengthscales.toSeq, fit.params.kernelVariance, fit.params.likelihoodVariance,
       preds)
   }

@@ -125,6 +125,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(res.head.preds.forall(p => p.fs_var > 0 && !p.fs_var.isNaN))
   }
 
+  test("name-driven model registry: explicit model overrides the size thresholds") {
+    import spark.implicits._
+    val obs = Seq.tabulate(50)(i => (i * 5000.0, (i % 7) * 5000.0, 18326.0, 0.5 + (i % 5) * 0.01))
+      .toDF("x", "y", "t", "z")
+    val experts = Seq((100000.0, 10000.0, 18326.0)).toDF("x", "y", "t")
+    val pg = Seq((100000.0, 10000.0)).toDF("x", "y")
+    // a 50-obs window would default to exact GPR; model="GraftSGPR" forces SGPR
+    val res = LocalExpertOI.run(spark, obs, experts, pg,
+      OIConfig(model = "GraftSGPR", sgprM = 16, maxIter = 20,
+        trainingRadius = 1e6, inferenceRadius = 1e6)).collect()
+    assert(res.head.model === "GraftSGPR")
+    assert(res.head.preds.nonEmpty && res.head.preds.forall(p => !p.fs.isNaN))
+    intercept[org.apache.spark.SparkException] { // unknown names rejected
+      LocalExpertOI.run(spark, obs, experts, pg,
+        OIConfig(model = "NoSuchModel", trainingRadius = 1e6)).collect()
+    }
+  }
+
   test("zero-obs experts get stub run_details rows and resume skips them") {
     import spark.implicits._
     // two experts: one with a window, one with NO obs and NO pred rows

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,28 +47,37 @@ object SimilaritySearch {
     * Centroid selection itself is a TakeOrderedAndProject (per-partition
     * top-nlist, driver merge of nlist rows), not a global sort.
     */
-  def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val it = items.select(col(idCol).as("item_id"),
-      transform(col(vecCol), x => x.cast("double")).as("ivec"))
-    // one row: array of (list_id, cvec) sorted by list_id ascending
-    val centroidArr = it.orderBy("item_id").limit(nlist)
-      .agg(array_sort(collect_list(struct(col("item_id").as("list_id"),
-        col("ivec").as("cvec")))).as("cents"))
+  /** single-row (list_id-ascending) centroid array from a (list_id, cvec)
+    * frame — the broadcastable codebook. */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(array_sort(collect_list(struct(col("list_id"), col("cvec")))).as("cents"))
 
-    // per-row argmax of cosine over the broadcast centroid array; ties take
-    // the smaller list_id (array is list_id-ascending and only a strictly
-    // greater similarity replaces the running best)
-    val bestList = aggregate(col("cents"),
+  /** per-row argmax of cosine(vec, centroid) over the broadcast `cents`
+    * array; ties take the smaller list_id (array is list_id-ascending and
+    * only a strictly greater similarity replaces the running best). */
+  private def nearestList(vec: Column): Column =
+    aggregate(col("cents"),
       struct(lit(Double.NegativeInfinity).as("csim"), lit(Long.MaxValue).as("list_id")),
       (acc, c) => {
-        val s = Dedup.cosine(col("ivec"), c.getField("cvec"))
+        val s = Dedup.cosine(vec, c.getField("cvec"))
         when(s > acc.getField("csim"),
           struct(s.as("csim"), c.getField("list_id").as("list_id"))).otherwise(acc)
       },
       acc => acc.getField("list_id"))
+
+  def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"),
+      transform(col(vecCol), x => x.cast("double")).as("ivec"))
+    // codebook: trained centroids if given (trainCentroids), else the
+    // nlist smallest item ids (data-independent default)
+    val centroidArr = centroidArray(centroids.getOrElse(
+      it.orderBy("item_id").limit(nlist)
+        .select(col("item_id").as("list_id"), col("ivec").as("cvec"))))
+
     val assigned = it.crossJoin(broadcast(centroidArr))
-      .select(col("item_id"), col("ivec"), bestList.as("list_id"))
+      .select(col("item_id"), col("ivec"), nearestList(col("ivec")).as("list_id"))
 
     // each query probes its nprobe nearest lists: score the array, sort by
     // (csim desc, list_id asc), take the first nprobe
@@ -87,5 +96,42 @@ object SimilaritySearch {
       .select(col("query_id"), col("item_id"),
         Dedup.cosine(col("qvec"), col("ivec")).as("cosine"))
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+  }
+
+  /** Lloyd's k-means over (a deterministic sample of) the item embeddings —
+    * trained centroids for [[ivfTopK]]. Each iteration is (a) the same
+    * zero-shuffle per-row argmax assignment against the broadcast codebook
+    * and (b) one element-wise mean per cluster (posexplode + two partial
+    * aggregations over the SAMPLE only — `sampleMod` bounds training cost
+    * at any item-table scale; codebooks train on samples, not archives).
+    * Init = stride over the sample ids. Empty clusters drop. Note: cluster
+    * means are floating sums over shuffled partitions, so centroid values
+    * are deterministic only up to summation order — consumers should
+    * assert recall, not exact centroid bytes.
+    */
+  def trainCentroids(items: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, iters: Int = 5, sampleMod: Int = 1): DataFrame = {
+    val sample = items.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("item_id"), transform(col(vecCol), x => x.cast("double")).as("ivec"))
+      .cache()
+    val n = sample.count()
+    val stride = math.max(1L, n / nlist)
+    var cents = sample
+      .filter(col("item_id") % stride === 0).orderBy("item_id").limit(nlist)
+      .select(col("item_id").as("list_id"), col("ivec").as("cvec"))
+    (0 until iters).foreach { _ =>
+      val assigned = sample.crossJoin(broadcast(centroidArray(cents)))
+        .select(col("ivec"), nearestList(col("ivec")).as("list_id"))
+      cents = assigned
+        .select(col("list_id"), posexplode(col("ivec")).as(Seq("pos", "v")))
+        .groupBy("list_id", "pos").agg(avg("v").as("v"))
+        .groupBy("list_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("cvec"))
+    }
+    val out = cents.cache()
+    out.count()
+    sample.unpersist()
+    out
   }
 }

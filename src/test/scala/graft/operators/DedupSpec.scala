@@ -110,6 +110,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert((0 until 5).forall(i => ivf.contains((i.toLong, i.toLong))), "self must be found")
   }
 
+  test("trained k-means centroids plug into ivfTopK and keep/raise recall") {
+    val q = items.filter(col("vec_id") < 5)
+    val cents = SimilaritySearch.trainCentroids(items, "vec_id", "embedding", nlist = 8, iters = 4)
+    assert(cents.count() >= 2 && cents.count() <= 8)
+    val ivf = SimilaritySearch.ivfTopK(items, q, "vec_id", "embedding", "vec_id", 5,
+      nlist = 8, nprobe = 4, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"trained-centroid IVF recall $recall")
+    assert((0 until 5).forall(i => ivf.contains((i.toLong, i.toLong))), "self must be found")
+  }
+
   test("IVF plan shape: item->centroid assignment is a per-row argmax, not a window shuffle") {
     val q = items.filter(col("vec_id") < 5)
     val out = SimilaritySearch.ivfTopK(items, q, "vec_id", "embedding", "vec_id", 5,

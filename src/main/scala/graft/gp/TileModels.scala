@@ -57,8 +57,27 @@ object TileModels {
     def name: String = "GraftNystroem"
   }
 
+  private final class SvgpModel(coords: DenseMatrix[Double], y: DenseVector[Double], m: Int)
+      extends TileModel {
+    // minibatch 512: O(b m^2) steps regardless of window size — the
+    // constant-cost-per-step path SVGP exists for
+    private val gp = new SvgpGpr(coords, y, SvgpGpr.strideSelect(coords.rows, m),
+      batchSize = math.min(coords.rows, 512))
+    def objective(p: GprParams): Double = {
+      // a meaningful ELBO needs a fitted q(u) even at fixed hyperparameters
+      // (the predict-only rerun path): variational-only Adam, then evaluate
+      gp.optimise(p, Array.fill[Bijector](coords.cols + 2)(Bijectors.default),
+        steps = 300, trainHypers = false)
+      gp.negElbo(p)
+    }
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult =
+      gp.optimise(init, bij, steps = maxIter * 10)
+    def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction = gp.predict(xs, p)
+    def name: String = "GraftSVGP"
+  }
+
   /** registered model names (the `model` config values). */
-  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftNystroem")
+  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftSVGP", "GraftNystroem")
 
   /** Instantiate a model by name. `rank` is the low-rank knob (inducing
     * points for SGPR, landmarks for Nystroem; ignored by the exact model).
@@ -67,6 +86,7 @@ object TileModels {
              rank: Int): TileModel = name match {
     case "GraftGPR" => new ExactModel(coords, y)
     case "GraftSGPR" => new SgprModel(coords, y, math.min(rank, coords.rows))
+    case "GraftSVGP" => new SvgpModel(coords, y, math.min(rank, coords.rows))
     case "GraftNystroem" => new NystroemModel(coords, y, rank)
     case other => throw new IllegalArgumentException(
       s"model '$other' not registered (known: ${names.mkString(", ")})")

@@ -45,6 +45,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"observation side must not shuffle:\n$plan")
   }
 
+  test("bucketed co-located join: zero Exchange on either side") {
+    val dir = Files.createTempDirectory("graft_bucket_").toString
+    val a = Seq.tabulate(100)(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = Seq.tabulate(100)(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    graft.io.Bucketed.writeBucketed(a, "graft_bucket_a", "k", 4, Some(s"$dir/a"))
+    graft.io.Bucketed.writeBucketed(b, "graft_bucket_b", "k", 4, Some(s"$dir/b"))
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.io.Bucketed.joinBucketed(spark, "graft_bucket_a", "graft_bucket_b", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+      assert(countOf(plan, "Exchange hashpartitioning") === 0,
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() === 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("binning is one shuffle: partial -> Exchange -> final HashAggregate") {
     val obs = Seq.tabulate(200)(i => (i * 13.0 % 100, i * 7.0 % 100, i * 0.5)).toDF("x", "y", "z")
     val binned = Binning.binDataBy(obs, Binning.BinConfig(

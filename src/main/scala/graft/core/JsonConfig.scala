@@ -101,6 +101,7 @@ object JsonConfig {
       }.getOrElse(Seq.empty),
       predSpacing = d(j, "pred_spacing", base.predSpacing),
       smoothLengthscale = d(j, "smooth_lengthscale", base.smoothLengthscale),
+      warmStartRerun = (j \ "warm_start_rerun").toOption.contains(JBool(true)),
       oi = oi)
   }
 

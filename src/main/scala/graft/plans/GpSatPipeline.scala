@@ -27,6 +27,8 @@ object GpSatPipeline {
                                             // (el_masks, dataloader.py:2715-2805)
       predSpacing: Double = 5000.0,
       smoothLengthscale: Double = 200000.0, // inline_example.py:459-474
+      warmStartRerun: Boolean = false, // rerun re-optimises from smoothed
+                                       // params (EMA warm-start re-design)
       oi: OIConfig = OIConfig(
         lengthscaleBounds = Some(Bounds(Array(1e-8, 1e-8, 1e-8), Array(600000.0, 600000.0, 9.0))),
         likelihoodVarianceBounds = Some(Bounds(Array(0.00125), Array(0.01)))))
@@ -127,8 +129,14 @@ object GpSatPipeline {
       .join(kvSm.withColumnRenamed("kernel_variance", "kvar"), Seq("x", "y", "t"))
       .join(lvSm.withColumnRenamed("likelihood_variance", "lvar"), Seq("x", "y", "t"))
 
+    // warmStartRerun: re-OPTIMISE from the smoothed parameters instead of
+    // just evaluating them — the deterministic, parallel re-design of the
+    // reference's EMA warm-start (local_experts.py consumes previously
+    // fitted experts' params in visit order, which is order-dependent and
+    // unparallelisable; initialising every tile from the SMOOTHED field
+    // gives each fit the same neighborhood information with no ordering)
     val rerun = LocalExpertOI.run(spark, binned, withParams, pg,
-      cfg.oi.copy(optimise = false))
+      cfg.oi.copy(optimise = cfg.warmStartRerun))
     store.overwrite("preds_SMOOTHED", LocalExpertOI.preds(rerun))
     store.overwrite("run_details_SMOOTHED", LocalExpertOI.runDetails(rerun))
     rerun.unpersist()

@@ -125,6 +125,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(res.head.preds.forall(p => p.fs_var > 0 && !p.fs_var.isNaN))
   }
 
+  test("warm-start rerun re-optimises from the smoothed parameter field") {
+    val store = new ResultStore(spark, tmpDir())
+    val wcfg = cfg.copy(nDocs = 6000, warmStartRerun = true,
+      oi = cfg.oi.copy(maxIter = 40))
+    GpSatPipeline.runAll(spark, store, wcfg)
+    val rd = store.table("run_details_SMOOTHED")
+    assert(rd.filter(col("parameters_optimised")).count() === rd.count(),
+      "warm-start rerun must re-optimise, not just evaluate")
+    assert(rd.filter(col("optimise_success")).count() >= rd.count() / 2)
+    // glued output still tracks the truth field
+    val glued = store.table("preds_glued")
+    val withTruth = glued.withColumn("truth",
+      udf((x: Double, y: Double, t: Double) => ObsDocs.truthField(x, y, t))
+        .apply(col("pred_loc_x"), col("pred_loc_y"), col("pred_loc_t")))
+    val mae = withTruth.agg(avg(abs(col("f*") - col("truth")))).head().getDouble(0)
+    assert(mae < 0.06, s"warm-start glued MAE $mae")
+  }
+
   test("SVGP model fits through the pipeline and interpolates") {
     import spark.implicits._
     val rng = new scala.util.Random(3)

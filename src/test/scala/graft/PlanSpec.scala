@@ -67,6 +67,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cell-prefix range partitioning clusters space and prunes the scan") {
+    import graft.operators.Partitioning
+    val obs = Seq.tabulate(2000)(i => ((i * 7919 % 1000) * 1000.0, (i * 104729 % 1000) * 1000.0))
+      .toDF("x", "y")
+    val parted = Partitioning.byCellPrefix(obs, "x", "y",
+      res = 50000.0, x0 = 0.0, y0 = 0.0, level = 2, numPartitions = 8)
+    // each partition holds a CONTIGUOUS prefix range: ranges must not overlap
+    val ranges = parted.select("cell_prefix").rdd
+      .mapPartitions(it => { val v = it.map(_.getLong(0)).toSeq
+        if (v.isEmpty) Iterator.empty else Iterator.single((v.min, v.max)) })
+      .collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping ranges: $hi > $lo2")
+      case _ =>
+    }
+    // persisted prefix column prunes: filter pushes to the parquet scan
+    val dir = Files.createTempDirectory("graft_prefix_").toString
+    parted.write.mode("overwrite").parquet(s"$dir/obs.parquet")
+    val scan = spark.read.parquet(s"$dir/obs.parquet")
+      .filter(col("cell_prefix") === ranges.head._1).select("x", "y")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(cell_prefix"),
+      s"prefix filter not pushed:\n$plan")
+  }
+
   test("binning is one shuffle: partial -> Exchange -> final HashAggregate") {
     val obs = Seq.tabulate(200)(i => (i * 13.0 % 100, i * 7.0 % 100, i * 0.5)).toDF("x", "y", "z")
     val binned = Binning.binDataBy(obs, Binning.BinConfig(

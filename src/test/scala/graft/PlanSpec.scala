@@ -92,6 +92,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"prefix filter not pushed:\n$plan")
   }
 
+  test("flagship OI plan: both radius joins broadcast; only the two cogroup-side shuffles") {
+    import graft.plans.{LocalExpertOI, OIConfig}
+    val obs = Seq.tabulate(500)(i => (i * 997.0 % 400000, i * 31.0 % 400000, 18326.0, 0.1))
+      .toDF("x", "y", "t", "z")
+    val experts = Seq((100000.0, 100000.0, 18326.0), (300000.0, 300000.0, 18326.0))
+      .toDF("x", "y", "t")
+    val pg = Seq((100000.0, 100000.0), (300000.0, 300000.0)).toDF("x", "y")
+    val results = LocalExpertOI.run(spark, obs, experts, pg, OIConfig(maxIter = 5))
+    val plan = results.queryExecution.executedPlan.toString
+    results.unpersist()
+    assert(countOf(plan, "BroadcastHashJoin") >= 2,
+      s"train + pred radius joins must both broadcast the expert side:\n$plan")
+    // the ONLY hash shuffles are the cogroup's two keyed sides (train and
+    // pred+marker union) — the observation stream itself is never
+    // re-partitioned before the per-tile gather
+    assert(countOf(plan, "Exchange hashpartitioning") <= 2,
+      s"unexpected extra shuffle in the OI plan:\n$plan")
+  }
+
   test("binning is one shuffle: partial -> Exchange -> final HashAggregate") {
     val obs = Seq.tabulate(200)(i => (i * 13.0 % 100, i * 7.0 % 100, i * 0.5)).toDF("x", "y", "z")
     val binned = Binning.binDataBy(obs, Binning.BinConfig(

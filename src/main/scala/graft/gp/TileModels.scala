@@ -76,8 +76,45 @@ object TileModels {
     def name: String = "GraftSVGP"
   }
 
+  private final class VffModel(coords: DenseMatrix[Double], y: DenseVector[Double], rank: Int)
+      extends TileModel {
+    private val dd = coords.cols
+    // rank = TOTAL inducing-feature budget: per-dim frequency count m such
+    // that (2m-1)^d <= rank (at least the zero + first harmonic)
+    private val mPerDim = math.max(2, ((math.pow(rank.toDouble, 1.0 / dd) + 1.0) / 2.0).toInt)
+    // domain: data extent + one full span of margin per side — VFF features
+    // must live on an interval a few lengthscales wider than the data or
+    // the bound stays boundary-limited and shrinks the fitted variance
+    // (the reference exposes this as domain_size, models/vff_model.py:103-199)
+    private val (aArr, bArr) = {
+      val lo = Array.tabulate(dd)(k => (0 until coords.rows).map(coords(_, k)).min)
+      val hi = Array.tabulate(dd)(k => (0 until coords.rows).map(coords(_, k)).max)
+      val margin = Array.tabulate(dd)(k => math.max(hi(k) - lo(k), 1e-6) + 1e-8)
+      (Array.tabulate(dd)(k => lo(k) - margin(k)), Array.tabulate(dd)(k => hi(k) + margin(k)))
+    }
+    private val gp = new VffGpr(coords, y, Array.fill(dd)(mPerDim), aArr, bArr)
+    // GprParams <-> packed VFF hypers: the single kernel variance maps to
+    // equal per-dim factors (product preserved); fitted per-dim values are
+    // kept as internal state for prediction
+    private def toH(p: GprParams): Array[Double] =
+      p.lengthscales ++ Array.fill(dd)(math.pow(p.kernelVariance, 1.0 / dd)) :+ p.likelihoodVariance
+    private var lastH: Option[Array[Double]] = None
+    def objective(p: GprParams): Double = gp.negElbo(lastH.getOrElse(toH(p)))
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult = {
+      val bijH: Array[Bijector] =
+        bij.take(dd) ++ Array.fill[Bijector](dd)(Bijectors.default) :+ bij.last
+      val (hOpt, obj, ok) = gp.optimise(toH(init), bijH, maxIter, tol)
+      lastH = Some(hOpt)
+      GprFitResult(GprParams(hOpt.take(dd),
+        (dd until 2 * dd).map(hOpt).product, hOpt(2 * dd)), obj, ok, maxIter)
+    }
+    def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction =
+      gp.predict(xs, lastH.getOrElse(toH(p)))
+    def name: String = "GraftVFF"
+  }
+
   /** registered model names (the `model` config values). */
-  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftSVGP", "GraftNystroem")
+  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftSVGP", "GraftNystroem", "GraftVFF")
 
   /** Instantiate a model by name. `rank` is the low-rank knob (inducing
     * points for SGPR, landmarks for Nystroem; ignored by the exact model).
@@ -88,6 +125,7 @@ object TileModels {
     case "GraftSGPR" => new SgprModel(coords, y, math.min(rank, coords.rows))
     case "GraftSVGP" => new SvgpModel(coords, y, math.min(rank, coords.rows))
     case "GraftNystroem" => new NystroemModel(coords, y, rank)
+    case "GraftVFF" => new VffModel(coords, y, math.max(rank, 9))
     case other => throw new IllegalArgumentException(
       s"model '$other' not registered (known: ${names.mkString(", ")})")
   }

@@ -459,6 +459,29 @@ object SparkEntry {
         .select("obs_id", "qt", "rem", "lat_f")
     }),
 
+    // SVGP and VFF over the same oracle-checkable windows as q40: the
+    // model column is forced by name, so the oracle pins window counts and
+    // the registry dispatch while the real variational fits run underneath.
+    "q47_svgp_run_details" -> ((s, dir) => {
+      val obs = obsDerived(s, dir).filter(col("x") > 0.0)
+      val experts = expertsDerived(s)
+        .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
+      val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      val results = LocalExpertOI.run(s, obs, experts, pg,
+        OIConfig(trainingRadius = 80000.0, maxIter = 30, model = "GraftSVGP", sgprM = 32))
+      LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
+    }),
+
+    "q48_vff_run_details" -> ((s, dir) => {
+      val obs = obsDerived(s, dir).filter(col("x") > 0.0)
+      val experts = expertsDerived(s)
+        .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
+      val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      val results = LocalExpertOI.run(s, obs, experts, pg,
+        OIConfig(trainingRadius = 80000.0, maxIter = 25, model = "GraftVFF", sgprM = 343))
+      LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
+    }),
+
     // ----- netCDF gridded source + sink (§2.1) -----
     // bin -> write ONE classic netCDF-3 granule -> parallel binaryFile
     // read-back; doubles roundtrip bit-exactly, so the bin-mean oracle
@@ -962,6 +985,30 @@ object SparkEntry {
         |  ELSE CAST(split_part(lat_dms, ' ', 1) AS DOUBLE) + CAST(split_part(lat_dms, ' ', 2) AS DOUBLE)/60.0
         |  END AS lat_f
         |FROM li""".stripMargin,
+
+    "q47_svgp_run_details" ->
+      s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
+         |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
+         |cnt AS (
+         |  SELECT ex, ey, count(*) AS n FROM e JOIN o
+         |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
+         |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
+         |  GROUP BY 1, 2)
+         |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs,
+         |  CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftSVGP' ELSE 'GraftGPR' END AS model
+         |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
+
+    "q48_vff_run_details" ->
+      s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
+         |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
+         |cnt AS (
+         |  SELECT ex, ey, count(*) AS n FROM e JOIN o
+         |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
+         |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
+         |  GROUP BY 1, 2)
+         |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs,
+         |  CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftVFF' ELSE 'GraftGPR' END AS model
+         |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
 
     "q45_netcdf_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,

@@ -5,10 +5,17 @@ import graft.plans.GpSatPipeline
 import org.apache.spark.sql.SparkSession
 import java.nio.file.Files
 
-/** Driver benchmark: one JSON line. Headline metric = tiles interpolated
-  * per second (local-GP fit + predict) — the BASELINE.md target — measured
-  * on the full pipeline over the synthesized obs-doc table, scaled by the
-  * SF directory (nDocs = 10 x lineitem rows). Also times each catalog query.
+/** Driver benchmark: one JSON line (also written to target/bench.json and
+  * /tmp/graft_bench.json). Headline metric = tiles interpolated per second
+  * (local-GP fit + predict) — the BASELINE.md target — measured on the full
+  * pipeline over the synthesized obs-doc table, scaled by the SF directory
+  * (nDocs = 10 x lineitem rows). Also times each catalog query.
+  *
+  * Steal defense: this box is a shared host (round-2 post-mortem: a single
+  * driver run read 4x slow purely from co-tenant CPU steal). The fit phase
+  * runs SPARK_GRAFT_FIT_RUNS (default 3) times; the headline uses the
+  * MEDIAN fit seconds, and per-run /proc/stat steal-time deltas plus
+  * loadavg are embedded in the JSON so a corrupted run is identifiable.
   *
   * Config mirrors the reference production envelope (BASELINE.md): 200 km
   * expert spacing, 300 km training radius, 200 km inference radius, 25 km
@@ -17,6 +24,47 @@ import java.nio.file.Files
   * rows is the comparable compute budget).
   */
 object Bench {
+
+  /** (stealJiffies, totalJiffies) from the aggregate `cpu` line of
+    * /proc/stat — steal (field 8) is time this VM's vCPUs were runnable but
+    * the hypervisor/co-tenants held the physical core. On a shared host,
+    * a fit-phase wall time with high steal is not a measurement of this
+    * code; the bench records per-phase steal deltas so a corrupted run is
+    * identifiable from the JSON alone.
+    */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Times `body`, returning (seconds, stealPctOfElapsedCpu). */
+  private def timedWithSteal[A](body: => A): (A, Double, Double) = {
+    val (s0, t0) = cpuJiffies()
+    val w0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - w0) / 1e9
+    val (s1, t1) = cpuJiffies()
+    val stealPct = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
+    (r, sec, stealPct)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,12 +100,28 @@ object Bench {
       expertRange = (-2100000.0, 2100000.0),
       oi = GpSatPipeline.PipelineConfig().oi.copy(
         maxObsPerTile = 400, maxIter = maxIter, minObs = minObs))
+    // Full pipeline once (includes its own fit), then the fit phase alone
+    // N-1 more times: the headline is tiles / MEDIAN(fit seconds) so a
+    // single steal-corrupted window cannot set the round's number, and each
+    // phase carries its /proc/stat steal delta as evidence.
+    val fitRuns = sys.env.getOrElse("SPARK_GRAFT_FIT_RUNS", "3").toInt.max(1)
+    val loadStart = loadAvg()
     val storeDir = Files.createTempDirectory("graft_bench_").toString
     val store = new ResultStore(spark, storeDir)
-    val t0 = System.nanoTime()
-    val summary = GpSatPipeline.runAll(spark, store, cfg, smooth = true)
-    val pipelineSec = (System.nanoTime() - t0) / 1e9
-    val tilesPerSec = summary.tiles / summary.fitSeconds
+    val (summary, pipelineSec, pipelineSteal) =
+      timedWithSteal(GpSatPipeline.runAll(spark, store, cfg, smooth = true))
+
+    val extraRuns = (2 to fitRuns).map { _ =>
+      val dir = Files.createTempDirectory("graft_bench_").toString
+      val st = new ResultStore(spark, dir)
+      val (s, _, steal) = timedWithSteal(GpSatPipeline.runAll(spark, st, cfg, smooth = false))
+      (s.fitSeconds, steal)
+    }
+    val fitSecs = summary.fitSeconds +: extraRuns.map(_._1)
+    val fitSteals = pipelineSteal +: extraRuns.map(_._2)
+    val fitMedian = median(fitSecs)
+    val fitMin = fitSecs.min
+    val tilesPerSec = summary.tiles / fitMedian
 
     // ---- catalog queries (skippable for scaling-only runs) ----
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
@@ -69,11 +133,21 @@ object Bench {
     }
     val qs = (results ++ Seq(
       "gpsat_pipeline_total" -> pipelineSec,
-      "gpsat_fit_predict" -> summary.fitSeconds))
+      "gpsat_fit_predict" -> fitMedian))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
-    println(
-      s"""{"metric":"tiles_per_sec","value":$tilesPerSec,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","tiles":${summary.tiles},"pred_rows":${summary.predRows},"n_docs":$nDocs,"cpus":"$cpus"}""")
+    def arr(xs: Seq[Double]): String = xs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"tiles_per_sec","value":$tilesPerSec,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","tiles":${summary.tiles},"pred_rows":${summary.predRows},"n_docs":$nDocs,"cpus":"$cpus","fit_sec_runs":${arr(fitSecs)},"fit_sec_median":${f"$fitMedian%.3f"},"fit_sec_min":${f"$fitMin%.3f"},"tiles_per_sec_best":${f"${summary.tiles / fitMin}%.3f"},"steal_pct_runs":${arr(fitSteals)},"load_avg_start":$loadStart,"load_avg_end":${loadAvg()}}"""
+
+    // The driver scrapes stdout (BENCH_r02.json "parsed": null shows sbt
+    // log prefixes breaking that) — also persist the JSON to files it can
+    // read directly.
+    for (p <- Seq("target/bench.json", "/tmp/graft_bench.json")) {
+      try Files.write(java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
+    }
+    println(json)
     spark.stop()
   }
 }

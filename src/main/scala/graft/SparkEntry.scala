@@ -323,10 +323,17 @@ object SparkEntry {
       TextAnalysis.langId(pq(s, dir, "documents"), "text")
         .select("doc_id", "lang_pred")),
 
-    "q30_fingerprint" -> ((s, dir) =>
-      pq(s, dir, "documents").select(col("doc_id"),
-        winnow_fingerprint(col("text"), 8, 4).as("fp"))
-        .select(col("doc_id"), explode(col("fp")).as("fingerprint"))),
+    // from-sig split (the q24/q25 pattern): the window-min SELECTION stage
+    // runs over SQL-expressible synthetic hash arrays so DuckDB pins the
+    // exact fingerprints; the k-gram bit-mixing hash half is golden-tested
+    // (ExpressionsSpec winnow + TextAnalysisSpec split-consistency).
+    "q30_fingerprint" -> ((s, dir) => {
+      val hs = transform(sequence(lit(0L), lit(19L)),
+        i => ((col("doc_id") + lit(1L)) * (i + lit(13L)) * lit(2654435761L)) % lit(104729L))
+      TextAnalysis.winnowFromHashes(
+        pq(s, dir, "documents").select(col("doc_id"), hs.as("hs")),
+        "doc_id", "hs", window = 4)
+    }),
 
     // ----- similarity search -----
     "q31_ann_bruteforce" -> ((s, dir) => {
@@ -547,6 +554,24 @@ object SparkEntry {
        |SELECT idA, idB, cosine FROM scored WHERE cosine >= 0.5""".stripMargin
   }
 
+  /** Shared run_details window-count oracle (q34/q40/q47/q48): ONE source
+    * of truth for the derived-obs x>0 window arithmetic so a change to it
+    * cannot silently diverge across the four model-catalog queries.
+    * `modelCase` non-empty appends a pinned `model` column.
+    */
+  private def runDetailsOracleSql(modelCase: String = ""): String = {
+    val modelCol = if (modelCase.isEmpty) "" else s",\n  $modelCase AS model"
+    s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
+       |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
+       |cnt AS (
+       |  SELECT ex, ey, count(*) AS n FROM e JOIN o
+       |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
+       |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
+       |  GROUP BY 1, 2)
+       |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs$modelCol
+       |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin
+  }
+
   /** q29 oracle: marker scoring regenerated from the SAME marker lists the
     * operator uses; CJK script ranges via RE2 \x{...} classes. */
   private def q29OracleSql: String = {
@@ -556,7 +581,7 @@ object SparkEntry {
     }
     val m = graft.operators.TextAnalysis.langMarkers
     val mx = "greatest(s_en, s_es, s_de, s_fr)"
-    s"""WITH toks AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    s"""WITH toks AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
        |sc AS (SELECT doc_id, text,
        |  ${score(m("en"))} AS s_en, ${score(m("es"))} AS s_es,
        |  ${score(m("de"))} AS s_de, ${score(m("fr"))} AS s_fr
@@ -889,6 +914,29 @@ object SparkEntry {
 
     "q29_lang_id" -> q29OracleSql,
 
+    // winnow selection over the same synthetic rolling-hash arrays the
+    // Spark side builds (window = 4 -> slice hs[i:i+3], 1-based inclusive)
+    "q30_fingerprint" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(range(0, 20), i -> ((doc_id + 1) * (i + 13) * 2654435761) % 104729) AS hs
+        |  FROM documents),
+        |w AS (SELECT doc_id, list_min(hs[i:i+3]) AS fingerprint
+        |  FROM h, LATERAL (SELECT unnest(range(1, len(hs) - 4 + 2)) AS i) g)
+        |SELECT DISTINCT doc_id, fingerprint FROM w""".stripMargin,
+
+    // DecodeStub arithmetic replicated exactly: payload = UTF-8 bytes of
+    // media_ref ('swath://' || doc_id), s1 = byte sum, n = byte length
+    "q33_media_features" ->
+      """WITH m AS (SELECT doc_id, 'swath://' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents),
+        |s AS (SELECT doc_id, media_ref,
+        |  list_sum(list_transform(string_split(media_ref, ''), c -> ascii(c))) AS s1,
+        |  length(media_ref) AS n FROM m)
+        |SELECT doc_id, media_ref,
+        |  CAST(64 + (s1 % 64) * 16 AS INT) AS width,
+        |  CAST(64 + ((s1 * 31 + n) % 64) * 16 AS INT) AS height,
+        |  CAST(1 + (s1 % 8) AS INT) AS n_frames
+        |FROM s""".stripMargin,
+
     "q32_ann_ivf" -> {
       s"""WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),
          |c AS (SELECT item_id AS list_id, ivec AS cvec FROM it ORDER BY item_id LIMIT 8),
@@ -914,28 +962,10 @@ object SparkEntry {
          |WHERE rank <= 3""".stripMargin
     },
 
-    "q34_gp_run_details" ->
-      s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
-         |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
-         |cnt AS (
-         |  SELECT ex, ey, count(*) AS n FROM e JOIN o
-         |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
-         |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
-         |  GROUP BY 1, 2)
-         |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs
-         |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
+    "q34_gp_run_details" -> runDetailsOracleSql(),
 
-    "q40_sgpr_run_details" ->
-      s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
-         |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
-         |cnt AS (
-         |  SELECT ex, ey, count(*) AS n FROM e JOIN o
-         |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
-         |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
-         |  GROUP BY 1, 2)
-         |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs,
-         |  CASE WHEN coalesce(cnt.n, 0) > 100 THEN 'GraftSGPR' ELSE 'GraftGPR' END AS model
-         |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
+    "q40_sgpr_run_details" -> runDetailsOracleSql(
+      "CASE WHEN coalesce(cnt.n, 0) > 100 THEN 'GraftSGPR' ELSE 'GraftGPR' END"),
 
     "q41_had_obs_mask" ->
       s"""WITH obs AS (SELECT x, y, z FROM ($ObsSql) WHERE x > 0.0 AND y > 0.0),
@@ -986,29 +1016,11 @@ object SparkEntry {
         |  END AS lat_f
         |FROM li""".stripMargin,
 
-    "q47_svgp_run_details" ->
-      s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
-         |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
-         |cnt AS (
-         |  SELECT ex, ey, count(*) AS n FROM e JOIN o
-         |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
-         |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
-         |  GROUP BY 1, 2)
-         |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs,
-         |  CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftSVGP' ELSE 'GraftGPR' END AS model
-         |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
+    "q47_svgp_run_details" -> runDetailsOracleSql(
+      "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftSVGP' ELSE 'GraftGPR' END"),
 
-    "q48_vff_run_details" ->
-      s"""WITH e AS (SELECT ex, ey FROM $ExpertsSql),
-         |o AS (SELECT * FROM ($ObsSql) WHERE x > 0.0),
-         |cnt AS (
-         |  SELECT ex, ey, count(*) AS n FROM e JOIN o
-         |    ON (o.x-ex)*(o.x-ex) + (o.y-ey)*(o.y-ey) <= 80000.0*80000.0
-         |   AND o.t >= 18326.0 - 4 AND o.t <= 18326.0 + 4
-         |  GROUP BY 1, 2)
-         |SELECT e.ex AS x, e.ey AS y, 18326.0 AS t, CAST(coalesce(cnt.n, 0) AS INT) AS num_obs,
-         |  CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftVFF' ELSE 'GraftGPR' END AS model
-         |FROM e LEFT JOIN cnt USING (ex, ey)""".stripMargin,
+    "q48_vff_run_details" -> runDetailsOracleSql(
+      "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftVFF' ELSE 'GraftGPR' END"),
 
     "q45_netcdf_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,

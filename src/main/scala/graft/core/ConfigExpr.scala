@@ -70,9 +70,21 @@ object ConfigExpr {
     "sqrt" -> ((cs, _) => sqrt(cs.head)),
     "floor" -> ((cs, _) => floor(cs.head)),
     "ceil" -> ((cs, _) => ceil(cs.head)),
-    "cumsum" -> ((cs, _) => sum(cs.head).over(
-      org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())
-        .rowsBetween(Long.MinValue, 0))),
+    // cumsum(value, orderCol, partitionCols...) — the order column is
+    // REQUIRED (and partition columns strongly recommended): an
+    // unpartitioned window moves the whole table to one reducer, which is
+    // a scale-killer on a large table (a global row-order cumsum is not a
+    // distributable operation).
+    "cumsum" -> ((cs, _) => {
+      require(cs.length >= 2,
+        "config_func 'cumsum' needs explicit (value, order) columns — and " +
+          "partition columns as 3rd+ args for any non-fixture table; a " +
+          "global unordered cumsum would run on a single partition")
+      val w0 = if (cs.length > 2)
+        org.apache.spark.sql.expressions.Window.partitionBy(cs.drop(2): _*)
+      else org.apache.spark.sql.expressions.Window.partitionBy()
+      sum(cs.head).over(w0.orderBy(cs(1)).rowsBetween(Long.MinValue, 0))
+    }),
     // datetime <-> float days (examples/inline_example.py:140; datetime_utils.py:143-181)
     "date_to_float_days" -> ((cs, _) => datediff(cs.head.cast("date"), lit("1970-01-01").cast("date")).cast("double")),
     "float_days_to_date" -> ((cs, _) => date_add(lit("1970-01-01").cast("date"), cs.head.cast("int"))),

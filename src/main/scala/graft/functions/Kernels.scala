@@ -250,13 +250,20 @@ object TextHash {
     * k-gram rolling hashes, minimum per sliding window of `window` hashes,
     * distinct minima returned sorted. Robust to local edits.
     */
-  def winnow(s: String, k: Int, window: Int): Array[Long] = {
+  /** k-gram rolling hashes — the hashing half of the winnow split (the
+    * selection half is TextAnalysis.winnowFromHashes, the declarative
+    * window-min stage the q30 oracle pins).
+    */
+  def rollingHashes(s: String, k: Int): Array[Long] = {
     val n = s.length
     if (n < k) return Array(mix64(fnv1a(s)))
-    val m = n - k + 1
-    val hs = new Array[Long](m)
-    var i = 0
-    while (i < m) { hs(i) = mix64(fnv1a(s, i, i + k)); i += 1 }
+    Array.tabulate(n - k + 1)(i => mix64(fnv1a(s, i, i + k)))
+  }
+
+  def winnow(s: String, k: Int, window: Int): Array[Long] = {
+    val hs = rollingHashes(s, k)
+    val m = hs.length
+    if (m == 1) return hs
     if (m <= window) return Array(hs.min)
     val picked = scala.collection.mutable.SortedSet.empty[Long]
     var w = 0

@@ -63,15 +63,25 @@ object TileModels {
     // constant-cost-per-step path SVGP exists for
     private val gp = new SvgpGpr(coords, y, SvgpGpr.strideSelect(coords.rows, m),
       batchSize = math.min(coords.rows, 512))
+    // A meaningful ELBO needs a fitted q(u) even at fixed hyperparameters
+    // (the predict-only rerun path runs a 300-step variational-only Adam —
+    // a real cost, documented on OIConfig.optimise). The flag makes that
+    // fit lazy-once: objective() after optimise() evaluates at the stored
+    // posterior instead of clobbering it with a re-fit.
+    private var varFitted = false
     def objective(p: GprParams): Double = {
-      // a meaningful ELBO needs a fitted q(u) even at fixed hyperparameters
-      // (the predict-only rerun path): variational-only Adam, then evaluate
-      gp.optimise(p, Array.fill[Bijector](coords.cols + 2)(Bijectors.default),
-        steps = 300, trainHypers = false)
+      if (!varFitted) {
+        gp.optimise(p, Array.fill[Bijector](coords.cols + 2)(Bijectors.default),
+          steps = 300, trainHypers = false)
+        varFitted = true
+      }
       gp.negElbo(p)
     }
-    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult =
-      gp.optimise(init, bij, steps = maxIter * 10)
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult = {
+      val r = gp.optimise(init, bij, steps = maxIter * 10)
+      varFitted = true
+      r
+    }
     def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction = gp.predict(xs, p)
     def name: String = "GraftSVGP"
   }
@@ -98,18 +108,31 @@ object TileModels {
     // kept as internal state for prediction
     private def toH(p: GprParams): Array[Double] =
       p.lengthscales ++ Array.fill(dd)(math.pow(p.kernelVariance, 1.0 / dd)) :+ p.likelihoodVariance
-    private var lastH: Option[Array[Double]] = None
-    def objective(p: GprParams): Double = gp.negElbo(lastH.getOrElse(toH(p)))
+    // The fitted per-dim variance split is richer than the single
+    // kernelVariance GprParams carries, so the packed hypers are KEYED to
+    // the exact params optimise returned: predict/objective use the fitted
+    // split only when called with those params, and otherwise honestly
+    // rebuild from the caller's p (equal per-dim factors) — a caller
+    // supplying different hyperparameters is never silently overridden.
+    private var fittedH: Option[(GprParams, Array[Double])] = None
+    private def hFor(p: GprParams): Array[Double] = fittedH match {
+      case Some((fp, h)) if fp.lengthscales.sameElements(p.lengthscales) &&
+        fp.kernelVariance == p.kernelVariance &&
+        fp.likelihoodVariance == p.likelihoodVariance => h
+      case _ => toH(p)
+    }
+    def objective(p: GprParams): Double = gp.negElbo(hFor(p))
     def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult = {
       val bijH: Array[Bijector] =
         bij.take(dd) ++ Array.fill[Bijector](dd)(Bijectors.default) :+ bij.last
-      val (hOpt, obj, ok) = gp.optimise(toH(init), bijH, maxIter, tol)
-      lastH = Some(hOpt)
-      GprFitResult(GprParams(hOpt.take(dd),
-        (dd until 2 * dd).map(hOpt).product, hOpt(2 * dd)), obj, ok, maxIter)
+      val (hOpt, obj, ok, iters) = gp.optimise(toH(init), bijH, maxIter, tol)
+      val pOpt = GprParams(hOpt.take(dd),
+        (dd until 2 * dd).map(hOpt).product, hOpt(2 * dd))
+      fittedH = Some((pOpt, hOpt))
+      GprFitResult(pOpt, obj, ok, iters)
     }
     def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction =
-      gp.predict(xs, lastH.getOrElse(toH(p)))
+      gp.predict(xs, hFor(p))
     def name: String = "GraftVFF"
   }
 

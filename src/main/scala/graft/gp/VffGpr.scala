@@ -215,8 +215,9 @@ final class VffGpr(coords: DenseMatrix[Double], y: DenseVector[Double],
     * 2d+1 hyperparameters — each evaluation is O(M_total^3), independent
     * of n, so FD costs ~(4d+2) cheap evals per iteration.
     */
+  /** Returns (hypers, objective, converged, iterationsActuallyRun). */
   def optimise(init: Array[Double], bijectors: Array[Bijector],
-               maxIter: Int = 60, tolerance: Double = 1e-7): (Array[Double], Double, Boolean) = {
+               maxIter: Int = 60, tolerance: Double = 1e-7): (Array[Double], Double, Boolean, Int) = {
     require(bijectors.length == nHypers)
     val u0 = DenseVector(init.indices.map(i => bijectors(i).inv(init(i))).toArray)
     require(u0.forall(v => !v.isNaN), "initial parameters map to NaN in variable space")
@@ -242,9 +243,9 @@ final class VffGpr(coords: DenseMatrix[Double], y: DenseVector[Double],
       val st = lbfgs.minimizeAndReturnState(f, u0)
       val hOpt = Array.tabulate(nHypers)(i => bijectors(i).fwd(st.x(i)))
       val obj = negElbo(hOpt)
-      if (obj.isInfinite || obj.isNaN) (init, negElbo(init), false)
-      else (hOpt, obj, !st.searchFailed)
-    } catch { case _: Exception => (init, negElbo(init), false) }
+      if (obj.isInfinite || obj.isNaN) (init, negElbo(init), false, st.iter)
+      else (hOpt, obj, !st.searchFailed, st.iter)
+    } catch { case _: Exception => (init, negElbo(init), false, 0) }
   }
 
   /** Posterior prediction (GPR_kron.predict_f, vff.py:647-676) with the

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,23 +49,26 @@ object Multimodal {
     }
   }
 
-  /** Deterministic fake decoder: shapes and values derive from the content
-    * hash only. ??? -> replace with a real image/audio decoder binding.
+  /** Deterministic fake decoder: ??? -> replace with a real image/audio
+    * decoder binding. The fake's arithmetic is a plain byte-sum checksum
+    * (NOT a bit mixer) on purpose: it is SQL-expressible, so the decode
+    * output itself is pinned by the q33 DuckDB oracle end-to-end — the
+    * fetched "payload" is the UTF-8 bytes of the media_ref (a
+    * content-addressed fetch stand-in the oracle can reproduce).
     */
   object DecodeStub {
-    def fetchBytes(ref: String): Array[Byte] = {
-      val h = TextHash.fnv1a(ref)
-      Array.tabulate(64)(i => (TextHash.mix64(h + i) & 0xff).toByte)
-    }
+    def fetchBytes(ref: String): Array[Byte] = ref.getBytes("UTF-8")
 
     final class Context {
       def decode(content: Array[Byte]): (Int, Int, Int, Seq[Float]) = {
-        val h = TextHash.fnv1a(new String(content.map(b => (b & 0x7f).toChar)))
-        val w = 64 + (TextHash.mix64(h ^ 1) & 0x3f).toInt * 16
-        val ht = 64 + (TextHash.mix64(h ^ 2) & 0x3f).toInt * 16
-        val frames = 1 + (TextHash.mix64(h ^ 3) & 0x7).toInt
-        val emb = Seq.tabulate(8)(i =>
-          ((TextHash.mix64(h ^ (10 + i)) >>> 11).toDouble / (1L << 53).toDouble).toFloat)
+        var s1 = 0L
+        var i = 0
+        while (i < content.length) { s1 += content(i) & 0xff; i += 1 }
+        val n = content.length
+        val w = 64 + (s1 % 64).toInt * 16
+        val ht = 64 + ((s1 * 31 + n) % 64).toInt * 16
+        val frames = 1 + (s1 % 8).toInt
+        val emb = Seq.tabulate(8)(k => ((s1 * (k + 1)) % 1000).toFloat / 1000.0f)
         (w, ht, frames, emb)
       }
     }

@@ -22,6 +22,26 @@ object TextAnalysis {
       transform(split(trim(text), "\\s+"), w => ceil(length(w).cast("double") / chunk).cast("long")),
       lit(0L), (acc, v) => acc + v)
 
+  /** Winnow SELECTION stage (Schleimer et al., SIGMOD 2003 §4) over a
+    * precomputed rolling-hash array column: min per sliding window of
+    * `window` hashes, distinct — fully declarative (transform/slice/
+    * array_min stay in whole-stage codegen, no shuffle until the caller
+    * aggregates). This is the q24-style from-sig split of the
+    * winnow_fingerprint expression: the k-gram bit-mixing hash itself is
+    * golden-tested (ExpressionsSpec), while the scale-relevant window-min
+    * machinery here is DuckDB-oracle-checkable on synthetic hash arrays.
+    * Semantics match TextHash.winnow: an array shorter than `window`
+    * yields its single overall min.
+    */
+  def winnowFromHashes(df: DataFrame, idCol: String, hashCol: String,
+                       window: Int, outCol: String = "fingerprint"): DataFrame = {
+    val hs = col(hashCol)
+    val mins = transform(
+      sequence(lit(0), greatest(size(hs) - window, lit(0))),
+      i => array_min(slice(hs, i + 1, lit(window))))
+    df.select(col(idCol), explode(array_distinct(mins)).as(outCol))
+  }
+
   /** Per-document quality metrics (length / punctuation / stopword /
     * digit / repetition ratios) — the usual pre-training filters.
     */

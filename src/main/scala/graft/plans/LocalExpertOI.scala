@@ -50,7 +50,13 @@ final case class OIConfig(
     initLengthscales: Array[Double] = Array(1.0, 1.0, 1.0),
     initKernelVariance: Double = 1.0,
     initLikelihoodVariance: Double = 1.0,
-    optimise: Boolean = true,
+    optimise: Boolean = true,  // false = predict-only (the smoothed-params
+                               // rerun). NOTE: with model=GraftSVGP this is
+                               // NOT free — a meaningful ELBO at fixed
+                               // hyperparameters still needs q(u) fitted, so
+                               // each tile runs one 300-step variational-only
+                               // Adam pass (O(steps * batch * M^2); lazy,
+                               // once per tile) before evaluating.
     broadcastExperts: Boolean = true,
     saltBuckets: Int = 0,
     configId: Int = 0)

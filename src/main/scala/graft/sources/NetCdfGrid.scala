@@ -68,8 +68,13 @@ object NetCdfGrid {
     val ys = rows.map(_.getDouble(1)).distinct.sorted
     val xIdx = xs.zipWithIndex.toMap
     val yIdx = ys.zipWithIndex.toMap
-    require(rows.length == xs.length * ys.length,
-      s"rows ${rows.length} != full ${xs.length} x ${ys.length} lattice")
+    // validate on DISTINCT cells, not raw row count: duplicate (x, y) rows
+    // could otherwise mask missing cells and silently write 0.0 there
+    val distinctCells = rows.map(r => (r.getDouble(0), r.getDouble(1))).distinct.length
+    require(distinctCells == xs.length * ys.length,
+      s"distinct cells $distinctCells != full ${xs.length} x ${ys.length} lattice")
+    require(rows.length == distinctCells,
+      s"${rows.length - distinctCells} duplicate ($xCol, $yCol) rows")
     val grids = valCols.indices.map { vi =>
       val g = new Array[Double](xs.length * ys.length)
       rows.foreach(r => g(yIdx(r.getDouble(1)) * xs.length + xIdx(r.getDouble(0))) = r.getDouble(2 + vi))

@@ -62,7 +62,10 @@ object ObsDocStream {
     val inRange = col("x").between(origin, extent) && col("y").between(origin, extent)
     val ix = least(floor((col("x") - lit(origin)) / gridRes), lit(n - 1)).cast("long")
     val iy = least(floor((col("y") - lit(origin)) / gridRes), lit(n - 1)).cast("long")
-    val cell = (ix + CellPack.Offset) * CellPack.Stride + (iy + CellPack.Offset)
+    // same packing constants as the batch CellEncode path — referenced from
+    // graft.functions.Cells so streaming and batch cell ids cannot drift
+    val cell = (ix + graft.functions.Cells.Offset) * graft.functions.Cells.Stride +
+      (iy + graft.functions.Cells.Offset)
     obs
       .filter(inRange)
       .withWatermark("event_time", watermark)
@@ -74,9 +77,4 @@ object ObsDocStream {
         min("z").as("z_min"), max("z").as("z_max"))
   }
 
-  /** cell-id packing constants shared with the CellEncode expression. */
-  private object CellPack {
-    val Offset = 1048576L // 2^20
-    val Stride = 2097152L // 2^21
-  }
 }

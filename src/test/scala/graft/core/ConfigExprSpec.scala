@@ -136,4 +136,19 @@ class ConfigExprSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(1) === 18326.0) // reference expert CSV t value for 2020-03-05
     assert(r.getDate(2).toString === "2020-03-05")
   }
+
+  test("cumsum needs explicit order (and optionally partition) columns") {
+    import spark.implicits._
+    val d3 = Seq((1, "a", 2.0), (2, "a", 3.0), (1, "b", 5.0), (2, "b", 7.0))
+      .toDF("ord", "grp", "v")
+    // partitioned + ordered: per-group running sums, no global window
+    val got = applyColFuncs(d3, Seq(ColFunc("cs", "cumsum", Seq("v", "ord", "grp"))))
+      .orderBy("grp", "ord").collect().map(_.getDouble(3)).toSeq
+    assert(got === Seq(2.0, 5.0, 5.0, 12.0))
+    // a value-only cumsum (the old global unpartitioned window) is rejected
+    val err = intercept[IllegalArgumentException] {
+      applyColFuncs(d3, Seq(ColFunc("cs", "cumsum", Seq("v")))).collect()
+    }
+    assert(err.getMessage.contains("single partition"))
+  }
 }

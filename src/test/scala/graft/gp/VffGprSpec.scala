@@ -120,9 +120,10 @@ class VffGprSpec extends AnyFunSuite {
     val vff = new VffGpr(coords1, y1, Array(24), Array(-0.5), Array(1.5))
     val init = Array(1.0, 1.0, 0.1)
     val bij: Array[Bijector] = Array.fill(3)(Bijectors.default)
-    val (h1o, obj1, ok1) = vff.optimise(init, bij, maxIter = 40)
-    val (h2o, obj2, _) = vff.optimise(init, bij, maxIter = 40)
+    val (h1o, obj1, ok1, it1) = vff.optimise(init, bij, maxIter = 40)
+    val (h2o, obj2, _, _) = vff.optimise(init, bij, maxIter = 40)
     assert(ok1)
+    assert(it1 > 0 && it1 <= 40, "reported iterations are the actual L-BFGS count")
     assert(obj1 <= vff.negElbo(init) + 1e-9)
     assert(h1o.sameElements(h2o) && obj1 === obj2, "deterministic")
   }

@@ -186,4 +186,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val r = df.select(TextAnalysis.subwordCount(col("t"), 4).as("s"), TextAnalysis.tokenCount(col("t")).as("n")).head()
     assert(r.getLong(0) >= r.getInt(1))
   }
+
+  test("winnow split consistency: winnowFromHashes(rollingHashes) == winnow_fingerprint") {
+    import graft.functions.TextHash
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog repeatedly and again",
+      "abcdefghijklmnopqrstuvwxyz",
+      "aaaaaaaaaaaaaaaaaaaa", // degenerate: all k-grams identical
+      "short")               // shorter than k -> single whole-string hash
+    for (t <- texts) {
+      val hs = TextHash.rollingHashes(t, 8)
+      val df = Seq((1L, hs.toSeq)).toDF("id", "hs")
+      val got = TextAnalysis.winnowFromHashes(df, "id", "hs", window = 4)
+        .collect().map(_.getLong(1)).sorted.toSeq
+      val want = TextHash.winnow(t, 8, 4).sorted.toSeq
+      assert(got === want, s"text: $t")
+    }
+  }
 }

@@ -18,7 +18,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val m = Multimodal.mediaTable(docs).collect().sortBy(_.media_ref)
     assert(m.map(r => (r.doc_id, r.media_ref)).toSeq ===
       Seq(("d0", "swath://a.png"), ("d2", "swath://b.png"), ("d2", "swath://c.png")))
-    assert(m.forall(_.content.length == 64), "fetch stub is 64 content-addressed bytes")
+    assert(m.forall(_.content.nonEmpty), "fetch stub yields content-addressed bytes")
     assert(m.forall(_.media_kind == "image"))
     // content-addressed: same ref -> same bytes, different refs differ
     assert(!m(0).content.sameElements(m(1).content))
@@ -37,5 +37,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(k1 === k2)
     // ~2/3 of synthesized docs carry a media span
     assert(feats1.length > 150 && feats1.length < 250)
+  }
+
+  test("DecodeStub arithmetic is the documented SQL-expressible checksum") {
+    val ref = "swath://42"
+    val bytes = Multimodal.DecodeStub.fetchBytes(ref)
+    assert(bytes.sameElements(ref.getBytes("UTF-8")))
+    val s1 = bytes.map(b => (b & 0xff).toLong).sum
+    val (w, h, f, emb) = Multimodal.DecodeStub.newContext().decode(bytes)
+    assert(w === 64 + (s1 % 64).toInt * 16)
+    assert(h === 64 + ((s1 * 31 + bytes.length) % 64).toInt * 16)
+    assert(f === 1 + (s1 % 8).toInt)
+    assert(emb === Seq.tabulate(8)(k => ((s1 * (k + 1)) % 1000).toFloat / 1000.0f))
   }
 }

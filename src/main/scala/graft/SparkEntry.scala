@@ -489,6 +489,19 @@ object SparkEntry {
       LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
     }),
 
+    // ASVGP (B-spline inducing features, the reference's last sparse-family
+    // member) through the same real fit path; oracle pins (x, y, t,
+    // num_obs, model) — the GP numerics are pinned by AsvgpGprSpec goldens
+    "q50_asvgp_run_details" -> ((s, dir) => {
+      val obs = obsDerived(s, dir).filter(col("x") > 0.0)
+      val experts = expertsDerived(s)
+        .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
+      val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      val results = LocalExpertOI.run(s, obs, experts, pg,
+        OIConfig(trainingRadius = 80000.0, maxIter = 25, model = "GraftASVGP", sgprM = 125))
+      LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
+    }),
+
     // ----- netCDF gridded source + sink (§2.1) -----
     // bin -> write ONE classic netCDF-3 granule -> parallel binaryFile
     // read-back; doubles roundtrip bit-exactly, so the bin-mean oracle
@@ -1021,6 +1034,9 @@ object SparkEntry {
 
     "q48_vff_run_details" -> runDetailsOracleSql(
       "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftVFF' ELSE 'GraftGPR' END"),
+
+    "q50_asvgp_run_details" -> runDetailsOracleSql(
+      "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftASVGP' ELSE 'GraftGPR' END"),
 
     "q45_netcdf_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,

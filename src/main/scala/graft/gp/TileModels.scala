@@ -136,8 +136,50 @@ object TileModels {
     def name: String = "GraftVFF"
   }
 
+  private final class AsvgpModel(coords: DenseMatrix[Double], y: DenseVector[Double], rank: Int)
+      extends TileModel {
+    private val dd = coords.cols
+    // rank = TOTAL inducing-feature budget; B-splines converge at h^2 so
+    // give each dim the largest m with m^d <= rank (min 3 required)
+    private val mPerDim = math.max(3, math.pow(rank.toDouble, 1.0 / dd).toInt)
+    // domain: data extent + one full span of margin per side (same policy
+    // as VffModel; splines outside the data cost features but keep the
+    // bound from going boundary-loose)
+    private val (aArr, bArr) = {
+      val lo = Array.tabulate(dd)(k => (0 until coords.rows).map(coords(_, k)).min)
+      val hi = Array.tabulate(dd)(k => (0 until coords.rows).map(coords(_, k)).max)
+      val margin = Array.tabulate(dd)(k => math.max(hi(k) - lo(k), 1e-6) + 1e-8)
+      (Array.tabulate(dd)(k => lo(k) - margin(k)), Array.tabulate(dd)(k => hi(k) + margin(k)))
+    }
+    private val gp = new AsvgpGpr(coords, y, Array.fill(dd)(mPerDim), aArr, bArr)
+    private def toH(p: GprParams): Array[Double] =
+      p.lengthscales ++ Array.fill(dd)(math.pow(p.kernelVariance, 1.0 / dd)) :+ p.likelihoodVariance
+    // same fitted-params keying as VffModel: the per-dim variance split is
+    // only substituted when the caller passes the exact fitted params
+    private var fittedH: Option[(GprParams, Array[Double])] = None
+    private def hFor(p: GprParams): Array[Double] = fittedH match {
+      case Some((fp, h)) if fp.lengthscales.sameElements(p.lengthscales) &&
+        fp.kernelVariance == p.kernelVariance &&
+        fp.likelihoodVariance == p.likelihoodVariance => h
+      case _ => toH(p)
+    }
+    def objective(p: GprParams): Double = gp.negElbo(hFor(p))
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult = {
+      val bijH: Array[Bijector] =
+        bij.take(dd) ++ Array.fill[Bijector](dd)(Bijectors.default) :+ bij.last
+      val (hOpt, obj, ok, iters) = gp.optimise(toH(init), bijH, maxIter, tol)
+      val pOpt = GprParams(hOpt.take(dd),
+        (dd until 2 * dd).map(hOpt).product, hOpt(2 * dd))
+      fittedH = Some((pOpt, hOpt))
+      GprFitResult(pOpt, obj, ok, iters)
+    }
+    def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction =
+      gp.predict(xs, hFor(p))
+    def name: String = "GraftASVGP"
+  }
+
   /** registered model names (the `model` config values). */
-  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftSVGP", "GraftNystroem", "GraftVFF")
+  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftSVGP", "GraftNystroem", "GraftVFF", "GraftASVGP")
 
   /** Instantiate a model by name. `rank` is the low-rank knob (inducing
     * points for SGPR, landmarks for Nystroem; ignored by the exact model).
@@ -149,6 +191,7 @@ object TileModels {
     case "GraftSVGP" => new SvgpModel(coords, y, math.min(rank, coords.rows))
     case "GraftNystroem" => new NystroemModel(coords, y, rank)
     case "GraftVFF" => new VffModel(coords, y, math.max(rank, 9))
+    case "GraftASVGP" => new AsvgpModel(coords, y, math.max(rank, 27))
     case other => throw new IllegalArgumentException(
       s"model '$other' not registered (known: ${names.mkString(", ")})")
   }

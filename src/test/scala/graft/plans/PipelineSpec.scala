@@ -186,6 +186,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(res.head.preds.forall(p => !p.fs.isNaN && !p.fs_var.isNaN))
   }
 
+  test("ASVGP model fits through the pipeline (3-d B-spline Kronecker features) and interpolates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val obs = Seq.tabulate(300) { i =>
+      val x = rng.nextDouble() * 400000 - 200000
+      val y = rng.nextDouble() * 400000 - 200000
+      val t = 18322.0 + (i % 9)
+      (x, y, t, 0.2 * math.sin(x / 2e5) + 0.1 * math.cos(y / 2e5) + 0.01 * rng.nextGaussian())
+    }.toDF("x", "y", "t", "z")
+    val experts = Seq((0.0, 0.0, 18326.0)).toDF("x", "y", "t")
+    val pg = Seq((0.0, 0.0), (50000.0, 50000.0)).toDF("x", "y")
+    val res = LocalExpertOI.run(spark, obs, experts, pg,
+      OIConfig(model = "GraftASVGP", sgprM = 512, maxIter = 40)).collect()
+    assert(res.length === 1)
+    assert(res.head.model === "GraftASVGP")
+    assert(res.head.preds.nonEmpty)
+    val p0 = res.head.preds.minBy(p => math.abs(p.pred_loc_x) + math.abs(p.pred_loc_y))
+    val truth = 0.2 * math.sin(0.0) + 0.1 * math.cos(0.0)
+    assert(math.abs(p0.fs - truth) < 0.08, s"asvgp f*=${p0.fs} vs truth $truth")
+    assert(res.head.preds.forall(p => !p.fs.isNaN && !p.fs_var.isNaN))
+  }
+
   test("name-driven model registry: explicit model overrides the size thresholds") {
     import spark.implicits._
     val obs = Seq.tabulate(50)(i => (i * 5000.0, (i % 7) * 5000.0, 18326.0, 0.5 + (i % 5) * 0.01))

@@ -506,6 +506,21 @@ object SparkEntry {
     // bin -> write ONE classic netCDF-3 granule -> parallel binaryFile
     // read-back; doubles roundtrip bit-exactly, so the bin-mean oracle
     // pins BOTH the writer and the reader.
+    // HDF5 write -> read roundtrip through the pure-JVM codec (the
+    // reference's canonical .h5 store, dataloader.py:563-624): the oracle
+    // recomputes the binned values from parquet, so it pins the WRITER and
+    // the READER bit-for-bit (doubles roundtrip exactly or the hash breaks)
+    "q49_hdf5_roundtrip" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("x", "y", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q49_").toString + "/binned.h5"
+      graft.sources.Hdf5Table.writeFile(binned, tmp)
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, colSelect = Seq("x", "y", "z_mean")))
+    }),
+
     "q45_netcdf_roundtrip" -> ((s, dir) => {
       val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
         valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
@@ -1039,6 +1054,16 @@ object SparkEntry {
       "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftASVGP' ELSE 'GraftGPR' END"),
 
     "q45_netcdf_roundtrip" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    // same binned values as q45, roundtripped through .h5 instead of .nc
+    "q49_hdf5_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,

@@ -182,7 +182,24 @@ object ConfigExpr {
     * source so Catalyst pushes it into the scan.
     */
   def load(spark: SparkSession, cfg: DataConfig): DataFrame = {
-    val fmt = cfg.source.replaceAll("^.*\\.", "").toLowerCase match {
+    val suffix = cfg.source.replaceAll("^.*\\.", "").toLowerCase
+    // HDF5 goes through the pure-JVM granule codec (the reference's
+    // canonical store suffix, dataloader.py:28-35 "h5"/"hdf5" -> read_hdf)
+    if (suffix == "h5" || suffix == "hdf5") {
+      var df = graft.sources.Hdf5Table.read(spark, cfg.source)
+      cfg.sourceColumn match {
+        case Some(c) => df = df.withColumn(c, regexp_extract(col("source_file"), "([^/]+)$", 1))
+            .drop("source_file")
+        case None => df = df.drop("source_file")
+      }
+      cfg.newColumnNames.foreach(ns => df = df.toDF(ns: _*))
+      if (cfg.where.nonEmpty) df = df.filter(combineWhere(cfg.where))
+      df = applyColFuncs(df, cfg.colFuncs)
+      if (cfg.rowSelect.nonEmpty) df = df.filter(rowSelectColumn(cfg.rowSelect))
+      if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
+      return df
+    }
+    val fmt = suffix match {
       case "csv" => "csv"
       case "tsv" => "csv"
       case "parquet" | "pq" => "parquet"

@@ -1,0 +1,355 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal pure-JVM HDF5 codec — reference analog: the reference's CANONICAL
+  * store format is HDF5 via `pd.HDFStore` (`GPSat/dataloader.py:28-35`
+  * suffix map, `read_hdf` `:563-624`; result stores
+  * `local_experts.py:499-550`). This engine keeps its big tables in
+  * parquet, but reads/writes `.h5` granules so reference users' files and
+  * pipelines keep working.
+  *
+  * Implemented from the public HDF5 File Format Specification (v1.x,
+  * "version 0 superblock" profile — what libhdf5's `libver='earliest'`
+  * default writes):
+  *   superblock v0 -> root group symbol-table entry -> v1 group B-tree +
+  *   local heap -> SNOD symbol nodes -> v1 object headers with Dataspace /
+  *   Datatype / Fill-Value / Layout messages -> CONTIGUOUS raw data.
+  *
+  * Scope (documented, checked, and errored loudly outside it):
+  *  - datasets directly under the root group;
+  *  - fixed-shape 1-d/2-d datasets, contiguous layout (no chunking/filters);
+  *  - IEEE float64/float32 and signed int64/int32, little-endian.
+  * Chunked+deflate granules and superblock v2/v3 files raise errors that
+  * say exactly that, mirroring NetCdf3's NetCDF-4 error path.
+  */
+object Hdf5Lite {
+
+  private val Signature: Array[Byte] =
+    Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte, '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
+  private val Undef: Long = -1L // 0xFFFF_FFFF_FFFF_FFFF
+
+  // ---------------------------------------------------------------- model
+
+  /** One dataset: name, shape, and values (Doubles or Longs). */
+  final case class H5Var(name: String, shape: Seq[Int], doubles: Array[Double] = null,
+                         longs: Array[Long] = null) {
+    require((doubles == null) != (longs == null), s"$name: exactly one of doubles/longs")
+    private def len = if (doubles != null) doubles.length else longs.length
+    require(shape.product == len, s"$name: shape ${shape.mkString("x")} != $len values")
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Encode datasets (root-group children) into one HDF5 byte image. */
+  def write(vars: Seq[H5Var]): Array[Byte] = {
+    require(vars.nonEmpty, "no datasets")
+    require(vars.map(_.name).distinct.length == vars.length, "duplicate dataset names")
+    val sorted = vars.sortBy(_.name) // SNOD entries must be name-sorted
+
+    // ---- address plan (all sections 8-byte aligned) ----
+    def pad8(n: Int): Int = (n + 7) & ~7
+    val superblockSize = 96
+    val rootOhAddr = superblockSize.toLong
+    val rootOhSize = 16 + (8 + 16) // prefix+pad, SymbolTable message
+    val heapHdrAddr = rootOhAddr + rootOhSize
+    val heapHdrSize = 32
+    val heapDataAddr = heapHdrAddr + heapHdrSize
+    // heap data: byte 0 = empty string, then each name NUL-terminated, 8-aligned
+    val nameOffsets = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var heapUsed = 8 // reserve an aligned empty-string slot at offset 0
+    sorted.foreach { v =>
+      nameOffsets(v.name) = heapUsed.toLong
+      heapUsed += pad8(v.name.getBytes("UTF-8").length + 1)
+    }
+    val heapDataSize = pad8(heapUsed)
+    val btreeAddr = heapDataAddr + heapDataSize
+    val leafK = math.max(4, (sorted.length + 1) / 2)
+    val btreeSize = 24 + 3 * 8 // level-0 node, 1 child: key0 child0 key1
+    val snodAddr = btreeAddr + btreeSize
+    val snodSize = 8 + 2 * leafK * 40
+    require(sorted.length <= 2 * leafK, s"too many datasets for one SNOD")
+
+    final case class DsPlan(v: H5Var, ohAddr: Long, dataAddr: Long, dataSize: Long,
+                            isFloat: Boolean)
+    var cursor = snodAddr + snodSize
+    val plans = sorted.map { v =>
+      val isFloat = v.doubles != null
+      val rank = v.shape.length
+      require(rank >= 1 && rank <= 2, s"${v.name}: only 1-d/2-d datasets supported")
+      // OH: prefix 16 + dataspace(8 + pad8(8 + rank*8)) + datatype(8 + sz)
+      //   + fillvalue(8 + 8) + layout(8 + 24)
+      val dspaceSize = pad8(8 + rank * 8)
+      val dtypeSize = if (isFloat) pad8(20) else pad8(12)
+      val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + 24)
+      val ohAddr = cursor
+      val dataAddr = ohAddr + ohSize
+      val dataSize = v.shape.product.toLong * 8L
+      cursor = dataAddr + dataSize
+      DsPlan(v, ohAddr, dataAddr, dataSize, isFloat)
+    }
+    val eof = cursor
+
+    val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
+
+    // ---- superblock v0 ----
+    buf.put(Signature)
+    buf.put(0.toByte) // superblock version
+    buf.put(0.toByte) // free space version
+    buf.put(0.toByte) // root symbol table version
+    buf.put(0.toByte) // reserved
+    buf.put(0.toByte) // shared header message version
+    buf.put(8.toByte) // size of offsets
+    buf.put(8.toByte) // size of lengths
+    buf.put(0.toByte) // reserved
+    buf.putShort(leafK.toShort)  // group leaf node K
+    buf.putShort(16.toShort)     // group internal node K
+    buf.putInt(0)                // file consistency flags
+    buf.putLong(0L)              // base address
+    buf.putLong(Undef)           // free space address
+    buf.putLong(eof)             // end of file address
+    buf.putLong(Undef)           // driver info address
+    // root group symbol table entry
+    buf.putLong(0L)              // link name offset (empty string)
+    buf.putLong(rootOhAddr)
+    buf.putInt(1)                // cache type 1: group
+    buf.putInt(0)
+    buf.putLong(btreeAddr)       // scratch: B-tree address
+    buf.putLong(heapHdrAddr)     // scratch: heap address
+    require(buf.position() == superblockSize)
+
+    // ---- root object header v1: one Symbol Table message (0x0011) ----
+    buf.put(1.toByte); buf.put(0.toByte)
+    buf.putShort(1.toShort)      // message count
+    buf.putInt(1)                // reference count
+    buf.putInt(8 + 16)           // header data size
+    buf.putInt(0)                // pad to 8
+    buf.putShort(0x0011.toShort); buf.putShort(16.toShort); buf.putInt(0)
+    buf.putLong(btreeAddr); buf.putLong(heapHdrAddr)
+
+    // ---- local heap ----
+    buf.put('H'.toByte); buf.put('E'.toByte); buf.put('A'.toByte); buf.put('P'.toByte)
+    buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putLong(heapDataSize.toLong)
+    buf.putLong(Undef)           // free list: none
+    buf.putLong(heapDataAddr)
+    // heap data: offset 0 = empty string slot, then names
+    val heapStart = buf.position()
+    nameOffsets.foreach { case (name, off) =>
+      buf.position(heapStart + off.toInt)
+      buf.put(name.getBytes("UTF-8")); buf.put(0.toByte)
+    }
+    buf.position(heapStart + heapDataSize)
+
+    // ---- group B-tree v1: level 0, one SNOD child ----
+    buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
+    buf.put(0.toByte)            // node type: group
+    buf.put(0.toByte)            // level
+    buf.putShort(1.toShort)      // entries used
+    buf.putLong(Undef); buf.putLong(Undef) // siblings
+    buf.putLong(0L)              // key 0: empty string (<= all names)
+    buf.putLong(snodAddr)        // child 0
+    buf.putLong(nameOffsets(sorted.last.name)) // key 1: largest name
+
+    // ---- SNOD ----
+    buf.put('S'.toByte); buf.put('N'.toByte); buf.put('O'.toByte); buf.put('D'.toByte)
+    buf.put(1.toByte); buf.put(0.toByte)
+    buf.putShort(sorted.length.toShort)
+    plans.foreach { p =>
+      buf.putLong(nameOffsets(p.v.name))
+      buf.putLong(p.ohAddr)
+      buf.putInt(0); buf.putInt(0)           // cache type 0 + reserved
+      buf.putLong(0L); buf.putLong(0L)       // scratch
+    }
+    buf.position((snodAddr + snodSize).toInt)
+
+    // ---- datasets ----
+    plans.foreach { p =>
+      buf.position(p.ohAddr.toInt)
+      val rank = p.v.shape.length
+      val dspaceSize = pad8(8 + rank * 8)
+      val dtypeSize = if (p.isFloat) pad8(20) else pad8(12)
+      val msgBlock = (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + 24)
+      buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(4.toShort)
+      buf.putInt(1)
+      buf.putInt(msgBlock)
+      buf.putInt(0)
+      // dataspace v1
+      buf.putShort(0x0001.toShort); buf.putShort(dspaceSize.toShort); buf.putInt(0)
+      val dsStart = buf.position()
+      buf.put(1.toByte); buf.put(rank.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putInt(0)
+      p.v.shape.foreach(d => buf.putLong(d.toLong))
+      buf.position(dsStart + dspaceSize)
+      // datatype v1 (class 1 float / class 0 fixed), little-endian, 8 bytes
+      buf.putShort(0x0003.toShort); buf.putShort(dtypeSize.toShort); buf.putInt(0)
+      val dtStart = buf.position()
+      if (p.isFloat) {
+        buf.put(0x11.toByte)                 // version 1, class 1 (float)
+        buf.put(0x20.toByte)                 // LE, implied-msb mantissa norm
+        buf.put(0x3f.toByte)                 // sign location 63
+        buf.put(0.toByte)
+        buf.putInt(8)                        // size
+        buf.putShort(0.toShort); buf.putShort(64.toShort) // bit offset/precision
+        buf.put(52.toByte); buf.put(11.toByte)            // exponent loc/size
+        buf.put(0.toByte); buf.put(52.toByte)             // mantissa loc/size
+        buf.putInt(1023)                     // exponent bias
+      } else {
+        buf.put(0x10.toByte)                 // version 1, class 0 (fixed)
+        buf.put(0x08.toByte)                 // LE, signed
+        buf.put(0.toByte); buf.put(0.toByte)
+        buf.putInt(8)
+        buf.putShort(0.toShort); buf.putShort(64.toShort)
+      }
+      buf.position(dtStart + dtypeSize)
+      // fill value v2: alloc early, fill undefined
+      buf.putShort(0x0005.toShort); buf.putShort(8.toShort); buf.putInt(0)
+      buf.put(2.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putInt(0)
+      // layout v3, class 1 contiguous
+      buf.putShort(0x0008.toShort); buf.putShort(24.toShort); buf.putInt(0)
+      buf.put(3.toByte); buf.put(1.toByte)
+      buf.putLong(p.dataAddr); buf.putLong(p.dataSize)
+      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte);
+      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      // raw data
+      buf.position(p.dataAddr.toInt)
+      if (p.isFloat) p.v.doubles.foreach(buf.putDouble) else p.v.longs.foreach(buf.putLong)
+    }
+    buf.array()
+  }
+
+  // ----------------------------------------------------------------- read
+
+  final case class H5Read(name: String, shape: Seq[Int], doubles: Array[Double],
+                          longs: Array[Long]) {
+    def asDoubles: Array[Double] = if (doubles != null) doubles else longs.map(_.toDouble)
+  }
+
+  /** Parse an HDF5 byte image: every dataset under the root group. */
+  def read(bytes: Array[Byte]): Seq[H5Read] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](8); buf.get(sig)
+    require(sig.sameElements(Signature), "not an HDF5 file (signature mismatch)")
+    val sbVersion = buf.get(0x08).toInt
+    require(sbVersion == 0 || sbVersion == 1,
+      s"superblock v$sbVersion not supported (v2/v3 files come from libver='latest' " +
+        "writers; rewrite with libver='earliest' or convert to parquet)")
+    require(buf.get(0x0d).toInt == 8 && buf.get(0x0e).toInt == 8,
+      "only 8-byte offsets/lengths supported")
+    // root symbol table entry: v0 superblock has base/free/eof/driver (32
+    // bytes) from offset 24, STE at 56; v1 inserts 4 bytes (indexed-storage
+    // K + reserved) before them
+    val steOff = if (sbVersion == 0) 24 + 32 else 28 + 32
+    val rootBtree = buf.getLong(steOff + 24)
+    val rootHeap = buf.getLong(steOff + 32)
+    require(rootBtree != Undef && rootHeap != Undef, "root group is not symbol-table based")
+
+    // local heap -> data segment address
+    require(buf.get(rootHeap.toInt) == 'H' && buf.get(rootHeap.toInt + 1) == 'E',
+      "bad local heap signature")
+    val heapData = buf.getLong(rootHeap.toInt + 24)
+    def heapString(off: Long): String = {
+      var p = (heapData + off).toInt
+      val sb = new StringBuilder
+      while (bytes(p) != 0) { sb.append(bytes(p).toChar); p += 1 }
+      sb.toString
+    }
+
+    // walk the group B-tree (level 0 or 1) collecting SNOD addresses
+    def snodsOf(nodeAddr: Long): Seq[Long] = {
+      val p = nodeAddr.toInt
+      require(bytes(p) == 'T' && bytes(p + 1) == 'R' && bytes(p + 2) == 'E' && bytes(p + 3) == 'E',
+        "bad group B-tree signature")
+      require(bytes(p + 4) == 0, "not a group B-tree")
+      val level = bytes(p + 5).toInt
+      val used = buf.getShort(p + 6).toInt
+      val children = (0 until used).map(i => buf.getLong(p + 24 + 8 + i * 16))
+      if (level == 0) children else children.flatMap(snodsOf)
+    }
+
+    snodsOf(rootBtree).flatMap { snod =>
+      val p = snod.toInt
+      require(bytes(p) == 'S' && bytes(p + 1) == 'N' && bytes(p + 2) == 'O' && bytes(p + 3) == 'D',
+        "bad symbol node signature")
+      val nsym = buf.getShort(p + 6).toInt
+      (0 until nsym).map { i =>
+        val e = p + 8 + i * 40
+        val name = heapString(buf.getLong(e))
+        readDataset(bytes, buf, name, buf.getLong(e + 8))
+      }
+    }
+  }
+
+  /** Parse one v1 object header and its contiguous data. */
+  private def readDataset(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                          ohAddr: Long): H5Read = {
+    val p = ohAddr.toInt
+    require(bytes(p) == 1, s"$name: object header v${bytes(p)} not supported (v2 'OHDR' " +
+      "headers come from libver='latest' writers)")
+    val nmsgs = buf.getShort(p + 2).toInt
+    var shape: Seq[Int] = null
+    var dtClass = -1
+    var dtSize = -1
+    var dataAddr = -1L
+    var dataSize = -1L
+    var cursor = p + 16
+    var seen = 0
+    while (seen < nmsgs) {
+      val mtype = buf.getShort(cursor).toInt & 0xffff
+      val msize = buf.getShort(cursor + 2).toInt & 0xffff
+      val body = cursor + 8
+      mtype match {
+        case 0x0001 => // dataspace
+          val ver = bytes(body).toInt
+          val rank = bytes(body + 1).toInt
+          val dimsOff = if (ver == 1) body + 8 else body + 4 // v2: ver,rank,flags,type
+          shape = (0 until rank).map(i => buf.getLong(dimsOff + i * 8).toInt)
+        case 0x0003 => // datatype
+          dtClass = bytes(body).toInt & 0x0f
+          dtSize = buf.getInt(body + 4)
+        case 0x0008 => // layout
+          val ver = bytes(body).toInt
+          require(ver == 3 || ver == 4, s"$name: layout message v$ver not supported")
+          val cls = bytes(body + 1).toInt
+          require(cls == 1,
+            s"$name: only CONTIGUOUS layout supported (class $cls is " +
+              (if (cls == 2) "chunked — rewrite without chunking/compression)" else "compact)"))
+          dataAddr = buf.getLong(body + 2)
+          dataSize = buf.getLong(body + 10)
+        case 0x0010 => // object header continuation — not emitted by this writer
+          throw new IllegalArgumentException(s"$name: continuation blocks not supported")
+        case _ => // fill value, mod time, attributes: skipped
+      }
+      cursor = body + ((msize + 7) & ~7)
+      seen += 1
+    }
+    require(shape != null && dtClass >= 0 && dataAddr >= 0, s"$name: incomplete object header")
+    val n = shape.product
+    dtClass match {
+      case 1 => // float
+        require(dtSize == 8 || dtSize == 4, s"$name: float$dtSize not supported")
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          out(i) = if (dtSize == 8) buf.getDouble((dataAddr + i * 8).toInt)
+          else buf.getFloat((dataAddr + i * 4).toInt).toDouble
+          i += 1
+        }
+        H5Read(name, shape, out, null)
+      case 0 => // fixed point
+        require(dtSize == 8 || dtSize == 4, s"$name: int$dtSize not supported")
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) = if (dtSize == 8) buf.getLong((dataAddr + i * 8).toInt)
+          else buf.getInt((dataAddr + i * 4).toInt).toLong
+          i += 1
+        }
+        H5Read(name, shape, null, out)
+      case c => throw new IllegalArgumentException(
+        s"$name: datatype class $c not supported (numeric datasets only)")
+    }
+  }
+}

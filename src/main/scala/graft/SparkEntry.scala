@@ -506,6 +506,68 @@ object SparkEntry {
     // bin -> write ONE classic netCDF-3 granule -> parallel binaryFile
     // read-back; doubles roundtrip bit-exactly, so the bin-mean oracle
     // pins BOTH the writer and the reader.
+    // Multioutput GP (multioutput/gpr.py): two co-located channels reading
+    // one latent field with gains (1, 2) — the IS2+SMAP joint-measurement
+    // shape. Real MultioutputGpr fits per window (deterministically capped
+    // at 100 locations; num_obs reports the FULL window, N_subsample
+    // semantics); oracle pins (x, y, t, num_obs, model). GP numerics are
+    // pinned by MultioutputGprSpec (exact-GP collapse + factorisation).
+    "q51_multioutput_run_details" -> ((s, dir) => {
+      import s.implicits._
+      val obs = obsDerived(s, dir).filter(col("x") > 0.0)
+      val experts = expertsDerived(s)
+      val joined = obs.join(broadcast(experts),
+        (col("x") - col("ex")) * (col("x") - col("ex")) +
+          (col("y") - col("ey")) * (col("y") - col("ey")) <= 80000.0 * 80000.0 &&
+          col("t") >= col("et") - 4 && col("t") <= col("et") + 4)
+        .select(col("ex"), col("ey"), col("et"), col("obs_id").cast("long"),
+          col("x"), col("y"), col("t"), col("z"))
+        .as[(Double, Double, Double, Long, Double, Double, Double, Double)]
+      val fitted = joined
+        .groupByKey(r => (r._1, r._2, r._3))
+        .mapGroups { (key: (Double, Double, Double),
+                      it: Iterator[(Double, Double, Double, Long, Double, Double, Double, Double)]) =>
+          val (ex, ey, et) = key
+          val rows = it.toArray.sortBy(_._4)
+          val nObs = rows.length
+          val model =
+            if (nObs < 3) "GraftGPR"
+            else {
+              val use = rows.take(100)
+              val coords = breeze.linalg.DenseMatrix.tabulate[Double](use.length, 3) { (i, k) =>
+                if (k == 0) (use(i)._5 - ex) / 50000.0
+                else if (k == 1) (use(i)._6 - ey) / 50000.0
+                else use(i)._7 - et
+              }
+              // channel 0 = z, channel 1 = 2z + deterministic offset noise
+              val ys = breeze.linalg.DenseMatrix.tabulate[Double](use.length, 2) { (i, p) =>
+                if (p == 0) use(i)._8 else 2.0 * use(i)._8 + 0.001 * (use(i)._4 % 7 - 3)
+              }
+              val mo = new graft.gp.MultioutputGpr(coords, ys,
+                breeze.linalg.DenseMatrix(1.0, 2.0))
+              val bij: Array[graft.gp.Bijector] = Array(
+                graft.gp.Bijectors.SigmoidScaled(1e-3, 20.0),
+                graft.gp.Bijectors.SigmoidScaled(1e-3, 20.0),
+                graft.gp.Bijectors.SigmoidScaled(1e-3, 20.0),
+                graft.gp.Bijectors.SigmoidScaled(1e-4, 5.0),
+                graft.gp.Bijectors.SigmoidScaled(1e-5, 1.0),
+                graft.gp.Bijectors.SigmoidScaled(1e-5, 1.0))
+              val (_, _, _, _) = mo.optimise(
+                Array(1.0, 1.0, 1.0, 0.1, 0.01, 0.01), bij, maxIter = 8, tolerance = 1e-5)
+              "GraftMOGPR"
+            }
+          (ex, ey, et, nObs, model)
+        }
+        .toDF("x", "y", "t", "num_obs", "model")
+      // stub rows for zero-obs experts (resume semantics parity)
+      val stubs = experts.join(fitted,
+          experts("ex") === fitted("x") && experts("ey") === fitted("y"), "left_anti")
+        .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"),
+          lit(0).as("num_obs"), lit("GraftGPR").as("model"))
+      fitted.select(col("x"), col("y"), col("t"),
+        col("num_obs").cast("int").as("num_obs"), col("model")).union(stubs)
+    }),
+
     // HDF5 write -> read roundtrip through the pure-JVM codec (the
     // reference's canonical .h5 store, dataloader.py:563-624): the oracle
     // recomputes the binned values from parquet, so it pins the WRITER and
@@ -1052,6 +1114,9 @@ object SparkEntry {
 
     "q50_asvgp_run_details" -> runDetailsOracleSql(
       "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftASVGP' ELSE 'GraftGPR' END"),
+
+    "q51_multioutput_run_details" -> runDetailsOracleSql(
+      "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftMOGPR' ELSE 'GraftGPR' END"),
 
     "q45_netcdf_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,

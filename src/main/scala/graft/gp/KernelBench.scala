@@ -10,13 +10,18 @@ import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
   * owns its own Matern32Gpr instance (scratch buffers are per-instance,
   * exactly like one fit task per Spark core).
   *
-  * Usage: runMain graft.gp.KernelBench [n] [threads,threads,...] [evalsPerThread]
+  * Repeats each thread-count measurement REPEATS times (default 5) and
+  * reports the median with per-repeat /proc/stat steal deltas — single
+  * samples on this shared host swing +-20% (BENCH.md).
+  *
+  * Usage: runMain graft.gp.KernelBench [n] [threads,threads,...] [evalsPerThread] [repeats]
   */
 object KernelBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 400
     val threadCounts = if (args.length > 1) args(1).split(",").map(_.toInt) else Array(1, 8, 32)
     val evals = if (args.length > 2) args(2).toInt else 30
+    val repeats = if (args.length > 3) args(3).toInt else 5
     val d = 3
     val p = GprParams(Array(3.0, 3.0, 2.0), 1.0, 0.05)
 
@@ -27,29 +32,43 @@ object KernelBench {
       new Matern32Gpr(coords, y)
     }
 
-    println(s"n=$n evals/thread=$evals (kernel = build+potrf+potrs+potri+grad)")
+    def cpuJiffies(): (Long, Long) = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    }
+    println(s"n=$n evals/thread=$evals repeats=$repeats (kernel = build+potrf+potrs+potri+grad)")
     val results = threadCounts.map { t =>
       val pool = Executors.newFixedThreadPool(t)
       val gps = Array.tabulate(t)(mkGp)
       // warmup (JIT + buffers)
       gps.foreach(_.nlmlAndGrad(p))
-      val latch = new CountDownLatch(t)
-      val t0 = System.nanoTime()
-      (0 until t).foreach { ti =>
-        pool.submit(new Runnable {
-          def run(): Unit = {
-            var i = 0
-            while (i < evals) { gps(ti).nlmlAndGrad(p); i += 1 }
-            latch.countDown()
-          }
-        })
+      val samples = (1 to repeats).map { _ =>
+        val (s0, j0) = cpuJiffies()
+        val latch = new CountDownLatch(t)
+        val t0 = System.nanoTime()
+        (0 until t).foreach { ti =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = 0
+              while (i < evals) { gps(ti).nlmlAndGrad(p); i += 1 }
+              latch.countDown()
+            }
+          })
+        }
+        latch.await(30, TimeUnit.MINUTES)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (s1, j1) = cpuJiffies()
+        val steal = if (j1 > j0) 100.0 * (s1 - s0) / (j1 - j0) else 0.0
+        (wall * 1000.0 / evals, steal)
       }
-      latch.await(30, TimeUnit.MINUTES)
-      val wall = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
-      val msPerEval = wall * 1000.0 / evals
-      println(f"threads=$t%2d  wall=$wall%7.2f s  ms/eval=$msPerEval%8.2f  evals/s-total=${t * evals / wall}%8.1f")
-      (t, msPerEval)
+      val med = samples.map(_._1).sorted.apply(repeats / 2)
+      val stealStr = samples.map(v => f"${v._2}%.1f").mkString(",")
+      println(f"threads=$t%2d  ms/eval median=$med%8.2f  min=${samples.map(_._1).min}%8.2f  evals/s-total=${t * 1000.0 / med}%8.1f  steal%%=[$stealStr]")
+      (t, med)
     }
     for (i <- 1 until results.length) {
       val (tLo, mLo) = results(i - 1)

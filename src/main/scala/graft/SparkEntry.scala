@@ -506,6 +506,19 @@ object SparkEntry {
     // bin -> write ONE classic netCDF-3 granule -> parallel binaryFile
     // read-back; doubles roundtrip bit-exactly, so the bin-mean oracle
     // pins BOTH the writer and the reader.
+    // KISS-GP / SKI (gpytorch_models.py:321-386) through the real fit path;
+    // oracle pins (x, y, t, num_obs, model); SKI numerics are pinned by
+    // SkiMaternSpec (kernel convergence + exact-GP parity)
+    "q52_kissgp_run_details" -> ((s, dir) => {
+      val obs = obsDerived(s, dir).filter(col("x") > 0.0)
+      val experts = expertsDerived(s)
+        .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
+      val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      val results = LocalExpertOI.run(s, obs, experts, pg,
+        OIConfig(trainingRadius = 80000.0, maxIter = 15, model = "GraftKISS", sgprM = 1728))
+      LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
+    }),
+
     // Multioutput GP (multioutput/gpr.py): two co-located channels reading
     // one latent field with gains (1, 2) — the IS2+SMAP joint-measurement
     // shape. Real MultioutputGpr fits per window (deterministically capped
@@ -1117,6 +1130,9 @@ object SparkEntry {
 
     "q51_multioutput_run_details" -> runDetailsOracleSql(
       "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftMOGPR' ELSE 'GraftGPR' END"),
+
+    "q52_kissgp_run_details" -> runDetailsOracleSql(
+      "CASE WHEN coalesce(cnt.n, 0) >= 3 THEN 'GraftKISS' ELSE 'GraftGPR' END"),
 
     "q45_netcdf_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,

@@ -178,8 +178,59 @@ object TileModels {
     def name: String = "GraftASVGP"
   }
 
+  /** Selectable-smoothness exact GP (the GPyTorch backend's `smoothness`
+    * hyperparameter, gpytorch_models.py:229-246) — GprParams maps 1:1.
+    */
+  private final class MaternNuModel(coords: DenseMatrix[Double], y: DenseVector[Double],
+                                    nu: Double) extends TileModel {
+    private val gp = new MaternGpr(coords, y, nu)
+    private def toH(p: GprParams): Array[Double] =
+      p.lengthscales :+ p.kernelVariance :+ p.likelihoodVariance
+    def objective(p: GprParams): Double = gp.nlml(toH(p))
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult = {
+      val (h, obj, ok, iters) = gp.optimise(toH(init), bij, maxIter, tol)
+      GprFitResult(GprParams(h.take(coords.cols), h(coords.cols), h(coords.cols + 1)),
+        obj, ok, iters)
+    }
+    def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction = gp.predict(xs, toH(p))
+    def name: String = if (nu == 0.5) "GraftMatern12" else "GraftMatern52"
+  }
+
+  /** KISS-GP / SKI (gpytorch_models.py:321-386) — rank = total grid budget,
+    * split per dim; same fitted-params keying as VFF/ASVGP.
+    */
+  private final class SkiModel(coords: DenseMatrix[Double], y: DenseVector[Double], rank: Int)
+      extends TileModel {
+    private val dd = coords.cols
+    private val gPerDim = math.max(6, math.pow(rank.toDouble, 1.0 / dd).toInt)
+    private val gp = new SkiGpr(coords, y, Array.fill(dd)(gPerDim))
+    private def toH(p: GprParams): Array[Double] =
+      p.lengthscales ++ Array.fill(dd)(math.pow(p.kernelVariance, 1.0 / dd)) :+ p.likelihoodVariance
+    private var fittedH: Option[(GprParams, Array[Double])] = None
+    private def hFor(p: GprParams): Array[Double] = fittedH match {
+      case Some((fp, h)) if fp.lengthscales.sameElements(p.lengthscales) &&
+        fp.kernelVariance == p.kernelVariance &&
+        fp.likelihoodVariance == p.likelihoodVariance => h
+      case _ => toH(p)
+    }
+    def objective(p: GprParams): Double = gp.nlml(hFor(p))
+    def optimise(init: GprParams, bij: Array[Bijector], maxIter: Int, tol: Double): GprFitResult = {
+      val bijH: Array[Bijector] =
+        bij.take(dd) ++ Array.fill[Bijector](dd)(Bijectors.default) :+ bij.last
+      val (hOpt, obj, ok, iters) = gp.optimise(toH(init), bijH, maxIter, tol)
+      val pOpt = GprParams(hOpt.take(dd),
+        (dd until 2 * dd).map(hOpt).product, hOpt(2 * dd))
+      fittedH = Some((pOpt, hOpt))
+      GprFitResult(pOpt, obj, ok, iters)
+    }
+    def predict(xs: DenseMatrix[Double], p: GprParams): GprPrediction =
+      gp.predict(xs, hFor(p))
+    def name: String = "GraftKISS"
+  }
+
   /** registered model names (the `model` config values). */
-  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftSVGP", "GraftNystroem", "GraftVFF", "GraftASVGP")
+  val names: Seq[String] = Seq("GraftGPR", "GraftSGPR", "GraftSVGP", "GraftNystroem",
+    "GraftVFF", "GraftASVGP", "GraftKISS", "GraftMatern12", "GraftMatern52")
 
   /** Instantiate a model by name. `rank` is the low-rank knob (inducing
     * points for SGPR, landmarks for Nystroem; ignored by the exact model).
@@ -192,6 +243,9 @@ object TileModels {
     case "GraftNystroem" => new NystroemModel(coords, y, rank)
     case "GraftVFF" => new VffModel(coords, y, math.max(rank, 9))
     case "GraftASVGP" => new AsvgpModel(coords, y, math.max(rank, 27))
+    case "GraftKISS" => new SkiModel(coords, y, math.max(rank, 216))
+    case "GraftMatern12" => new MaternNuModel(coords, y, 0.5)
+    case "GraftMatern52" => new MaternNuModel(coords, y, 2.5)
     case other => throw new IllegalArgumentException(
       s"model '$other' not registered (known: ${names.mkString(", ")})")
   }

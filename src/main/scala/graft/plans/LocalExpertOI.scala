@@ -189,7 +189,7 @@ object LocalExpertOI {
       bij(4).moveWithinBound(init0.likelihoodVariance))
 
     val rank = modelName match {
-      case "GraftSGPR" | "GraftSVGP" | "GraftVFF" | "GraftASVGP" => cfg.sgprM
+      case "GraftSGPR" | "GraftSVGP" | "GraftVFF" | "GraftASVGP" | "GraftKISS" => cfg.sgprM
       case "GraftNystroem" => math.min(cfg.nystroemM, n)
       case _ => 0
     }

@@ -514,8 +514,11 @@ object SparkEntry {
       val experts = expertsDerived(s)
         .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
       val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
+      // cap never binds at the oracle SF (sf0.01 max window 508) but bounds
+      // the dense-Cholesky SKI cost at larger bench SFs (like q34)
       val results = LocalExpertOI.run(s, obs, experts, pg,
-        OIConfig(trainingRadius = 80000.0, maxIter = 15, model = "GraftKISS", sgprM = 1728))
+        OIConfig(trainingRadius = 80000.0, maxIter = 15, model = "GraftKISS", sgprM = 1728,
+          maxObsPerTile = 600))
       LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
     }),
 

@@ -14,14 +14,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   * default writes):
   *   superblock v0 -> root group symbol-table entry -> v1 group B-tree +
   *   local heap -> SNOD symbol nodes -> v1 object headers with Dataspace /
-  *   Datatype / Fill-Value / Layout messages -> CONTIGUOUS raw data.
+  *   Datatype / Fill-Value / Layout / Filter-Pipeline messages ->
+  *   CONTIGUOUS raw data or CHUNKED data behind a v1 chunk B-tree with
+  *   gzip (deflate) and shuffle filters — the layout h5py/netCDF-4
+  *   actually write.
   *
   * Scope (documented, checked, and errored loudly outside it):
   *  - datasets directly under the root group;
-  *  - fixed-shape 1-d/2-d datasets, contiguous layout (no chunking/filters);
+  *  - fixed-shape 1-d/2-d datasets;
+  *  - contiguous, or chunked with gzip/shuffle filters (szip/lzf/blosc
+  *    granules raise errors naming the filter id);
   *  - IEEE float64/float32 and signed int64/int32, little-endian.
-  * Chunked+deflate granules and superblock v2/v3 files raise errors that
-  * say exactly that, mirroring NetCdf3's NetCDF-4 error path.
+  * Superblock v2/v3 files raise errors that say exactly that, mirroring
+  * NetCdf3's NetCDF-4 error path.
   */
 object Hdf5Lite {
 
@@ -41,10 +46,19 @@ object Hdf5Lite {
 
   // ---------------------------------------------------------------- write
 
-  /** Encode datasets (root-group children) into one HDF5 byte image. */
-  def write(vars: Seq[H5Var]): Array[Byte] = {
+  /** Encode datasets (root-group children) into one HDF5 byte image.
+    *
+    * `chunkRows > 0` switches from contiguous to CHUNKED layout (chunks
+    * along the first dimension, a v1 chunk B-tree index — the layout real
+    * h5py/netCDF-4 writers produce), and `deflate` 1..9 adds the gzip
+    * filter pipeline on each chunk. `chunkRows = 0` is bit-identical to the
+    * original contiguous form.
+    */
+  def write(vars: Seq[H5Var], chunkRows: Int = 0, deflate: Int = 0): Array[Byte] = {
     require(vars.nonEmpty, "no datasets")
     require(vars.map(_.name).distinct.length == vars.length, "duplicate dataset names")
+    require(deflate >= 0 && deflate <= 9, "deflate level 0..9")
+    require(deflate == 0 || chunkRows > 0, "deflate requires chunked layout (chunkRows > 0)")
     val sorted = vars.sortBy(_.name) // SNOD entries must be name-sorted
 
     // ---- address plan (all sections 8-byte aligned) ----
@@ -70,23 +84,76 @@ object Hdf5Lite {
     val snodSize = 8 + 2 * leafK * 40
     require(sorted.length <= 2 * leafK, s"too many datasets for one SNOD")
 
+    // per-var chunk payloads (compressed up front: sizes drive the layout)
+    final case class ChunkBlob(offset0: Int, bytes: Array[Byte])
     final case class DsPlan(v: H5Var, ohAddr: Long, dataAddr: Long, dataSize: Long,
-                            isFloat: Boolean)
+                            isFloat: Boolean, placed: Seq[(ChunkBlob, Long)], chunkDim0: Int)
+    def rawChunk(v: H5Var, off0: Int, c0: Int): Array[Byte] = {
+      // full-size chunk, edge chunks zero-padded (HDF5 stores whole chunks)
+      val rest = v.shape.drop(1).product
+      val bb = ByteBuffer.allocate(c0 * rest * 8).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < c0 * rest) {
+        val src = off0 * rest + i
+        val inRange = (off0 + i / rest) < v.shape.head
+        if (v.doubles != null) bb.putDouble(if (inRange) v.doubles(src) else 0.0)
+        else bb.putLong(if (inRange) v.longs(src) else 0L)
+        i += 1
+      }
+      bb.array()
+    }
+    def compress(raw: Array[Byte]): Array[Byte] =
+      if (deflate == 0) raw
+      else {
+        val d = new java.util.zip.Deflater(deflate)
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        out.toByteArray
+      }
+
     var cursor = snodAddr + snodSize
     val plans = sorted.map { v =>
       val isFloat = v.doubles != null
       val rank = v.shape.length
       require(rank >= 1 && rank <= 2, s"${v.name}: only 1-d/2-d datasets supported")
-      // OH: prefix 16 + dataspace(8 + pad8(8 + rank*8)) + datatype(8 + sz)
-      //   + fillvalue(8 + 8) + layout(8 + 24)
       val dspaceSize = pad8(8 + rank * 8)
       val dtypeSize = if (isFloat) pad8(20) else pad8(12)
-      val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + 24)
-      val ohAddr = cursor
-      val dataAddr = ohAddr + ohSize
-      val dataSize = v.shape.product.toLong * 8L
-      cursor = dataAddr + dataSize
-      DsPlan(v, ohAddr, dataAddr, dataSize, isFloat)
+      if (chunkRows == 0) {
+        // OH: prefix 16 + dataspace + datatype + fillvalue(8 + 8) + layout(8 + 24)
+        val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + 24)
+        val ohAddr = cursor
+        val dataAddr = ohAddr + ohSize
+        val dataSize = v.shape.product.toLong * 8L
+        cursor = dataAddr + dataSize
+        DsPlan(v, ohAddr, dataAddr, dataSize, isFloat, Nil, 0)
+        // (contiguous: dataAddr/dataSize are the raw extent)
+      } else {
+        val c0 = math.min(chunkRows, v.shape.head)
+        val nChunks = (v.shape.head + c0 - 1) / c0
+        require(nChunks <= 64,
+          s"${v.name}: $nChunks chunks exceed one B-tree node (64) — raise chunkRows")
+        val blobs = (0 until nChunks).map(ci => ChunkBlob(ci * c0, compress(rawChunk(v, ci * c0, c0))))
+        val layoutRaw = 2 + 8 + 1 + (rank + 1) * 4
+        val filterSize = if (deflate > 0) 8 + 8 + 12 else 0 // msg hdr + body(8+12)
+        val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) +
+          (8 + pad8(layoutRaw)) + filterSize
+        val ohAddr = cursor
+        val btreeAddr = ohAddr + ohSize // dataAddr doubles as the btree address
+        val keySize = 8 + (rank + 1) * 8
+        val btreeSize = pad8(24 + (nChunks + 1) * keySize + nChunks * 8)
+        var chunkCursor = btreeAddr + btreeSize
+        val placed = blobs.map { b =>
+          val at = chunkCursor
+          chunkCursor += pad8(b.bytes.length)
+          (b, at)
+        }
+        cursor = chunkCursor
+        // chunked: dataAddr = B-tree address, dataSize unused
+        DsPlan(v, ohAddr, btreeAddr, 0L, isFloat, placed, c0)
+      }
     }
     val eof = cursor
 
@@ -167,11 +234,14 @@ object Hdf5Lite {
     plans.foreach { p =>
       buf.position(p.ohAddr.toInt)
       val rank = p.v.shape.length
+      val chunked = p.chunkDim0 > 0
       val dspaceSize = pad8(8 + rank * 8)
       val dtypeSize = if (p.isFloat) pad8(20) else pad8(12)
-      val msgBlock = (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + 24)
+      val layoutSize = if (chunked) pad8(2 + 8 + 1 + (rank + 1) * 4) else 24
+      val filterSize = if (chunked && deflate > 0) 8 + 8 + 12 else 0
+      val msgBlock = (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + layoutSize) + filterSize
       buf.put(1.toByte); buf.put(0.toByte)
-      buf.putShort(4.toShort)
+      buf.putShort((if (filterSize > 0) 5 else 4).toShort)
       buf.putInt(1)
       buf.putInt(msgBlock)
       buf.putInt(0)
@@ -207,15 +277,68 @@ object Hdf5Lite {
       buf.putShort(0x0005.toShort); buf.putShort(8.toShort); buf.putInt(0)
       buf.put(2.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(0.toByte)
       buf.putInt(0)
-      // layout v3, class 1 contiguous
-      buf.putShort(0x0008.toShort); buf.putShort(24.toShort); buf.putInt(0)
-      buf.put(3.toByte); buf.put(1.toByte)
-      buf.putLong(p.dataAddr); buf.putLong(p.dataSize)
-      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte);
-      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
-      // raw data
-      buf.position(p.dataAddr.toInt)
-      if (p.isFloat) p.v.doubles.foreach(buf.putDouble) else p.v.longs.foreach(buf.putLong)
+      if (!chunked) {
+        // layout v3, class 1 contiguous
+        buf.putShort(0x0008.toShort); buf.putShort(24.toShort); buf.putInt(0)
+        buf.put(3.toByte); buf.put(1.toByte)
+        buf.putLong(p.dataAddr); buf.putLong(p.dataSize)
+        buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte);
+        buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+        // raw data
+        buf.position(p.dataAddr.toInt)
+        if (p.isFloat) p.v.doubles.foreach(buf.putDouble) else p.v.longs.foreach(buf.putLong)
+      } else {
+        val layoutSz = pad8(2 + 8 + 1 + (rank + 1) * 4)
+        // layout v3, class 2 chunked: btree address + chunk dims + elem size
+        buf.putShort(0x0008.toShort); buf.putShort(layoutSz.toShort); buf.putInt(0)
+        val lStart = buf.position()
+        buf.put(3.toByte); buf.put(2.toByte)
+        buf.put((rank + 1).toByte)
+        buf.putLong(p.dataAddr) // B-tree address
+        buf.putInt(p.chunkDim0)
+        p.v.shape.drop(1).foreach(dd => buf.putInt(dd))
+        buf.putInt(8) // element size
+        buf.position(lStart + layoutSz)
+        if (deflate > 0) {
+          // filter pipeline v1: one filter, gzip (id 1), 1 client value
+          buf.putShort(0x000b.toShort); buf.putShort(20.toShort); buf.putInt(0)
+          buf.put(1.toByte); buf.put(1.toByte)
+          buf.put(0.toByte); buf.put(0.toByte); buf.putInt(0) // 6 reserved
+          buf.putShort(1.toShort)  // filter id: deflate
+          buf.putShort(0.toShort)  // name length (none for id < 256)
+          buf.putShort(1.toShort)  // flags (optional filter)
+          buf.putShort(1.toShort)  // client values
+          buf.putInt(deflate)      // level
+          buf.putInt(0)            // odd client count -> 4 pad bytes
+        }
+        // chunk B-tree v1 (single level-0 node)
+        val keySize = 8 + (rank + 1) * 8
+        buf.position(p.dataAddr.toInt)
+        buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
+        buf.put(1.toByte)  // node type: raw data chunk
+        buf.put(0.toByte)  // level
+        buf.putShort(p.placed.length.toShort)
+        buf.putLong(Undef); buf.putLong(Undef)
+        val rest = p.v.shape.drop(1)
+        p.placed.foreach { case (blob, at) =>
+          buf.putInt(blob.bytes.length)       // key: chunk size (stored bytes)
+          buf.putInt(0)                       // filter mask: all applied
+          buf.putLong(blob.offset0.toLong)
+          rest.foreach(_ => buf.putLong(0L))
+          buf.putLong(0L)                     // element-dim offset
+          buf.putLong(at)                     // child: chunk address
+        }
+        // final key: one past the last chunk (row-major successor offset)
+        buf.putInt(0); buf.putInt(0)
+        buf.putLong((p.placed.last._1.offset0 + p.chunkDim0).toLong)
+        rest.foreach(_ => buf.putLong(0L))
+        buf.putLong(0L)
+        // chunk payloads
+        p.placed.foreach { case (blob, at) =>
+          buf.position(at.toInt)
+          buf.put(blob.bytes)
+        }
+      }
     }
     buf.array()
   }
@@ -294,6 +417,8 @@ object Hdf5Lite {
     var dtSize = -1
     var dataAddr = -1L
     var dataSize = -1L
+    var chunkDims: Seq[Int] = null // set for chunked layout (class 2)
+    var filters: Seq[Int] = Nil
     var cursor = p + 16
     var seen = 0
     while (seen < nmsgs) {
@@ -311,13 +436,35 @@ object Hdf5Lite {
           dtSize = buf.getInt(body + 4)
         case 0x0008 => // layout
           val ver = bytes(body).toInt
-          require(ver == 3 || ver == 4, s"$name: layout message v$ver not supported")
+          require(ver == 3, s"$name: layout message v$ver not supported")
           val cls = bytes(body + 1).toInt
-          require(cls == 1,
-            s"$name: only CONTIGUOUS layout supported (class $cls is " +
-              (if (cls == 2) "chunked — rewrite without chunking/compression)" else "compact)"))
-          dataAddr = buf.getLong(body + 2)
-          dataSize = buf.getLong(body + 10)
+          if (cls == 1) {
+            dataAddr = buf.getLong(body + 2)
+            dataSize = buf.getLong(body + 10)
+          } else if (cls == 2) {
+            val ndims = bytes(body + 2).toInt // rank + 1 (element dim)
+            dataAddr = buf.getLong(body + 3)  // chunk B-tree address
+            chunkDims = (0 until ndims - 1).map(i => buf.getInt(body + 11 + i * 4))
+          } else throw new IllegalArgumentException(s"$name: compact layout not supported")
+        case 0x000b => // filter pipeline
+          val ver = bytes(body).toInt
+          val nf = bytes(body + 1).toInt
+          var fo = if (ver == 1) body + 8 else body + 2
+          filters = (0 until nf).map { _ =>
+            val id = buf.getShort(fo).toInt & 0xffff
+            var pos = fo + 2
+            val nameLen =
+              if (ver == 1 || id >= 256) { val v = buf.getShort(pos).toInt & 0xffff; pos += 2; v }
+              else 0
+            pos += 2 // flags
+            val nClient = buf.getShort(pos).toInt & 0xffff
+            pos += 2
+            pos += (if (ver == 1) (nameLen + 7) & ~7 else nameLen)
+            pos += nClient * 4
+            if (ver == 1 && nClient % 2 == 1) pos += 4
+            fo = pos
+            id
+          }
         case 0x0010 => // object header continuation — not emitted by this writer
           throw new IllegalArgumentException(s"$name: continuation blocks not supported")
         case _ => // fill value, mod time, attributes: skipped
@@ -327,14 +474,100 @@ object Hdf5Lite {
     }
     require(shape != null && dtClass >= 0 && dataAddr >= 0, s"$name: incomplete object header")
     val n = shape.product
+    filters.foreach(id => require(id == 1 || id == 2,
+      s"$name: filter id $id not supported (gzip=1 and shuffle=2 only; " +
+        "szip/lzf/blosc granules must be rewritten)"))
+
+    // chunked path: walk the v1 chunk B-tree, undo filters, assemble the
+    // row-major element buffer, then fall through to the typed copy below
+    val chunkedRaw: Array[Byte] =
+      if (chunkDims == null) null
+      else {
+        require(chunkDims.length == shape.length,
+          s"$name: chunk rank ${chunkDims.length} != dataspace rank ${shape.length}")
+        val out = new Array[Byte](n * dtSize)
+        val keyDims = shape.length + 1
+        val keySize = 8 + keyDims * 8
+        def walk(node: Long): Unit = {
+          val q = node.toInt
+          require(bytes(q) == 'T' && bytes(q + 1) == 'R' && bytes(q + 2) == 'E' && bytes(q + 3) == 'E',
+            s"$name: bad chunk B-tree signature")
+          require(bytes(q + 4) == 1, s"$name: not a chunk B-tree node")
+          val level = bytes(q + 5).toInt
+          val used = buf.getShort(q + 6).toInt
+          var e = 0
+          while (e < used) {
+            val keyOff = q + 24 + e * (keySize + 8)
+            val child = buf.getLong(keyOff + keySize)
+            if (level > 0) walk(child)
+            else {
+              val storedSize = buf.getInt(keyOff)
+              val offs = (0 until shape.length).map(i => buf.getLong(keyOff + 8 + i * 8).toInt)
+              var chunk = new Array[Byte](storedSize)
+              System.arraycopy(bytes, child.toInt, chunk, 0, storedSize)
+              // undo filters in reverse pipeline order
+              if (filters.contains(1)) {
+                val inf = new java.util.zip.Inflater()
+                inf.setInput(chunk)
+                val outB = new java.io.ByteArrayOutputStream(chunk.length * 3 + 64)
+                val tmp = new Array[Byte](8192)
+                while (!inf.finished()) {
+                  val got = inf.inflate(tmp)
+                  if (got == 0 && inf.needsInput()) throw new IllegalArgumentException(
+                    s"$name: truncated deflate chunk")
+                  outB.write(tmp, 0, got)
+                }
+                inf.end()
+                chunk = outB.toByteArray
+              }
+              if (filters.contains(2)) {
+                // shuffle filter: bytes grouped by significance — transpose back
+                val elems = chunk.length / dtSize
+                val un = new Array[Byte](chunk.length)
+                var j = 0
+                while (j < dtSize) {
+                  var i = 0
+                  while (i < elems) { un(i * dtSize + j) = chunk(j * elems + i); i += 1 }
+                  j += 1
+                }
+                chunk = un
+              }
+              // scatter valid region into the row-major output
+              val d0 = shape.head
+              val rest = shape.drop(1).product
+              val c0 = chunkDims.head
+              val cRest = chunkDims.drop(1).product
+              var i0 = 0
+              while (i0 < c0 && offs.head + i0 < d0) {
+                if (shape.length == 1) {
+                  System.arraycopy(chunk, i0 * cRest * dtSize,
+                    out, (offs.head + i0) * dtSize, dtSize)
+                } else {
+                  val o1 = offs(1)
+                  val len = math.min(cRest, shape(1) - o1)
+                  System.arraycopy(chunk, i0 * cRest * dtSize,
+                    out, ((offs.head + i0) * rest + o1) * dtSize, len * dtSize)
+                }
+                i0 += 1
+              }
+            }
+            e += 1
+          }
+        }
+        walk(dataAddr)
+        out
+      }
+    val dataBuf = if (chunkedRaw != null)
+      ByteBuffer.wrap(chunkedRaw).order(ByteOrder.LITTLE_ENDIAN) else buf
+    val dataBase = if (chunkedRaw != null) 0L else dataAddr
     dtClass match {
       case 1 => // float
         require(dtSize == 8 || dtSize == 4, s"$name: float$dtSize not supported")
         val out = new Array[Double](n)
         var i = 0
         while (i < n) {
-          out(i) = if (dtSize == 8) buf.getDouble((dataAddr + i * 8).toInt)
-          else buf.getFloat((dataAddr + i * 4).toInt).toDouble
+          out(i) = if (dtSize == 8) dataBuf.getDouble((dataBase + i * 8L).toInt)
+          else dataBuf.getFloat((dataBase + i * 4L).toInt).toDouble
           i += 1
         }
         H5Read(name, shape, out, null)
@@ -343,8 +576,8 @@ object Hdf5Lite {
         val out = new Array[Long](n)
         var i = 0
         while (i < n) {
-          out(i) = if (dtSize == 8) buf.getLong((dataAddr + i * 8).toInt)
-          else buf.getInt((dataAddr + i * 4).toInt).toLong
+          out(i) = if (dtSize == 8) dataBuf.getLong((dataBase + i * 8L).toInt)
+          else dataBuf.getInt((dataBase + i * 4L).toInt).toLong
           i += 1
         }
         H5Read(name, shape, null, out)

@@ -45,6 +45,30 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     assert(Hdf5Lite.read(img).map(_.name) === Seq("a", "b"))
   }
 
+  test("chunked + gzip roundtrip is bit-exact, including ragged edge chunks") {
+    val vals = Array.tabulate(103)(i => math.sin(i * 0.7) * (i % 5))
+    val ids = Array.tabulate(103)(i => i * 7L - 350L)
+    val grid = Array.tabulate(60)(i => i * 0.25 - 7.0)
+    for (deflate <- Seq(0, 6)) {
+      val img = Hdf5Lite.write(Seq(
+        H5Var("v", Seq(103), doubles = vals),
+        H5Var("ids", Seq(103), longs = ids),
+        H5Var("g", Seq(6, 10), doubles = grid)),
+        chunkRows = 16, deflate = deflate)
+      val back = Hdf5Lite.read(img).map(v => v.name -> v).toMap
+      assert(back("v").doubles.map(java.lang.Double.doubleToRawLongBits) ===
+        vals.map(java.lang.Double.doubleToRawLongBits), s"deflate=$deflate doubles")
+      assert(back("ids").longs === ids, s"deflate=$deflate longs")
+      assert(back("g").shape === Seq(6, 10))
+      assert(back("g").doubles === grid, s"deflate=$deflate 2-d")
+    }
+    // compression actually engages: repetitive data shrinks the file
+    val rep = Array.fill(4096)(1.0)
+    val plain = Hdf5Lite.write(Seq(H5Var("r", Seq(4096), doubles = rep)), chunkRows = 1024)
+    val gz = Hdf5Lite.write(Seq(H5Var("r", Seq(4096), doubles = rep)), chunkRows = 1024, deflate = 6)
+    assert(gz.length < plain.length / 4, s"gzip ${gz.length} vs plain ${plain.length}")
+  }
+
   test("reader rejects non-HDF5 and newer-superblock files with clear errors") {
     val notH5 = "PAR1 something".getBytes
     val e1 = intercept[IllegalArgumentException](Hdf5Lite.read(notH5))

@@ -40,6 +40,12 @@ object GpSatCli {
       cfg.copy(oi = cfg.oi.copy(configId = configId)))
     println(s"config_id=$configId tiles=${summary.tiles} skipped=${summary.skipped} " +
       s"pred_rows=${summary.predRows} fit_seconds=${summary.fitSeconds}")
+    JsonConfig.exportH5Path(json).foreach { p =>
+      store.exportH5(p, Seq("run_details", "preds", "lengthscales", "kernel_variance",
+        "likelihood_variance", "lengthscales_SMOOTHED", "kernel_variance_SMOOTHED",
+        "likelihood_variance_SMOOTHED"))
+      println(s"exported_h5=$p")
+    }
     spark.stop()
   }
 }

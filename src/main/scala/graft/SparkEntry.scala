@@ -599,6 +599,24 @@ object SparkEntry {
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // pandas-HDFStore-fixed roundtrip: the reference's actual store SHAPE
+    // (df.to_hdf(path, key) -> /key/axis0 + blockN layout, read back via
+    // the `table` key like pd.read_hdf(path, key), dataloader.py:563-624).
+    // Mixed double (block0) + long (block1) columns exercise both block
+    // paths; the oracle recomputes from parquet, pinning writer AND reader.
+    "q53_hdfstore_roundtrip" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean", "count")))
+        .select(col("x"), col("y"), col("z_mean"),
+          col("z_count").cast("long").as("n_obs"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q53_").toString + "/store.h5"
+      graft.sources.Hdf5Table.writePandasFixed(binned, tmp, key = "binned")
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, table = Some("binned"),
+        colSelect = Seq("x", "y", "z_mean", "n_obs")))
+    }),
+
     "q45_netcdf_roundtrip" -> ((s, dir) => {
       val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
         valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
@@ -1150,6 +1168,15 @@ object SparkEntry {
     "q49_hdf5_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    "q53_hdfstore_roundtrip" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS n_obs FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
          |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
          |   FROM ($ObsSql)

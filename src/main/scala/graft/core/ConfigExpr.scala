@@ -173,8 +173,10 @@ object ConfigExpr {
       colSelect: Seq[String] = Seq.empty,
       fileRegex: Option[String] = None, // multi-file scan filter
       sourceColumn: Option[String] = None, // per-file provenance column
-      newColumnNames: Option[Seq[String]] = None) // positional full rename
+      newColumnNames: Option[Seq[String]] = None, // positional full rename
                                                   // (dataloader.py:428-432)
+      table: Option[String] = None) // HDFStore key for pandas-fixed .h5
+                                    // frames (read_hdf's `key`/`table` arg)
 
   /** suffix -> format dispatch (dataloader.py:28-35) + scan -> where ->
     * col_funcs -> row_select -> col_select, in reference order
@@ -186,11 +188,22 @@ object ConfigExpr {
     // HDF5 goes through the pure-JVM granule codec (the reference's
     // canonical store suffix, dataloader.py:28-35 "h5"/"hdf5" -> read_hdf)
     if (suffix == "h5" || suffix == "hdf5") {
-      var df = graft.sources.Hdf5Table.read(spark, cfg.source)
-      cfg.sourceColumn match {
-        case Some(c) => df = df.withColumn(c, regexp_extract(col("source_file"), "([^/]+)$", 1))
-            .drop("source_file")
-        case None => df = df.drop("source_file")
+      // `table` set -> ONE pandas-HDFStore-fixed frame under that key;
+      // unset -> columnar granule scan (directory/glob parallel)
+      var df = cfg.table match {
+        case Some(key) =>
+          var d = graft.sources.Hdf5Table.readPandasFixed(spark, cfg.source, key).drop("index")
+          cfg.sourceColumn.foreach { c =>
+            d = d.withColumn(c, regexp_extract(lit(cfg.source), "([^/]+)$", 1))
+          }
+          d
+        case None =>
+          val d = graft.sources.Hdf5Table.read(spark, cfg.source)
+          cfg.sourceColumn match {
+            case Some(c) => d.withColumn(c, regexp_extract(col("source_file"), "([^/]+)$", 1))
+                .drop("source_file")
+            case None => d.drop("source_file")
+          }
       }
       cfg.newColumnNames.foreach(ns => df = df.toDF(ns: _*))
       if (cfg.where.nonEmpty) df = df.filter(combineWhere(cfg.where))

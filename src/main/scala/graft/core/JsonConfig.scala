@@ -105,6 +105,14 @@ object JsonConfig {
       oi = oi)
   }
 
+  /** Optional `"export_h5": "/path/results.h5"` — after the run, the CLI
+    * exports the store tables into one reference-shaped multi-key `.h5`
+    * (ResultStore.exportH5), so downstream pd.read_hdf tooling keeps
+    * working.
+    */
+  def exportH5Path(json: String): Option[String] =
+    (JsonMethods.parse(json) \ "export_h5").toOption.collect { case JString(s) => s }
+
   /** Canonical JSON for config identity: sorted keys, compact. */
   def canonical(json: String): String = {
     def sort(v: JValue): JValue = v match {

@@ -62,6 +62,32 @@ final class ResultStore(spark: SparkSession, root: String) {
     t.join(e, coordsCol, "left")
   }
 
+  /** Export result tables into ONE multi-key `.h5` — the reference's
+    * store-file shape (one HDF5 file with run_details / preds / ... keys,
+    * local_experts.py:499-550), so a reference user's downstream
+    * `pd.read_hdf(file, key)` tooling reads this engine's results directly.
+    * Double/long/string columns; driver-side single-file write, the honest
+    * cost for result-store-sized tables.
+    */
+  def exportH5(outPath: String, tables: Seq[String]): Unit = {
+    val present = tables.filter(exists)
+    require(present.nonEmpty, s"none of ${tables.mkString(",")} exist in $root")
+    graft.sources.Hdf5Table.writePandasFixedKeys(
+      present.map(t => t -> table(t)), outPath)
+  }
+
+  /** Import every key of a reference-shaped multi-key `.h5` store as
+    * overwrite-mode tables (the migration path INTO this engine).
+    */
+  def importH5(spark: SparkSession, h5Path: String): Seq[String] = {
+    val keys = graft.sources.Hdf5Table.pandasKeys(spark, h5Path)
+    keys.foreach { k =>
+      overwrite(k, graft.sources.Hdf5Table.readPandasFixed(spark, h5Path, k).drop("index"),
+        Map("imported_from" -> h5Path))
+    }
+    keys
+  }
+
   /** Config identity (reference `get_previous_oi_config`, utils.py:1136-1273):
     * exact canonical-JSON equality against previously stored configs; a match
     * reuses its idx, otherwise max(idx) + 1 is assigned and appended.

@@ -20,11 +20,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   actually write.
   *
   * Scope (documented, checked, and errored loudly outside it):
-  *  - datasets directly under the root group;
+  *  - datasets under the root group or nested symbol-table sub-groups
+  *    (names come back path-qualified, `group/dataset` — the shape
+  *    `pd.HDFStore` keys produce);
   *  - fixed-shape 1-d/2-d datasets;
   *  - contiguous, or chunked with gzip/shuffle filters (szip/lzf/blosc
   *    granules raise errors naming the filter id);
-  *  - IEEE float64/float32 and signed int64/int32, little-endian.
+  *  - IEEE float64/float32, signed int64/int32, and fixed-length strings
+  *    (the datatype pandas axis labels use), little-endian.
   * Superblock v2/v3 files raise errors that say exactly that, mirroring
   * NetCdf3's NetCDF-4 error path.
   */
@@ -36,12 +39,20 @@ object Hdf5Lite {
 
   // ---------------------------------------------------------------- model
 
-  /** One dataset: name, shape, and values (Doubles or Longs). */
+  /** One dataset: name, shape, and values (Doubles, Longs, or fixed-length
+    * Strings — strings are always stored contiguous).
+    */
   final case class H5Var(name: String, shape: Seq[Int], doubles: Array[Double] = null,
-                         longs: Array[Long] = null) {
-    require((doubles == null) != (longs == null), s"$name: exactly one of doubles/longs")
-    private def len = if (doubles != null) doubles.length else longs.length
+                         longs: Array[Long] = null, strings: Array[String] = null) {
+    require(Seq(doubles, longs, strings).count(_ != null) == 1,
+      s"$name: exactly one of doubles/longs/strings")
+    private def len =
+      if (doubles != null) doubles.length else if (longs != null) longs.length else strings.length
     require(shape.product == len, s"$name: shape ${shape.mkString("x")} != $len values")
+    /** fixed element size: NUL-padded max byte length for strings, 8 else */
+    private[sources] def elemSize: Int =
+      if (strings == null) 8
+      else math.max(1, strings.map(_.getBytes("UTF-8").length).max + 1)
   }
 
   // ---------------------------------------------------------------- write
@@ -53,36 +64,87 @@ object Hdf5Lite {
     * h5py/netCDF-4 writers produce), and `deflate` 1..9 adds the gzip
     * filter pipeline on each chunk. `chunkRows = 0` is bit-identical to the
     * original contiguous form.
+    *
+    * `group` non-empty places every dataset under ONE child group of root
+    * (the `pd.HDFStore` key shape, `/key/axis0` etc.).
     */
-  def write(vars: Seq[H5Var], chunkRows: Int = 0, deflate: Int = 0): Array[Byte] = {
-    require(vars.nonEmpty, "no datasets")
-    require(vars.map(_.name).distinct.length == vars.length, "duplicate dataset names")
+  def write(vars: Seq[H5Var], chunkRows: Int = 0, deflate: Int = 0,
+            group: String = ""): Array[Byte] =
+    if (group.isEmpty) writeImage(vars, Nil, chunkRows, deflate)
+    else writeImage(Nil, Seq(group -> vars), chunkRows, deflate)
+
+  /** Multi-key image: each (key, datasets) pair becomes one root child
+    * group — the multi-table `pd.HDFStore` store shape the reference keeps
+    * its run results in (run_details / preds / hyperparameter tables
+    * side by side in ONE `.h5`, local_experts.py:499-550).
+    */
+  def writeKeys(keyed: Seq[(String, Seq[H5Var])], chunkRows: Int = 0,
+                deflate: Int = 0): Array[Byte] =
+    writeImage(Nil, keyed, chunkRows, deflate)
+
+  private def writeImage(rootVars: Seq[H5Var], keyed0: Seq[(String, Seq[H5Var])],
+                         chunkRows: Int, deflate: Int): Array[Byte] = {
     require(deflate >= 0 && deflate <= 9, "deflate level 0..9")
     require(deflate == 0 || chunkRows > 0, "deflate requires chunked layout (chunkRows > 0)")
-    val sorted = vars.sortBy(_.name) // SNOD entries must be name-sorted
+    val keyed = keyed0.sortBy(_._1) // root SNOD entries must be name-sorted
+    keyed.foreach { case (k, vs) =>
+      require(k.nonEmpty && !k.contains("/"), s"key '$k' must be one non-empty level")
+      require(vs.nonEmpty, s"key '$k': no datasets")
+    }
+    require(keyed.map(_._1).distinct.length == keyed.length, "duplicate keys")
+    require(rootVars.nonEmpty || keyed.nonEmpty, "no datasets")
+    val flat = keyed.isEmpty
+    // dataset groups to lay out: the root itself, or one section per key
+    val groups: Seq[(String, Seq[H5Var])] =
+      if (flat) Seq("" -> rootVars.sortBy(_.name))
+      else keyed.map { case (k, vs) => k -> vs.sortBy(_.name) }
+    groups.foreach { case (k, vs) =>
+      require(vs.map(_.name).distinct.length == vs.length,
+        s"duplicate dataset names${if (k.isEmpty) "" else s" under '$k'"}")
+    }
 
     // ---- address plan (all sections 8-byte aligned) ----
     def pad8(n: Int): Int = (n + 7) & ~7
     val superblockSize = 96
     val rootOhAddr = superblockSize.toLong
-    val rootOhSize = 16 + (8 + 16) // prefix+pad, SymbolTable message
-    val heapHdrAddr = rootOhAddr + rootOhSize
-    val heapHdrSize = 32
-    val heapDataAddr = heapHdrAddr + heapHdrSize
-    // heap data: byte 0 = empty string, then each name NUL-terminated, 8-aligned
-    val nameOffsets = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    var heapUsed = 8 // reserve an aligned empty-string slot at offset 0
-    sorted.foreach { v =>
-      nameOffsets(v.name) = heapUsed.toLong
-      heapUsed += pad8(v.name.getBytes("UTF-8").length + 1)
+    val grpOhSize = 16 + (8 + 16) // v1 prefix + SymbolTable message
+
+    // one symbol-table section = local heap + v1 group B-tree + one SNOD
+    final case class SymSec(heapHdr: Long, heapDataSize: Int, btree: Long,
+                            snod: Long, snodSize: Int, leafK: Int,
+                            nameOffsets: Map[String, Long]) {
+      def end: Long = snod + snodSize
     }
-    val heapDataSize = pad8(heapUsed)
-    val btreeAddr = heapDataAddr + heapDataSize
-    val leafK = math.max(4, (sorted.length + 1) / 2)
-    val btreeSize = 24 + 3 * 8 // level-0 node, 1 child: key0 child0 key1
-    val snodAddr = btreeAddr + btreeSize
-    val snodSize = 8 + 2 * leafK * 40
-    require(sorted.length <= 2 * leafK, s"too many datasets for one SNOD")
+    def planSym(names: Seq[String], base: Long): SymSec = {
+      // heap data: byte 0 = empty string, then each name NUL-terminated, 8-aligned
+      val offs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var heapUsed = 8 // reserve an aligned empty-string slot at offset 0
+      names.foreach { n =>
+        offs(n) = heapUsed.toLong
+        heapUsed += pad8(n.getBytes("UTF-8").length + 1)
+      }
+      val heapDataSize = pad8(heapUsed)
+      val btree = base + 32 + heapDataSize
+      val leafK = math.max(4, (names.length + 1) / 2)
+      require(names.length <= 2 * leafK, "too many entries for one SNOD")
+      SymSec(base, heapDataSize, btree, btree + 24 + 3 * 8, 8 + 2 * leafK * 40,
+        leafK, offs.toMap)
+    }
+
+    // root section: datasets directly (flat) or the key directory
+    val rootSec = planSym(
+      if (flat) groups.head._2.map(_.name) else groups.map(_._1), rootOhAddr + grpOhSize)
+    // per key: group object header followed by its own dataset section
+    var secCursor = rootSec.end
+    val keySecs: Seq[(Long, SymSec)] = groups.map { case (_, vs) =>
+      if (flat) (0L, rootSec)
+      else {
+        val ohAddr = secCursor
+        val sec = planSym(vs.map(_.name), ohAddr + grpOhSize)
+        secCursor = sec.end
+        (ohAddr, sec)
+      }
+    }
 
     // per-var chunk payloads (compressed up front: sizes drive the layout)
     final case class ChunkBlob(offset0: Int, bytes: Array[Byte])
@@ -114,20 +176,23 @@ object Hdf5Lite {
         out.toByteArray
       }
 
-    var cursor = snodAddr + snodSize
-    val plans = sorted.map { v =>
+    def dtypeSizeOf(v: H5Var): Int =
+      if (v.doubles != null) pad8(20) else if (v.longs != null) pad8(12) else pad8(8)
+
+    var cursor = secCursor
+    val plansByGroup: Seq[Seq[DsPlan]] = groups.map(_._2.map { v =>
       val isFloat = v.doubles != null
       val rank = v.shape.length
       require(rank >= 1 && rank <= 2, s"${v.name}: only 1-d/2-d datasets supported")
       val dspaceSize = pad8(8 + rank * 8)
-      val dtypeSize = if (isFloat) pad8(20) else pad8(12)
-      if (chunkRows == 0) {
+      val dtypeSize = dtypeSizeOf(v)
+      if (chunkRows == 0 || v.strings != null) {
         // OH: prefix 16 + dataspace + datatype + fillvalue(8 + 8) + layout(8 + 24)
         val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + 24)
         val ohAddr = cursor
         val dataAddr = ohAddr + ohSize
-        val dataSize = v.shape.product.toLong * 8L
-        cursor = dataAddr + dataSize
+        val dataSize = v.shape.product.toLong * v.elemSize
+        cursor = dataAddr + pad8(dataSize.toInt)
         DsPlan(v, ohAddr, dataAddr, dataSize, isFloat, Nil, 0)
         // (contiguous: dataAddr/dataSize are the raw extent)
       } else {
@@ -154,7 +219,8 @@ object Hdf5Lite {
         // chunked: dataAddr = B-tree address, dataSize unused
         DsPlan(v, ohAddr, btreeAddr, 0L, isFloat, placed, c0)
       }
-    }
+    })
+    val plans = plansByGroup.flatten
     val eof = cursor
 
     val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
@@ -169,7 +235,7 @@ object Hdf5Lite {
     buf.put(8.toByte) // size of offsets
     buf.put(8.toByte) // size of lengths
     buf.put(0.toByte) // reserved
-    buf.putShort(leafK.toShort)  // group leaf node K
+    buf.putShort(rootSec.leafK.toShort) // group leaf node K
     buf.putShort(16.toShort)     // group internal node K
     buf.putInt(0)                // file consistency flags
     buf.putLong(0L)              // base address
@@ -181,54 +247,76 @@ object Hdf5Lite {
     buf.putLong(rootOhAddr)
     buf.putInt(1)                // cache type 1: group
     buf.putInt(0)
-    buf.putLong(btreeAddr)       // scratch: B-tree address
-    buf.putLong(heapHdrAddr)     // scratch: heap address
+    buf.putLong(rootSec.btree)   // scratch: B-tree address
+    buf.putLong(rootSec.heapHdr) // scratch: heap address
     require(buf.position() == superblockSize)
 
-    // ---- root object header v1: one Symbol Table message (0x0011) ----
-    buf.put(1.toByte); buf.put(0.toByte)
-    buf.putShort(1.toShort)      // message count
-    buf.putInt(1)                // reference count
-    buf.putInt(8 + 16)           // header data size
-    buf.putInt(0)                // pad to 8
-    buf.putShort(0x0011.toShort); buf.putShort(16.toShort); buf.putInt(0)
-    buf.putLong(btreeAddr); buf.putLong(heapHdrAddr)
-
-    // ---- local heap ----
-    buf.put('H'.toByte); buf.put('E'.toByte); buf.put('A'.toByte); buf.put('P'.toByte)
-    buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
-    buf.putLong(heapDataSize.toLong)
-    buf.putLong(Undef)           // free list: none
-    buf.putLong(heapDataAddr)
-    // heap data: offset 0 = empty string slot, then names
-    val heapStart = buf.position()
-    nameOffsets.foreach { case (name, off) =>
-      buf.position(heapStart + off.toInt)
-      buf.put(name.getBytes("UTF-8")); buf.put(0.toByte)
+    // one symbol-table group object header (root and key groups share the
+    // single-SymbolTable-message shape)
+    def emitGroupOh(at: Long, bt: Long, hp: Long): Unit = {
+      buf.position(at.toInt)
+      buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(1.toShort)      // message count
+      buf.putInt(1)                // reference count
+      buf.putInt(8 + 16)           // header data size
+      buf.putInt(0)                // pad to 8
+      buf.putShort(0x0011.toShort); buf.putShort(16.toShort); buf.putInt(0)
+      buf.putLong(bt); buf.putLong(hp)
     }
-    buf.position(heapStart + heapDataSize)
+    emitGroupOh(rootOhAddr, rootSec.btree, rootSec.heapHdr)
 
-    // ---- group B-tree v1: level 0, one SNOD child ----
-    buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
-    buf.put(0.toByte)            // node type: group
-    buf.put(0.toByte)            // level
-    buf.putShort(1.toShort)      // entries used
-    buf.putLong(Undef); buf.putLong(Undef) // siblings
-    buf.putLong(0L)              // key 0: empty string (<= all names)
-    buf.putLong(snodAddr)        // child 0
-    buf.putLong(nameOffsets(sorted.last.name)) // key 1: largest name
-
-    // ---- SNOD ----
-    buf.put('S'.toByte); buf.put('N'.toByte); buf.put('O'.toByte); buf.put('D'.toByte)
-    buf.put(1.toByte); buf.put(0.toByte)
-    buf.putShort(sorted.length.toShort)
-    plans.foreach { p =>
-      buf.putLong(nameOffsets(p.v.name))
-      buf.putLong(p.ohAddr)
-      buf.putInt(0); buf.putInt(0)           // cache type 0 + reserved
-      buf.putLong(0L); buf.putLong(0L)       // scratch
+    // local heap + group B-tree + SNOD for one section; entries are
+    // (name, objectHeaderAddr, cacheType, scratch0, scratch1), name-sorted
+    def emitSymSec(sec: SymSec, entries: Seq[(String, Long, Int, Long, Long)]): Unit = {
+      buf.position(sec.heapHdr.toInt)
+      buf.put('H'.toByte); buf.put('E'.toByte); buf.put('A'.toByte); buf.put('P'.toByte)
+      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putLong(sec.heapDataSize.toLong)
+      buf.putLong(Undef)           // free list: none
+      buf.putLong(sec.heapHdr + 32)
+      // heap data: offset 0 = empty string slot, then names
+      val heapStart = sec.heapHdr.toInt + 32
+      sec.nameOffsets.foreach { case (name, off) =>
+        buf.position(heapStart + off.toInt)
+        buf.put(name.getBytes("UTF-8")); buf.put(0.toByte)
+      }
+      // group B-tree v1: level 0, one SNOD child
+      buf.position(sec.btree.toInt)
+      buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
+      buf.put(0.toByte)            // node type: group
+      buf.put(0.toByte)            // level
+      buf.putShort(1.toShort)      // entries used
+      buf.putLong(Undef); buf.putLong(Undef) // siblings
+      buf.putLong(0L)              // key 0: empty string (<= all names)
+      buf.putLong(sec.snod)        // child 0
+      buf.putLong(sec.nameOffsets(entries.last._1)) // key 1: largest name
+      // SNOD
+      buf.position(sec.snod.toInt)
+      buf.put('S'.toByte); buf.put('N'.toByte); buf.put('O'.toByte); buf.put('D'.toByte)
+      buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(entries.length.toShort)
+      entries.foreach { case (name, ohAddr, cacheType, s0, s1) =>
+        buf.putLong(sec.nameOffsets(name))
+        buf.putLong(ohAddr)
+        buf.putInt(cacheType); buf.putInt(0)
+        buf.putLong(s0); buf.putLong(s1)
+      }
     }
-    buf.position((snodAddr + snodSize).toInt)
+
+    if (flat)
+      emitSymSec(rootSec, plans.map(p => (p.v.name, p.ohAddr, 0, 0L, 0L)))
+    else {
+      // root directory of keys (cache type 1 scratch = the cached
+      // (B-tree, heap) real libhdf5 writes for group entries)
+      emitSymSec(rootSec, groups.zip(keySecs).map { case ((k, _), (ohAddr, sec)) =>
+        (k, ohAddr, 1, sec.btree, sec.heapHdr)
+      })
+      groups.indices.foreach { gi =>
+        val (ohAddr, sec) = keySecs(gi)
+        emitGroupOh(ohAddr, sec.btree, sec.heapHdr)
+        emitSymSec(sec, plansByGroup(gi).map(p => (p.v.name, p.ohAddr, 0, 0L, 0L)))
+      }
+    }
 
     // ---- datasets ----
     plans.foreach { p =>
@@ -236,7 +324,7 @@ object Hdf5Lite {
       val rank = p.v.shape.length
       val chunked = p.chunkDim0 > 0
       val dspaceSize = pad8(8 + rank * 8)
-      val dtypeSize = if (p.isFloat) pad8(20) else pad8(12)
+      val dtypeSize = dtypeSizeOf(p.v)
       val layoutSize = if (chunked) pad8(2 + 8 + 1 + (rank + 1) * 4) else 24
       val filterSize = if (chunked && deflate > 0) 8 + 8 + 12 else 0
       val msgBlock = (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + layoutSize) + filterSize
@@ -265,12 +353,17 @@ object Hdf5Lite {
         buf.put(52.toByte); buf.put(11.toByte)            // exponent loc/size
         buf.put(0.toByte); buf.put(52.toByte)             // mantissa loc/size
         buf.putInt(1023)                     // exponent bias
-      } else {
+      } else if (p.v.longs != null) {
         buf.put(0x10.toByte)                 // version 1, class 0 (fixed)
         buf.put(0x08.toByte)                 // LE, signed
         buf.put(0.toByte); buf.put(0.toByte)
         buf.putInt(8)
         buf.putShort(0.toShort); buf.putShort(64.toShort)
+      } else {
+        buf.put(0x13.toByte)                 // version 1, class 3 (string)
+        buf.put(0.toByte)                    // NUL-terminated, ASCII
+        buf.put(0.toByte); buf.put(0.toByte)
+        buf.putInt(p.v.elemSize)             // fixed element size
       }
       buf.position(dtStart + dtypeSize)
       // fill value v2: alloc early, fill undefined
@@ -286,7 +379,17 @@ object Hdf5Lite {
         buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
         // raw data
         buf.position(p.dataAddr.toInt)
-        if (p.isFloat) p.v.doubles.foreach(buf.putDouble) else p.v.longs.foreach(buf.putLong)
+        if (p.isFloat) p.v.doubles.foreach(buf.putDouble)
+        else if (p.v.longs != null) p.v.longs.foreach(buf.putLong)
+        else {
+          val es = p.v.elemSize
+          p.v.strings.foreach { s0 =>
+            val b = s0.getBytes("UTF-8")
+            buf.put(b)
+            var k = b.length
+            while (k < es) { buf.put(0.toByte); k += 1 }
+          }
+        }
       } else {
         val layoutSz = pad8(2 + 8 + 1 + (rank + 1) * 4)
         // layout v3, class 2 chunked: btree address + chunk dims + elem size
@@ -346,11 +449,14 @@ object Hdf5Lite {
   // ----------------------------------------------------------------- read
 
   final case class H5Read(name: String, shape: Seq[Int], doubles: Array[Double],
-                          longs: Array[Long]) {
+                          longs: Array[Long], strings: Array[String] = null) {
     def asDoubles: Array[Double] = if (doubles != null) doubles else longs.map(_.toDouble)
   }
 
-  /** Parse an HDF5 byte image: every dataset under the root group. */
+  /** Parse an HDF5 byte image: every dataset under the root group or any
+    * nested symbol-table sub-group; nested dataset names come back
+    * path-qualified (`group/dataset`).
+    */
   def read(bytes: Array[Byte]): Seq[H5Read] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](8); buf.get(sig)
@@ -368,11 +474,18 @@ object Hdf5Lite {
     val rootBtree = buf.getLong(steOff + 24)
     val rootHeap = buf.getLong(steOff + 32)
     require(rootBtree != Undef && rootHeap != Undef, "root group is not symbol-table based")
+    readGroup(bytes, buf, rootBtree, rootHeap, prefix = "", depth = 0)
+  }
 
-    // local heap -> data segment address
-    require(buf.get(rootHeap.toInt) == 'H' && buf.get(rootHeap.toInt + 1) == 'E',
-      "bad local heap signature")
-    val heapData = buf.getLong(rootHeap.toInt + 24)
+  /** Walk one symbol-table group: its B-tree's SNOD entries are datasets or
+    * sub-groups (recursed into, path-prefixing the names).
+    */
+  private def readGroup(bytes: Array[Byte], buf: ByteBuffer, btree: Long, heapHdr: Long,
+                        prefix: String, depth: Int): Seq[H5Read] = {
+    require(depth <= 8, s"group nesting deeper than 8 at '$prefix'")
+    require(buf.get(heapHdr.toInt) == 'H' && buf.get(heapHdr.toInt + 1) == 'E',
+      s"bad local heap signature at '$prefix'")
+    val heapData = buf.getLong(heapHdr.toInt + 24)
     def heapString(off: Long): String = {
       var p = (heapData + off).toInt
       val sb = new StringBuilder
@@ -380,29 +493,63 @@ object Hdf5Lite {
       sb.toString
     }
 
-    // walk the group B-tree (level 0 or 1) collecting SNOD addresses
+    // walk the group B-tree (any level) collecting SNOD addresses
     def snodsOf(nodeAddr: Long): Seq[Long] = {
       val p = nodeAddr.toInt
       require(bytes(p) == 'T' && bytes(p + 1) == 'R' && bytes(p + 2) == 'E' && bytes(p + 3) == 'E',
-        "bad group B-tree signature")
-      require(bytes(p + 4) == 0, "not a group B-tree")
+        s"bad group B-tree signature at '$prefix'")
+      require(bytes(p + 4) == 0, s"not a group B-tree at '$prefix'")
       val level = bytes(p + 5).toInt
       val used = buf.getShort(p + 6).toInt
       val children = (0 until used).map(i => buf.getLong(p + 24 + 8 + i * 16))
       if (level == 0) children else children.flatMap(snodsOf)
     }
 
-    snodsOf(rootBtree).flatMap { snod =>
+    snodsOf(btree).flatMap { snod =>
       val p = snod.toInt
       require(bytes(p) == 'S' && bytes(p + 1) == 'N' && bytes(p + 2) == 'O' && bytes(p + 3) == 'D',
-        "bad symbol node signature")
+        s"bad symbol node signature at '$prefix'")
       val nsym = buf.getShort(p + 6).toInt
-      (0 until nsym).map { i =>
+      (0 until nsym).flatMap { i =>
         val e = p + 8 + i * 40
         val name = heapString(buf.getLong(e))
-        readDataset(bytes, buf, name, buf.getLong(e + 8))
+        val full = if (prefix.isEmpty) name else s"$prefix/$name"
+        val ohAddr = buf.getLong(e + 8)
+        val cacheType = buf.getInt(e + 16)
+        require(cacheType != 2, s"$full: symbolic links not supported")
+        if (cacheType == 1) // cached group: scratch holds (B-tree, heap)
+          readGroup(bytes, buf, buf.getLong(e + 24), buf.getLong(e + 32), full, depth + 1)
+        else symbolTableAddrs(bytes, buf, full, ohAddr) match {
+          case Some((bt, hp)) => readGroup(bytes, buf, bt, hp, full, depth + 1)
+          case None => Seq(readDataset(bytes, buf, full, ohAddr))
+        }
       }
     }
+  }
+
+  /** If the v1 object header at `ohAddr` is a symbol-table GROUP, its
+    * (B-tree, heap) addresses; None means it's a dataset.
+    */
+  private def symbolTableAddrs(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                               ohAddr: Long): Option[(Long, Long)] = {
+    val p = ohAddr.toInt
+    require(bytes(p) == 1, s"$name: object header v${bytes(p)} not supported (v2 'OHDR' " +
+      "headers come from libver='latest' writers)")
+    val nmsgs = buf.getShort(p + 2).toInt
+    var cursor = p + 16
+    var seen = 0
+    var found: Option[(Long, Long)] = None
+    while (seen < nmsgs && found.isEmpty) {
+      val mtype = buf.getShort(cursor).toInt & 0xffff
+      val msize = buf.getShort(cursor + 2).toInt & 0xffff
+      if (mtype == 0x0011) found = Some((buf.getLong(cursor + 8), buf.getLong(cursor + 16)))
+      if (mtype == 0x0002) throw new IllegalArgumentException(
+        s"$name: new-style (link-info) group not supported — written with " +
+          "libver='latest'; rewrite with libver='earliest'")
+      cursor += 8 + ((msize + 7) & ~7)
+      seen += 1
+    }
+    found
   }
 
   /** Parse one v1 object header and its contiguous data. */
@@ -581,8 +728,26 @@ object Hdf5Lite {
           i += 1
         }
         H5Read(name, shape, null, out)
+      case 3 => // fixed-length string (pandas axis labels)
+        val out = new Array[String](n)
+        var i = 0
+        while (i < n) {
+          val base = (dataBase + i.toLong * dtSize).toInt
+          var len = 0
+          while (len < dtSize && dataBuf.get(base + len) != 0) len += 1
+          val sb = new Array[Byte](len)
+          var k = 0
+          while (k < len) { sb(k) = dataBuf.get(base + k); k += 1 }
+          out(i) = new String(sb, "UTF-8")
+          i += 1
+        }
+        H5Read(name, shape, null, null, out)
+      case 6 => throw new IllegalArgumentException(
+        s"$name: compound datatype not supported — this is the PyTables " +
+          "format='table' record layout; rewrite the store with " +
+          "format='fixed' (pandas to_hdf default) or convert to parquet")
       case c => throw new IllegalArgumentException(
-        s"$name: datatype class $c not supported (numeric datasets only)")
+        s"$name: datatype class $c not supported (numeric and fixed-string datasets only)")
     }
   }
 }

@@ -26,6 +26,12 @@ object NetCdfGrid {
     * `pathGlob` into rows (source_file, xDim, yDim, vars...). Variables
     * must be laid out (yDim, xDim) C-order with 1-d coordinate variables
     * named like their dims — the xarray gridded convention.
+    *
+    * Granules may be classic netCDF-3 (CDF-1/2) OR NetCDF-4: the latter is
+    * an HDF5 container whose variables are root datasets, decoded with
+    * [[Hdf5Lite]] (v0-superblock profile, contiguous or chunked with
+    * gzip/shuffle — the layout `nc_create`/`to_netcdf` default writers
+    * produce; files outside the profile raise errors naming the feature).
     */
   def readGrid2d(spark: SparkSession, pathGlob: String, xDim: String, yDim: String,
                  varNames: Seq[String]): DataFrame = {
@@ -39,14 +45,26 @@ object NetCdfGrid {
       .select(col("path"), col("content"))
     files.flatMap { r =>
       val path = r.getString(0)
-      val nc = NetCdf3.parse(r.getAs[Array[Byte]](1))
-      val xs = nc.readDoubles(xDim)
-      val ys = nc.readDoubles(yDim)
-      val data = varNames.map(v => {
-        require(nc.shape(v) == Seq(ys.length, xs.length),
-          s"$v shape ${nc.shape(v)} != (${ys.length}, ${xs.length})")
-        nc.readDoubles(v)
-      })
+      val bytes = r.getAs[Array[Byte]](1)
+      // (doubles, shape) accessors over either container format
+      val (readD, shapeOf): (String => Array[Double], String => Seq[Int]) =
+        if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F') {
+          val vars = Hdf5Lite.read(bytes).map(v => v.name -> v).toMap
+          def vGet(n: String) = vars.getOrElse(n, throw new IllegalArgumentException(
+            s"$path: no dataset '$n' (present: ${vars.keys.toSeq.sorted.mkString(", ")})"))
+          (n => vGet(n).asDoubles, n => vGet(n).shape)
+        } else {
+          val nc = NetCdf3.parse(bytes)
+          (n => nc.readDoubles(n), n => nc.shape(n))
+        }
+      val xs = readD(xDim)
+      val ys = readD(yDim)
+      val data = varNames.map { v =>
+        require(shapeOf(v) == Seq(ys.length, xs.length),
+          s"$v shape ${shapeOf(v)} != (${ys.length}, ${xs.length})")
+        readD(v)
+      }
       for {
         iy <- ys.indices.iterator
         ix <- xs.indices

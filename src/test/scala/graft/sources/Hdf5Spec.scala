@@ -69,6 +69,95 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     assert(gz.length < plain.length / 4, s"gzip ${gz.length} vs plain ${plain.length}")
   }
 
+  test("grouped write: datasets nest under one group, names come back path-qualified") {
+    val img = Hdf5Lite.write(Seq(
+      H5Var("vals", Seq(4), doubles = Array(1.0, 2.0, 3.0, 4.0)),
+      H5Var("ids", Seq(4), longs = Array(9L, 8L, 7L, 6L))), group = "df")
+    val back = Hdf5Lite.read(img).map(v => v.name -> v).toMap
+    assert(back.keySet === Set("df/vals", "df/ids"))
+    assert(back("df/vals").doubles === Array(1.0, 2.0, 3.0, 4.0))
+    assert(back("df/ids").longs === Array(9L, 8L, 7L, 6L))
+    // flat write stays byte-identical with the group machinery in place
+    val flat = Hdf5Lite.write(Seq(H5Var("x", Seq(2), doubles = Array(1.0, 2.0))))
+    assert(Hdf5Lite.read(flat).map(_.name) === Seq("x"))
+  }
+
+  test("fixed-length string datasets roundtrip (pandas axis-label dtype)") {
+    val names = Array("alpha", "b", "gamma_longer", "")
+    val img = Hdf5Lite.write(Seq(
+      H5Var("axis0", Seq(4), strings = names),
+      H5Var("v", Seq(4), doubles = Array(1.0, 2.0, 3.0, 4.0))))
+    val back = Hdf5Lite.read(img).map(v => v.name -> v).toMap
+    assert(back("axis0").strings === names)
+    assert(back("v").doubles === Array(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("pandas-HDFStore-fixed roundtrip: mixed double/long frame under a key") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5, 10.0, 100L), (2L, -1.5, 20.0, 200L), (3L, 2.25, 30.0, 300L))
+      .toDF("id", "z", "w", "cnt")
+    val path = Files.createTempDirectory("h5pd_").resolve("store.h5").toString
+    Hdf5Table.writePandasFixed(df, path, key = "obs")
+    val back = Hdf5Table.readPandasFixed(spark, path, key = "obs")
+    assert(back.columns.toSeq === Seq("index", "id", "z", "w", "cnt"))
+    assert(back.schema("id").dataType.typeName === "long")
+    assert(back.schema("z").dataType.typeName === "double")
+    val got = back.select("index", "id", "z", "w", "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(got === Set((0L, 1L, 0.5, 10.0, 100L), (1L, 2L, -1.5, 20.0, 200L),
+      (2L, 3L, 2.25, 30.0, 300L)))
+    // the granule reader refuses the pandas shape with a pointer to the right API
+    val e = intercept[IllegalArgumentException](Hdf5Table.read(spark, path).collect())
+    assert(e.getMessage.contains("readPandasFixed"))
+    // ConfigExpr.load with `table` = the read_hdf(key) path
+    val viaCfg = ConfigExpr.load(spark, ConfigExpr.DataConfig(
+      source = path, table = Some("obs"),
+      where = Seq(ConfigExpr.Where("z", ">", 0.0)),
+      colSelect = Seq("id", "z")))
+    assert(viaCfg.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((1L, 0.5), (3L, 2.25)))
+  }
+
+  test("multi-key store file: export/import rounds the reference store shape") {
+    import spark.implicits._
+    val rd = Seq((0.0, 0.0, 5L, "GraftGPR"), (100.0, 0.0, 7L, "GraftSGPR"))
+      .toDF("x", "y", "num_obs", "model")
+    val preds = Seq((0.0, 0.0, 1.5), (100.0, 0.0, -0.5)).toDF("x", "y", "f_star")
+    val dir = Files.createTempDirectory("h5store_").toString
+    val store = new graft.io.ResultStore(spark, s"$dir/store")
+    store.overwrite("run_details", rd)
+    store.overwrite("preds", preds)
+    val h5 = s"$dir/results.h5"
+    store.exportH5(h5, Seq("run_details", "preds", "missing_table"))
+    assert(Hdf5Table.pandasKeys(spark, h5) === Seq("preds", "run_details"))
+    val back = Hdf5Table.readPandasFixed(spark, h5, "preds")
+    assert(back.select("x", "y", "f_star").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet ===
+      Set((0.0, 0.0, 1.5), (100.0, 0.0, -0.5)))
+    val rdBack = Hdf5Table.readPandasFixed(spark, h5, "run_details")
+    assert(rdBack.schema("num_obs").dataType.typeName === "long")
+    assert(rdBack.schema("model").dataType.typeName === "string")
+    assert(rdBack.select("model").collect().map(_.getString(0)).sorted ===
+      Array("GraftGPR", "GraftSGPR"))
+    // import into a fresh store: every key becomes a table again
+    val store2 = new graft.io.ResultStore(spark, s"$dir/store2")
+    assert(store2.importH5(spark, h5) === Seq("preds", "run_details"))
+    assert(store2.table("run_details").count() === 2L)
+    assert(store2.table("preds").select("f_star").collect().map(_.getDouble(0)).sorted
+      === Array(-0.5, 1.5))
+  }
+
+  test("missing key / format='table' stores raise errors naming the fix") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5)).toDF("id", "z")
+    val path = Files.createTempDirectory("h5key_").resolve("store.h5").toString
+    Hdf5Table.writePandasFixed(df, path, key = "right")
+    val e = intercept[IllegalArgumentException](
+      Hdf5Table.readPandasFixed(spark, path, key = "wrong"))
+    assert(e.getMessage.contains("no dataset 'wrong/axis0'") &&
+      e.getMessage.contains("right/axis0"))
+  }
+
   test("reader rejects non-HDF5 and newer-superblock files with clear errors") {
     val notH5 = "PAR1 something".getBytes
     val e1 = intercept[IllegalArgumentException](Hdf5Lite.read(notH5))

@@ -101,6 +101,31 @@ class NetCdfSpec extends AnyFunSuite with SparkTestBase {
       (10.0, 1.0, 3.0), (20.0, 1.0, 4.0), (30.0, 1.0, 5.0)))
   }
 
+  test("readGrid2d reads NetCDF-4 (HDF5 container) granules, mixed with classic in one glob") {
+    val dir = Files.createTempDirectory("graft_nc4_").toString
+    // classic granule
+    Files.write(Paths.get(s"$dir/a.nc"), NetCdf3.write(
+      Seq(NetCdf3.NcDim("y", 2), NetCdf3.NcDim("x", 3)),
+      Seq(
+        NetCdf3.WVar("y", Seq("y"), Array(0.0, 1.0)),
+        NetCdf3.WVar("x", Seq("x"), Array(10.0, 20.0, 30.0)),
+        NetCdf3.WVar("z", Seq("y", "x"), Array.tabulate(6)(i => 0.0 + i)))))
+    // NetCDF-4-shaped granule: HDF5 container, chunked+gzip variables
+    Files.write(Paths.get(s"$dir/b.nc"), Hdf5Lite.write(Seq(
+      Hdf5Lite.H5Var("y", Seq(2), doubles = Array(0.0, 1.0)),
+      Hdf5Lite.H5Var("x", Seq(3), doubles = Array(10.0, 20.0, 30.0)),
+      Hdf5Lite.H5Var("z", Seq(2, 3), doubles = Array.tabulate(6)(i => 100.0 + i))),
+      chunkRows = 1, deflate = 6))
+
+    val df = NetCdfGrid.readGrid2d(spark, s"$dir/*.nc", "x", "y", Seq("z"))
+    assert(df.count() === 12)
+    val b = df.filter(org.apache.spark.sql.functions.col("source_file").endsWith("b.nc"))
+      .orderBy("y", "x").collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(b.toSeq === Seq(
+      (10.0, 0.0, 100.0), (20.0, 0.0, 101.0), (30.0, 0.0, 102.0),
+      (10.0, 1.0, 103.0), (20.0, 1.0, 104.0), (30.0, 1.0, 105.0)))
+  }
+
   test("writeGrid2d -> readGrid2d roundtrip preserves doubles bit-exactly") {
     import spark.implicits._
     val rows = for (y <- 0 until 4; x <- 0 until 3)

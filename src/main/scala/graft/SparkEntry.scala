@@ -599,6 +599,21 @@ object SparkEntry {
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // zarr v2 store roundtrip (the reference's remaining source suffix,
+    // dataloader.py:28-35 zarr -> open_zarr): binned grid -> zarr write
+    // (multi-chunk zlib) -> the ConfigExpr .zarr dispatch's chunk-parallel
+    // scan; the oracle recomputes from parquet, pinning writer AND reader
+    "q54_zarr_roundtrip" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("x", "y", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q54_").toString + "/binned.zarr"
+      graft.sources.ZarrGrid.writeGrid2d(binned, tmp, "x", "y", Seq("z_mean"), chunkRows = 3)
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, colSelect = Seq("x", "y", "z_mean")))
+    }),
+
     // pandas-HDFStore-fixed roundtrip: the reference's actual store SHAPE
     // (df.to_hdf(path, key) -> /key/axis0 + blockN layout, read back via
     // the `table` key like pd.read_hdf(path, key), dataloader.py:563-624).
@@ -1166,6 +1181,15 @@ object SparkEntry {
 
     // same binned values as q45, roundtripped through .h5 instead of .nc
     "q49_hdf5_roundtrip" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    "q54_zarr_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,

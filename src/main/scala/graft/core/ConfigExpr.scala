@@ -212,6 +212,20 @@ object ConfigExpr {
       if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
       return df
     }
+    // zarr store directory (dataloader.py:28-35 `zarr` -> xr.open_zarr):
+    // to_dataframe layout from the chunk-parallel scan
+    if (suffix == "zarr") {
+      var df = graft.sources.ZarrGrid.readStore(spark, cfg.source)
+      cfg.sourceColumn.foreach { c =>
+        df = df.withColumn(c, regexp_extract(lit(cfg.source), "([^/]+)$", 1))
+      }
+      cfg.newColumnNames.foreach(ns => df = df.toDF(ns: _*))
+      if (cfg.where.nonEmpty) df = df.filter(combineWhere(cfg.where))
+      df = applyColFuncs(df, cfg.colFuncs)
+      if (cfg.rowSelect.nonEmpty) df = df.filter(rowSelectColumn(cfg.rowSelect))
+      if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
+      return df
+    }
     val fmt = suffix match {
       case "csv" => "csv"
       case "tsv" => "csv"

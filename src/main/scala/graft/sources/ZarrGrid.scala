@@ -1,0 +1,284 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Zarr v2 gridded source/sink — the last suffix in the reference's
+  * dispatch map (`GPSat/dataloader.py:28-35`: `zarr` -> the xarray
+  * `open_zarr` branch, consumed like the netCDF path via `.to_dataframe`).
+  * Implemented from the public Zarr v2 storage spec: a store is a
+  * directory tree; each array directory holds a `.zarray` JSON (shape /
+  * chunks / dtype / compressor / order) plus C-order chunk files named by
+  * grid index (`0.0`, `0.1`, ... or nested `0/1`); xarray names each
+  * array's dimensions in `.zattrs` `_ARRAY_DIMENSIONS`.
+  *
+  * Scale shape: zarr's unit of storage IS the chunk file, so the scan
+  * parallelises at CHUNK granularity — finer than the per-granule netCDF
+  * and HDF5 scans (ONE huge array still fans out across the cluster). The
+  * driver reads only the tiny JSON metadata and the 1-d coordinate arrays
+  * (broadcast with the task closure); every 2-d chunk decodes inside a
+  * binaryFile scan task, emitting rows for its own grid slice.
+  *
+  * Scope (checked, loud errors outside it): zarr v2, C-order, dtypes
+  * <f8/<f4/<i8/<i4, compressor null or zlib/gzip (blosc/lz4 stores raise
+  * an error naming the codec), 1-d coordinate + 2-d data arrays.
+  */
+object ZarrGrid {
+  implicit private val formats: Formats = DefaultFormats
+
+  private final case class ZMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
+                                 zlib: Boolean, sep: String)
+
+  private def parseZarray(json: String, name: String): ZMeta = {
+    val j = JsonMethods.parse(json)
+    require((j \ "zarr_format").extract[Int] == 2, s"$name: only zarr v2 supported")
+    val order = (j \ "order").extractOpt[String].getOrElse("C")
+    require(order == "C", s"$name: only C-order arrays supported (got '$order')")
+    (j \ "filters") match {
+      case JNull | JNothing | JArray(Nil) => ()
+      case f => throw new IllegalArgumentException(s"$name: zarr filters $f not supported")
+    }
+    val zlib = (j \ "compressor") match {
+      case JNull | JNothing => false
+      case c =>
+        val id = (c \ "id").extract[String]
+        require(id == "zlib" || id == "gzip",
+          s"$name: compressor '$id' not supported (null/zlib only — " +
+            "blosc stores must be rewritten, e.g. ds.to_zarr(encoding={'compressor': zlib}))")
+        true
+    }
+    ZMeta((j \ "shape").extract[Seq[Int]], (j \ "chunks").extract[Seq[Int]],
+      (j \ "dtype").extract[String], zlib,
+      (j \ "dimension_separator").extractOpt[String].getOrElse("."))
+  }
+
+  private def dtypeSize(dt: String, name: String): Int = {
+    require(dt.length == 3 && (dt(0) == '<' || dt(0) == '|'),
+      s"$name: dtype '$dt' not little-endian")
+    require(dt(1) == 'f' || dt(1) == 'i', s"$name: dtype '$dt' not supported (f/i only)")
+    dt(2) - '0'
+  }
+
+  /** Decode one chunk file into row-major doubles (full chunk extent —
+    * zarr pads edge chunks to the declared chunk shape).
+    */
+  private def decodeChunk(raw: Array[Byte], m: ZMeta, name: String): Array[Double] = {
+    val bytes =
+      if (!m.zlib) raw
+      else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(raw)
+        val out = new java.io.ByteArrayOutputStream(raw.length * 3 + 64)
+        val tmp = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val got = inf.inflate(tmp)
+          if (got == 0 && inf.needsInput())
+            throw new IllegalArgumentException(s"$name: truncated zlib chunk")
+          out.write(tmp, 0, got)
+        }
+        inf.end()
+        out.toByteArray
+      }
+    val es = dtypeSize(m.dtype, name)
+    val n = m.chunks.product
+    require(bytes.length == n * es,
+      s"$name: chunk has ${bytes.length} bytes, expected ${n * es}")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    (m.dtype(1), es) match {
+      case ('f', 8) => while (i < n) { out(i) = buf.getDouble(i * 8); i += 1 }
+      case ('f', 4) => while (i < n) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
+      case ('i', 8) => while (i < n) { out(i) = buf.getLong(i * 8).toDouble; i += 1 }
+      case ('i', 4) => while (i < n) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
+      case _ => throw new IllegalArgumentException(s"$name: dtype ${m.dtype} not supported")
+    }
+    out
+  }
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmall(spark: SparkSession, path: String): Array[Byte] = {
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val out = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, out) finally in.close()
+    out
+  }
+
+  /** Driver-side full read of a small (coordinate) array. */
+  private def readArrayLocal(spark: SparkSession, arrDir: String, name: String): Array[Double] = {
+    val m = parseZarray(new String(readSmall(spark, s"$arrDir/.zarray"), "UTF-8"), name)
+    require(m.shape.length == 1, s"$name: expected 1-d coordinate array, got ${m.shape}")
+    val out = new Array[Double](m.shape.head)
+    val nChunks = (m.shape.head + m.chunks.head - 1) / m.chunks.head
+    (0 until nChunks).foreach { ci =>
+      val vals = decodeChunk(readSmall(spark, s"$arrDir/$ci"), m, name)
+      val base = ci * m.chunks.head
+      var i = 0
+      while (i < m.chunks.head && base + i < m.shape.head) { out(base + i) = vals(i); i += 1 }
+    }
+    out
+  }
+
+  /** Read 2-d (yDim, xDim) variables of a zarr group into rows
+    * (xDim, yDim, vars...) — the xarray `open_zarr().to_dataframe()`
+    * layout. Each variable scans chunk-parallel; variables beyond the
+    * first equi-join back on the (x, y) cell (grid-sized shuffle, AQE
+    * handles it — at 100 TB each join key is a bounded grid cell).
+    */
+  def readGrid2d(spark: SparkSession, dir: String, xDim: String, yDim: String,
+                 varNames: Seq[String]): DataFrame = {
+    require(varNames.nonEmpty, "no variables requested")
+    val xs = readArrayLocal(spark, s"$dir/$xDim", xDim)
+    val ys = readArrayLocal(spark, s"$dir/$yDim", yDim)
+
+    def varDf(v: String): DataFrame = {
+      val m = parseZarray(new String(readSmall(spark, s"$dir/$v/.zarray"), "UTF-8"), v)
+      require(m.shape == Seq(ys.length, xs.length),
+        s"$v shape ${m.shape} != (${ys.length}, ${xs.length}) = ($yDim, $xDim)")
+      require(m.chunks.length == 2, s"$v: chunk rank ${m.chunks.length} != 2")
+      val cr = m.chunks(0)
+      val cc = m.chunks(1)
+      val schema = StructType(Seq(
+        StructField(xDim, DoubleType, nullable = false),
+        StructField(yDim, DoubleType, nullable = false),
+        StructField(v, DoubleType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val xsB = xs; val ysB = ys; val mB = m; val vName = v
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(s"$dir/$v")
+        .filter(!col("path").contains("/."))
+        .select(col("path"), col("content"))
+        .flatMap { r =>
+          val path = r.getString(0)
+          val rel = path.substring(path.lastIndexOf(s"/$vName/") + vName.length + 2)
+          val idx = rel.split(if (mB.sep == "/") "/" else "\\.").map(_.toInt)
+          require(idx.length == 2, s"$path: bad chunk name '$rel'")
+          val vals = decodeChunk(r.getAs[Array[Byte]](1), mB, vName)
+          val (ci, cj) = (idx(0), idx(1))
+          for {
+            i <- (0 until cr).iterator if ci * cr + i < ysB.length
+            j <- 0 until cc if cj * cc + j < xsB.length
+          } yield Row(xsB(cj * cc + j), ysB(ci * cr + i), vals(i * cc + j))
+        }(enc)
+    }
+
+    varNames.map(varDf).reduce((a, b) => a.join(b, Seq(xDim, yDim)))
+  }
+
+  /** Read a whole xarray-shaped zarr store: data variables are the 2-d
+    * arrays, their dims come from `.zattrs` `_ARRAY_DIMENSIONS` (all 2-d
+    * variables must share one (y, x) dim pair), coordinates are the dims'
+    * own 1-d arrays. This is the `ConfigExpr.load` `.zarr` dispatch
+    * target — `xr.open_zarr(...).to_dataframe().reset_index()`.
+    */
+  def readStore(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    val arrays = subdirs.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d/.zarray")))
+    require(arrays.nonEmpty, s"$dir: no zarr arrays found")
+    def dimsOf(a: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$a/.zattrs")
+      if (!fs.exists(p)) Seq.empty
+      else (JsonMethods.parse(new String(readSmall(spark, s"$dir/$a/.zattrs"), "UTF-8")) \
+        "_ARRAY_DIMENSIONS").extractOpt[Seq[String]].getOrElse(Seq.empty)
+    }
+    val withDims = arrays.map(a => a -> dimsOf(a)).toMap
+    val dataVars = arrays.filter(a => withDims(a).length == 2).toSeq
+    require(dataVars.nonEmpty,
+      s"$dir: no 2-d data variables with _ARRAY_DIMENSIONS found " +
+        s"(arrays: ${arrays.mkString(", ")})")
+    val dimPairs = dataVars.map(withDims).distinct
+    require(dimPairs.length == 1,
+      s"$dir: data variables disagree on dims: $dimPairs")
+    val Seq(yDim, xDim) = dimPairs.head
+    readGrid2d(spark, dir, xDim, yDim, dataVars)
+  }
+
+  /** Write a gridded table as ONE xarray-shaped zarr group (driver-side,
+    * the result-grid-sized sink, like NetCdfGrid.writeGrid2d): coordinate
+    * arrays + one 2-d zlib-chunked array per field, `.zattrs` naming the
+    * dims. Rows must cover the full (x, y) lattice exactly once.
+    */
+  def writeGrid2d(df: DataFrame, dir: String, xCol: String, yCol: String,
+                  varNames: Seq[String], chunkRows: Int = 0): Unit = {
+    val rows = df.select((Seq(xCol, yCol) ++ varNames).map(col): _*).collect()
+    val xs = rows.map(_.getDouble(0)).distinct.sorted
+    val ys = rows.map(_.getDouble(1)).distinct.sorted
+    val distinctCells = rows.map(r => (r.getDouble(0), r.getDouble(1))).distinct.length
+    require(distinctCells == xs.length * ys.length,
+      s"distinct cells $distinctCells != full ${xs.length} x ${ys.length} lattice")
+    require(rows.length == distinctCells,
+      s"${rows.length - distinctCells} duplicate ($xCol, $yCol) rows")
+    val xIdx = xs.zipWithIndex.toMap
+    val yIdx = ys.zipWithIndex.toMap
+
+    val base = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(base)
+    def writeFile(rel: String, bytes: Array[Byte]): Unit = {
+      val p = base.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    def zlib(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(5)
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      out.toByteArray
+    }
+    def doubleBytes(vals: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      bb.array()
+    }
+    def zarrayJson(shape: Seq[Int], chunks: Seq[Int]): String =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],""" +
+        """"dtype":"<f8","compressor":{"id":"zlib","level":5},"fill_value":0.0,""" +
+        """"order":"C","filters":null}"""
+
+    writeFile(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
+    def writeCoord(name: String, vals: Array[Double]): Unit = {
+      writeFile(s"$name/.zarray", zarrayJson(Seq(vals.length), Seq(vals.length)).getBytes("UTF-8"))
+      writeFile(s"$name/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$name"]}""".getBytes("UTF-8"))
+      writeFile(s"$name/0", zlib(doubleBytes(vals)))
+    }
+    writeCoord(xCol, xs)
+    writeCoord(yCol, ys)
+
+    varNames.zipWithIndex.foreach { case (v, vi) =>
+      val grid = new Array[Double](xs.length * ys.length)
+      rows.foreach { r =>
+        grid(yIdx(r.getDouble(1)) * xs.length + xIdx(r.getDouble(0))) = r.getDouble(2 + vi)
+      }
+      val cr = if (chunkRows > 0) math.min(chunkRows, ys.length) else ys.length
+      writeFile(s"$v/.zarray",
+        zarrayJson(Seq(ys.length, xs.length), Seq(cr, xs.length)).getBytes("UTF-8"))
+      writeFile(s"$v/.zattrs",
+        s"""{"_ARRAY_DIMENSIONS":["$yCol","$xCol"]}""".getBytes("UTF-8"))
+      val nChunks = (ys.length + cr - 1) / cr
+      (0 until nChunks).foreach { ci =>
+        // full-extent chunk, zero-padded rows at the ragged edge
+        val chunk = new Array[Double](cr * xs.length)
+        var i = 0
+        while (i < cr && ci * cr + i < ys.length) {
+          System.arraycopy(grid, (ci * cr + i) * xs.length, chunk, i * xs.length, xs.length)
+          i += 1
+        }
+        writeFile(s"$v/$ci.0", zlib(doubleBytes(chunk)))
+      }
+    }
+  }
+}

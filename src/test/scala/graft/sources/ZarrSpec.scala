@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.core.ConfigExpr
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class ZarrSpec extends AnyFunSuite with SparkTestBase {
+
+  private def mkGrid(bias: Double) = {
+    import spark.implicits._
+    (for { iy <- 0 until 5; ix <- 0 until 7 }
+      yield (10.0 * ix, 100.0 * iy, bias + iy * 7 + ix)).toDF("x", "y", "z")
+  }
+
+  test("writeGrid2d -> readGrid2d roundtrip is bit-exact, single and ragged multi-chunk") {
+    for (chunkRows <- Seq(0, 2)) { // 0 = one chunk; 2 -> chunks of 2 rows, ragged last
+      val dir = Files.createTempDirectory("zarr_").resolve("g.zarr").toString
+      ZarrGrid.writeGrid2d(mkGrid(0.5), dir, "x", "y", Seq("z"), chunkRows = chunkRows)
+      val back = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z"))
+      assert(back.count() === 35)
+      val got = back.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+      val want = (for { iy <- 0 until 5; ix <- 0 until 7 }
+        yield (10.0 * ix, 100.0 * iy, 0.5 + iy * 7 + ix)).toSet
+      assert(got === want, s"chunkRows=$chunkRows")
+    }
+  }
+
+  test("multi-variable store joins on the grid cell; readStore discovers dims from .zattrs") {
+    val dir = Files.createTempDirectory("zarr_").resolve("s.zarr").toString
+    val two = mkGrid(0.0).withColumn("w", col("z") * 2.0 + 1.0)
+    ZarrGrid.writeGrid2d(two, dir, "x", "y", Seq("z", "w"), chunkRows = 3)
+    val back = ZarrGrid.readStore(spark, dir)
+    assert(back.columns.sorted.toSeq === Seq("w", "x", "y", "z"))
+    assert(back.count() === 35)
+    assert(back.filter(col("w") =!= col("z") * 2.0 + 1.0).count() === 0)
+  }
+
+  test("ConfigExpr.load dispatches .zarr with where / col_select") {
+    val dir = Files.createTempDirectory("zarr_").resolve("obs.zarr").toString
+    ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))
+    val out = ConfigExpr.load(spark, ConfigExpr.DataConfig(
+      source = dir,
+      where = Seq(ConfigExpr.Where("z", ">=", 30.0)),
+      colSelect = Seq("x", "y", "z")))
+    assert(out.columns.toSeq === Seq("x", "y", "z"))
+    assert(out.count() === 5L)
+  }
+
+  test("unsupported stores raise errors naming the blocker") {
+    val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
+    ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))
+    // swap the compressor for blosc in the .zarray
+    val za = Paths.get(dir, "z", ".zarray")
+    val txt = new String(Files.readAllBytes(za), "UTF-8")
+      .replace("""{"id":"zlib","level":5}""",
+        """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1}""")
+    Files.write(za, txt.getBytes("UTF-8"))
+    val e = intercept[Exception](
+      ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z")).collect())
+    assert(e.getMessage.contains("blosc") || e.getCause.getMessage.contains("blosc"))
+  }
+}

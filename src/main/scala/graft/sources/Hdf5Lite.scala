@@ -527,38 +527,62 @@ object Hdf5Lite {
     }
   }
 
+  /** All v1 object-header messages at `ohAddr` as (type, bodyOffset),
+    * following CONTINUATION blocks (0x0010) — real h5py/PyTables files
+    * carry enough attribute messages to spill the header into one.
+    * Messages fill the current block to its declared end, then resume in
+    * the next continuation block, in declaration order; nil (type 0)
+    * padding messages pass through harmlessly.
+    */
+  private def messages(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                       ohAddr: Long): Seq[(Int, Int)] = {
+    val p = ohAddr.toInt
+    require(bytes(p) == 1, s"$name: object header v${bytes(p)} not supported (v2 'OHDR' " +
+      "headers come from libver='latest' writers)")
+    val nmsgs = buf.getShort(p + 2).toInt
+    val out = Seq.newBuilder[(Int, Int)]
+    var pending = List.empty[(Long, Long)]
+    var cursor = p + 16
+    var end = p + 16 + buf.getInt(p + 8)
+    var seen = 0
+    while (seen < nmsgs) {
+      if (cursor + 8 > end) {
+        require(pending.nonEmpty, s"$name: object header truncated after $seen/$nmsgs messages")
+        val (off, len) = pending.head
+        pending = pending.tail
+        cursor = off.toInt
+        end = (off + len).toInt
+      }
+      val mtype = buf.getShort(cursor).toInt & 0xffff
+      val msize = buf.getShort(cursor + 2).toInt & 0xffff
+      val body = cursor + 8
+      if (mtype == 0x0010) pending = pending :+ ((buf.getLong(body), buf.getLong(body + 8)))
+      else out += ((mtype, body))
+      cursor = body + ((msize + 7) & ~7)
+      seen += 1
+    }
+    out.result()
+  }
+
   /** If the v1 object header at `ohAddr` is a symbol-table GROUP, its
     * (B-tree, heap) addresses; None means it's a dataset.
     */
   private def symbolTableAddrs(bytes: Array[Byte], buf: ByteBuffer, name: String,
                                ohAddr: Long): Option[(Long, Long)] = {
-    val p = ohAddr.toInt
-    require(bytes(p) == 1, s"$name: object header v${bytes(p)} not supported (v2 'OHDR' " +
-      "headers come from libver='latest' writers)")
-    val nmsgs = buf.getShort(p + 2).toInt
-    var cursor = p + 16
-    var seen = 0
     var found: Option[(Long, Long)] = None
-    while (seen < nmsgs && found.isEmpty) {
-      val mtype = buf.getShort(cursor).toInt & 0xffff
-      val msize = buf.getShort(cursor + 2).toInt & 0xffff
-      if (mtype == 0x0011) found = Some((buf.getLong(cursor + 8), buf.getLong(cursor + 16)))
+    messages(bytes, buf, name, ohAddr).foreach { case (mtype, body) =>
+      if (mtype == 0x0011 && found.isEmpty)
+        found = Some((buf.getLong(body), buf.getLong(body + 8)))
       if (mtype == 0x0002) throw new IllegalArgumentException(
         s"$name: new-style (link-info) group not supported — written with " +
           "libver='latest'; rewrite with libver='earliest'")
-      cursor += 8 + ((msize + 7) & ~7)
-      seen += 1
     }
     found
   }
 
-  /** Parse one v1 object header and its contiguous data. */
+  /** Parse one v1 object header and its data. */
   private def readDataset(bytes: Array[Byte], buf: ByteBuffer, name: String,
                           ohAddr: Long): H5Read = {
-    val p = ohAddr.toInt
-    require(bytes(p) == 1, s"$name: object header v${bytes(p)} not supported (v2 'OHDR' " +
-      "headers come from libver='latest' writers)")
-    val nmsgs = buf.getShort(p + 2).toInt
     var shape: Seq[Int] = null
     var dtClass = -1
     var dtSize = -1
@@ -566,12 +590,7 @@ object Hdf5Lite {
     var dataSize = -1L
     var chunkDims: Seq[Int] = null // set for chunked layout (class 2)
     var filters: Seq[Int] = Nil
-    var cursor = p + 16
-    var seen = 0
-    while (seen < nmsgs) {
-      val mtype = buf.getShort(cursor).toInt & 0xffff
-      val msize = buf.getShort(cursor + 2).toInt & 0xffff
-      val body = cursor + 8
+    messages(bytes, buf, name, ohAddr).foreach { case (mtype, body) =>
       mtype match {
         case 0x0001 => // dataspace
           val ver = bytes(body).toInt
@@ -612,12 +631,8 @@ object Hdf5Lite {
             fo = pos
             id
           }
-        case 0x0010 => // object header continuation — not emitted by this writer
-          throw new IllegalArgumentException(s"$name: continuation blocks not supported")
         case _ => // fill value, mod time, attributes: skipped
       }
-      cursor = body + ((msize + 7) & ~7)
-      seen += 1
     }
     require(shape != null && dtClass >= 0 && dataAddr >= 0, s"$name: incomplete object header")
     val n = shape.product

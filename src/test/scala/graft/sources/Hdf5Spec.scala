@@ -158,6 +158,36 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
       e.getMessage.contains("right/axis0"))
   }
 
+  test("reader follows object-header continuation blocks (attribute-heavy real files)") {
+    val vals = Array(1.5, -2.5, 3.25)
+    val img = Hdf5Lite.write(Seq(H5Var("v", Seq(3), doubles = vals)))
+    // dataset OH position for one var 'v': superblock 96 + root OH 40 +
+    // heap (32 + 16) + btree 48 + SNOD 328
+    val oh = 96 + 40 + 48 + 48 + 328
+    val bb = java.nio.ByteBuffer.wrap(img).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(img(oh) === 1.toByte && bb.getShort(oh + 2) === 4.toShort, "v1 OH, 4 messages")
+    assert(bb.getShort(oh + 16) === 0x0001.toShort, "dataspace first")
+    assert(bb.getShort(oh + 40) === 0x0003.toShort, "datatype second")
+    // surgery: move messages 2..4 (datatype 32 + fillvalue 16 + layout 32
+    // = 80 bytes) into a continuation block appended at EOF, and replace
+    // them with one continuation message — the layout attribute-heavy
+    // h5py/PyTables writers produce when the header overflows
+    val contAddr = img.length
+    val img2 = java.util.Arrays.copyOf(img, img.length + 80)
+    System.arraycopy(img, oh + 40, img2, contAddr, 80)
+    val b2 = java.nio.ByteBuffer.wrap(img2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b2.putShort(oh + 2, 5.toShort)       // now 5 messages incl. the continuation
+    b2.putInt(oh + 8, 48)                // block 0 ends right after it
+    b2.putShort(oh + 40, 0x0010.toShort) // continuation message
+    b2.putShort(oh + 42, 16.toShort)
+    b2.putInt(oh + 44, 0)
+    b2.putLong(oh + 48, contAddr.toLong)
+    b2.putLong(oh + 56, 80L)
+    val back = Hdf5Lite.read(img2)
+    assert(back.map(_.name) === Seq("v"))
+    assert(back.head.doubles.toSeq === vals.toSeq)
+  }
+
   test("reader rejects non-HDF5 and newer-superblock files with clear errors") {
     val notH5 = "PAR1 something".getBytes
     val e1 = intercept[IllegalArgumentException](Hdf5Lite.read(notH5))

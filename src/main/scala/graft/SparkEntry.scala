@@ -327,6 +327,16 @@ object SparkEntry {
     // runs over SQL-expressible synthetic hash arrays so DuckDB pins the
     // exact fingerprints; the k-gram bit-mixing hash half is golden-tested
     // (ExpressionsSpec winnow + TextAnalysisSpec split-consistency).
+    // benchmark decontamination (GPT-3 appendix-C recipe, n-gram
+    // collision): benchmark = every 37th doc, corpus = all documents;
+    // n=3 keeps the oracle SQL-expressible (production default is 13)
+    "q55_decontaminate" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      graft.operators.Decontaminate.contaminatedIds(docs, bench, "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("contaminated_grams"))
+    }),
+
     "q30_fingerprint" -> ((s, dir) => {
       val hs = transform(sequence(lit(0L), lit(19L)),
         i => ((col("doc_id") + lit(1L)) * (i + lit(13L)) * lit(2654435761L)) % lit(104729L))
@@ -515,9 +525,11 @@ object SparkEntry {
         .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
       val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
       // cap never binds at the oracle SF (sf0.01 max window 508) but bounds
-      // the dense-Cholesky SKI cost at larger bench SFs (like q34)
+      // the dense-Cholesky SKI cost at larger bench SFs (like q34); 10^3
+      // grid keeps the m^3 factorization priced for a catalog smoke (the
+      // grid density is a user knob; SKI numerics are SkiGprSpec-pinned)
       val results = LocalExpertOI.run(s, obs, experts, pg,
-        OIConfig(trainingRadius = 80000.0, maxIter = 15, model = "GraftKISS", sgprM = 1728,
+        OIConfig(trainingRadius = 80000.0, maxIter = 15, model = "GraftKISS", sgprM = 1000,
           maxObsPerTile = 600))
       LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
     }),
@@ -936,6 +948,21 @@ object SparkEntry {
 
     "q22_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count FROM documents GROUP BY text",
+
+    "q55_decontaminate" ->
+      """WITH ctoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |btoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |cgrams AS (
+        |  SELECT DISTINCT doc_id AS id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS gram
+        |  FROM ctoks, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+        |bgrams AS (
+        |  SELECT DISTINCT concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS gram
+        |  FROM btoks, unnest(generate_series(1, len(tk) - 2)) AS u(i))
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS contaminated_grams
+        |FROM cgrams JOIN bgrams USING (gram) GROUP BY 1""".stripMargin,
 
     "q23_ngram_jaccard" ->
       """WITH grams AS (

@@ -52,6 +52,11 @@ class JsonConfigSpec extends AnyFunSuite {
     assert(cfg.oi.sgprAboveN === 1000 && cfg.oi.sgprM === 300)
   }
 
+  test("export_h5 path parses (the CLI's store-export hook)") {
+    assert(JsonConfig.exportH5Path("""{"export_h5": "/tmp/out.h5"}""") === Some("/tmp/out.h5"))
+    assert(JsonConfig.exportH5Path("""{"n_docs": 10}""") === None)
+  }
+
   test("canonical rendering is key-order independent (config identity)") {
     val a = JsonConfig.canonical("""{"b": 1, "a": {"y": 2, "x": [3, 4]}}""")
     val b = JsonConfig.canonical("""{"a": {"x": [3, 4], "y": 2}, "b": 1}""")

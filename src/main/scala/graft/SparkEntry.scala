@@ -410,7 +410,9 @@ object SparkEntry {
     }),
 
     "q39_grid_spacing_infer" -> ((s, dir) => {
-      // min diff of sorted distinct coordinate (utils.py:2058-2059)
+      // min diff of sorted distinct coordinate (utils.py:2058-2059);
+      // the global window sorts the DISTINCT t values (grid-axis-sized,
+      // dozens) — the WindowExec single-partition warning refers to that
       val w = Window.orderBy("t")
       obsDerived(s, dir).select("t").distinct()
         .withColumn("d", col("t") - lag("t", 1).over(w))
@@ -525,11 +527,12 @@ object SparkEntry {
         .select(col("ex").as("x"), col("ey").as("y"), col("et").as("t"))
       val pg = Grids.grid2dFlatten(s, (-500000.0, 500000.0), (-500000.0, 500000.0), 100000.0)
       // cap never binds at the oracle SF (sf0.01 max window 508) but bounds
-      // the dense-Cholesky SKI cost at larger bench SFs (like q34); 10^3
-      // grid keeps the m^3 factorization priced for a catalog smoke (the
-      // grid density is a user knob; SKI numerics are SkiGprSpec-pinned)
+      // the SKI cost at larger bench SFs (like q34); the catalog smoke
+      // prices the FD-gradient L-BFGS at maxIter=5 — the oracle pins
+      // (num_obs, model), SKI numerics are SkiGprSpec-pinned, and
+      // grid density / iteration budget are user knobs
       val results = LocalExpertOI.run(s, obs, experts, pg,
-        OIConfig(trainingRadius = 80000.0, maxIter = 15, model = "GraftKISS", sgprM = 1000,
+        OIConfig(trainingRadius = 80000.0, maxIter = 5, model = "GraftKISS", sgprM = 1000,
           maxObsPerTile = 600))
       LocalExpertOI.runDetails(results).select("x", "y", "t", "num_obs", "model")
     }),

@@ -97,6 +97,9 @@ object Grids {
     require(gridSpace > 0, "grid_space must be positive")
     import org.apache.spark.sql.expressions.Window
     dims.foldLeft(df) { (d, dim) =>
+      // the global window ranks the DISTINCT values of ONE grid axis —
+      // grid-axis-sized (hundreds), then broadcast back; Spark's
+      // single-partition WindowExec warning refers to this tiny set
       val keep = d.select(dim).distinct()
         .withColumn("__rk", row_number().over(Window.orderBy(dim)) - 1)
         .filter(pmod(col("__rk"), lit(gridSpace)) === gridSpaceOffset)

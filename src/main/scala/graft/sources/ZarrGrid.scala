@@ -130,48 +130,101 @@ object ZarrGrid {
 
   /** Read 2-d (yDim, xDim) variables of a zarr group into rows
     * (xDim, yDim, vars...) — the xarray `open_zarr().to_dataframe()`
-    * layout. Each variable scans chunk-parallel; variables beyond the
-    * first equi-join back on the (x, y) cell (grid-sized shuffle, AQE
-    * handles it — at 100 TB each join key is a bounded grid cell).
+    * layout, chunk-parallel.
+    *
+    * When the variables share ONE chunk grid (the common xarray layout),
+    * a single binaryFile scan over the first variable's chunks drives the
+    * job and each task opens the SIBLING chunk files of the other
+    * variables directly — ZERO shuffle, k-variable rows assembled
+    * in-task. Misaligned chunk grids fall back to per-variable scans
+    * equi-joined on the (x, y) cell.
     */
   def readGrid2d(spark: SparkSession, dir: String, xDim: String, yDim: String,
                  varNames: Seq[String]): DataFrame = {
     require(varNames.nonEmpty, "no variables requested")
     val xs = readArrayLocal(spark, s"$dir/$xDim", xDim)
     val ys = readArrayLocal(spark, s"$dir/$yDim", yDim)
-
-    def varDf(v: String): DataFrame = {
+    val metas = varNames.map { v =>
       val m = parseZarray(new String(readSmall(spark, s"$dir/$v/.zarray"), "UTF-8"), v)
       require(m.shape == Seq(ys.length, xs.length),
         s"$v shape ${m.shape} != (${ys.length}, ${xs.length}) = ($yDim, $xDim)")
       require(m.chunks.length == 2, s"$v: chunk rank ${m.chunks.length} != 2")
-      val cr = m.chunks(0)
-      val cc = m.chunks(1)
-      val schema = StructType(Seq(
-        StructField(xDim, DoubleType, nullable = false),
-        StructField(yDim, DoubleType, nullable = false),
-        StructField(v, DoubleType, nullable = false)))
+      v -> m
+    }.toMap
+
+    val m0 = metas(varNames.head)
+    val aligned = varNames.forall(v => metas(v).chunks == m0.chunks && metas(v).sep == m0.sep)
+
+    if (aligned) {
+      val cr = m0.chunks(0)
+      val cc = m0.chunks(1)
+      val schema = StructType(
+        StructField(xDim, DoubleType, nullable = false) +:
+          StructField(yDim, DoubleType, nullable = false) +:
+          varNames.map(v => StructField(v, DoubleType, nullable = false)))
       val enc = org.apache.spark.sql.Encoders.row(schema)
-      val xsB = xs; val ysB = ys; val mB = m; val vName = v
+      val xsB = xs; val ysB = ys; val metasB = metas
+      val v0 = varNames.head; val others = varNames.tail; val dirB = dir
       spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true").load(s"$dir/$v")
+        .option("recursiveFileLookup", "true").load(s"$dir/$v0")
         .filter(!col("path").contains("/."))
         .select(col("path"), col("content"))
         .flatMap { r =>
           val path = r.getString(0)
-          val rel = path.substring(path.lastIndexOf(s"/$vName/") + vName.length + 2)
-          val idx = rel.split(if (mB.sep == "/") "/" else "\\.").map(_.toInt)
+          val rel = path.substring(path.lastIndexOf(s"/$v0/") + v0.length + 2)
+          val idx = rel.split(if (metasB(v0).sep == "/") "/" else "\\.").map(_.toInt)
           require(idx.length == 2, s"$path: bad chunk name '$rel'")
-          val vals = decodeChunk(r.getAs[Array[Byte]](1), mB, vName)
           val (ci, cj) = (idx(0), idx(1))
+          // first variable's chunk from the scan; siblings opened in-task
+          val all = decodeChunk(r.getAs[Array[Byte]](1), metasB(v0), v0) +:
+            others.map { v =>
+              val sep = metasB(v).sep
+              val chunkRel = if (sep == "/") s"$ci/$cj" else s"$ci.$cj"
+              val p = new org.apache.hadoop.fs.Path(s"$dirB/$v/$chunkRel")
+              val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              val len = fs.getFileStatus(p).getLen.toInt
+              val bytes = new Array[Byte](len)
+              val in = fs.open(p)
+              try in.readFully(0, bytes) finally in.close()
+              decodeChunk(bytes, metasB(v), v)
+            }
           for {
             i <- (0 until cr).iterator if ci * cr + i < ysB.length
             j <- 0 until cc if cj * cc + j < xsB.length
-          } yield Row(xsB(cj * cc + j), ysB(ci * cr + i), vals(i * cc + j))
+          } yield Row.fromSeq(
+            xsB(cj * cc + j) +: ysB(ci * cr + i) +: all.map(_(i * cc + j)))
         }(enc)
+    } else {
+      // fallback: per-variable chunk scans joined on the grid cell
+      def varDf(v: String): DataFrame = {
+        val m = metas(v)
+        val cr = m.chunks(0)
+        val cc = m.chunks(1)
+        val schema = StructType(Seq(
+          StructField(xDim, DoubleType, nullable = false),
+          StructField(yDim, DoubleType, nullable = false),
+          StructField(v, DoubleType, nullable = false)))
+        val enc = org.apache.spark.sql.Encoders.row(schema)
+        val xsB = xs; val ysB = ys; val mB = m; val vName = v
+        spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true").load(s"$dir/$v")
+          .filter(!col("path").contains("/."))
+          .select(col("path"), col("content"))
+          .flatMap { r =>
+            val path = r.getString(0)
+            val rel = path.substring(path.lastIndexOf(s"/$vName/") + vName.length + 2)
+            val idx = rel.split(if (mB.sep == "/") "/" else "\\.").map(_.toInt)
+            require(idx.length == 2, s"$path: bad chunk name '$rel'")
+            val vals = decodeChunk(r.getAs[Array[Byte]](1), mB, vName)
+            val (ci, cj) = (idx(0), idx(1))
+            for {
+              i <- (0 until cr).iterator if ci * cr + i < ysB.length
+              j <- 0 until cc if cj * cc + j < xsB.length
+            } yield Row(xsB(cj * cc + j), ysB(ci * cr + i), vals(i * cc + j))
+          }(enc)
+      }
+      varNames.map(varDf).reduce((a, b) => a.join(b, Seq(xDim, yDim)))
     }
-
-    varNames.map(varDf).reduce((a, b) => a.join(b, Seq(xDim, yDim)))
   }
 
   /** Read a whole xarray-shaped zarr store: data variables are the 2-d

@@ -27,7 +27,7 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("multi-variable store joins on the grid cell; readStore discovers dims from .zattrs") {
+  test("aligned multi-variable store: sibling chunks read in-task, NO join in the plan") {
     val dir = Files.createTempDirectory("zarr_").resolve("s.zarr").toString
     val two = mkGrid(0.0).withColumn("w", col("z") * 2.0 + 1.0)
     ZarrGrid.writeGrid2d(two, dir, "x", "y", Seq("z", "w"), chunkRows = 3)
@@ -35,6 +35,19 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     assert(back.columns.sorted.toSeq === Seq("w", "x", "y", "z"))
     assert(back.count() === 35)
     assert(back.filter(col("w") =!= col("z") * 2.0 + 1.0).count() === 0)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"aligned chunk grids must not shuffle-join:\n$plan")
+  }
+
+  test("misaligned chunk grids fall back to the (x, y) cell join, same values") {
+    val dir = Files.createTempDirectory("zarr_").resolve("m.zarr").toString
+    ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"), chunkRows = 3)
+    ZarrGrid.writeGrid2d(mkGrid(0.0).withColumn("w", col("z") - 5.0)
+      .select("x", "y", "w"), dir, "x", "y", Seq("w"), chunkRows = 2)
+    val back = ZarrGrid.readStore(spark, dir)
+    assert(back.count() === 35)
+    assert(back.filter(col("w") =!= col("z") - 5.0).count() === 0)
+    assert(back.queryExecution.executedPlan.toString.contains("Join"))
   }
 
   test("ConfigExpr.load dispatches .zarr with where / col_select") {
@@ -46,6 +59,27 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       colSelect = Seq("x", "y", "z")))
     assert(out.columns.toSeq === Seq("x", "y", "z"))
     assert(out.count() === 5L)
+  }
+
+  test("dimension_separator '/' (nested chunk directories) reads identically") {
+    val dir = Files.createTempDirectory("zarr_").resolve("n.zarr").toString
+    ZarrGrid.writeGrid2d(mkGrid(1.0), dir, "x", "y", Seq("z"), chunkRows = 2)
+    // convert z's chunk files to the nested layout and declare the separator
+    val zdir = Paths.get(dir, "z")
+    Files.list(zdir).toArray.map(_.toString).filter(_.matches(""".*/\d+\.\d+$""")).foreach { p =>
+      val Array(a, b) = Paths.get(p).getFileName.toString.split("\\.")
+      val target = zdir.resolve(a).resolve(b)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(p), target)
+    }
+    val za = zdir.resolve(".zarray")
+    val txt = new String(Files.readAllBytes(za), "UTF-8")
+      .replace(""""order":"C"""", """"order":"C","dimension_separator":"/"""")
+    Files.write(za, txt.getBytes("UTF-8"))
+    val back = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z"))
+    assert(back.count() === 35)
+    assert(back.filter(col("x") === 30.0 && col("y") === 200.0)
+      .head().getDouble(2) === 1.0 + 2 * 7 + 3)
   }
 
   test("unsupported stores raise errors naming the blocker") {

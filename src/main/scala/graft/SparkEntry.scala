@@ -327,6 +327,32 @@ object SparkEntry {
     // runs over SQL-expressible synthetic hash arrays so DuckDB pins the
     // exact fingerprints; the k-gram bit-mixing hash half is golden-tested
     // (ExpressionsSpec winnow + TextAnalysisSpec split-consistency).
+    // REAL media decode roundtrip: constant-colour PNGs are encoded from
+    // doc_id arithmetic with the JDK's own ImageIO codec, probed back
+    // through Multimodal.RealDecoders (the genuine PNG decoder, not the
+    // stub) — lossless constant images make width/height/channel means
+    // pure arithmetic the DuckDB oracle replicates exactly
+    "q56_media_probe" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = pq(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 101 === 0).as[Long].map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 11).toInt
+          val rgb = ((id % 256).toInt << 16) | (((id * 7) % 256).toInt << 8) | ((id * 13) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          graft.operators.Multimodal.MediaRow(id.toString, s"png://$id", bos.toByteArray, "image")
+        }
+      graft.operators.Multimodal.probeMedia(media)
+        .select(col("doc_id").cast("long").as("doc_id"), col("kind"),
+          col("width"), col("height"),
+          col("mean")(0).as("mean_r"), col("mean")(1).as("mean_g"), col("mean")(2).as("mean_b"))
+    }),
+
     // benchmark decontamination (GPT-3 appendix-C recipe, n-gram
     // collision): benchmark = every 37th doc, corpus = all documents;
     // n=3 keeps the oracle SQL-expressible (production default is 13)
@@ -951,6 +977,15 @@ object SparkEntry {
 
     "q22_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count FROM documents GROUP BY text",
+
+    "q56_media_probe" ->
+      """SELECT doc_id, 'image' AS kind,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + doc_id % 11 AS INT) AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+        |FROM documents WHERE doc_id % 101 = 0""".stripMargin,
 
     "q55_decontaminate" ->
       """WITH ctoks AS (

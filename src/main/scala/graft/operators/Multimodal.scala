@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   * Scala analog of pandas-batched UDFs: amortise per-batch setup — a real
   * decoder would hold its native context per partition, not per row).
   *
-  * The actual image/audio decode is STUBBED — this container carries no
-  * media libraries — behind `DecodeStub`: a deterministic fake that
-  * produces the right shapes. Everything Spark-side (schema, partitioning,
-  * batch processing, feature schema) is real and tested; swapping
-  * `DecodeStub` for a JNI/FFMpeg decoder changes no plan.
+  * Two decode paths:
+  *  - [[RealDecoders]] / [[probeMedia]] — REAL decoding for the formats
+  *    the JDK itself ships codecs for: PNG/JPEG/BMP/GIF via `ImageIO`
+  *    (width/height + exact per-channel means) and RIFF/WAVE PCM via
+  *    `javax.sound.sampled` (sample rate, channels, frames, duration,
+  *    RMS). No external libraries; pinned end-to-end by the q56 oracle
+  *    (constant-colour PNG encode -> decode roundtrip).
+  *  - [[DecodeStub]] — a deterministic stand-in for codecs the JDK lacks
+  *    (video containers, webp, ...): produces the right shapes, and its
+  *    arithmetic is SQL-expressible so q33 oracle-pins the pipeline.
   */
 object Multimodal {
 
@@ -49,8 +54,99 @@ object Multimodal {
     }
   }
 
-  /** Deterministic fake decoder: ??? -> replace with a real image/audio
-    * decoder binding. The fake's arithmetic is a plain byte-sum checksum
+  /** One probed media payload: images fill (width, height, mean RGB);
+    * audio fills (channels, sample_rate, n_frames, duration_ms, rms).
+    */
+  final case class MediaProbe(doc_id: String, media_ref: String, kind: String,
+                              width: Int, height: Int, channels: Int,
+                              sample_rate: Int, n_frames: Long,
+                              duration_ms: Double, mean: Seq[Double], rms: Double)
+
+  /** REAL decode over partitions for the JDK-codec formats (see
+    * [[RealDecoders]]); unknown payloads come back kind="unknown" rather
+    * than failing the batch.
+    */
+  def probeMedia(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaProbe] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = RealDecoders.probe(r.content)
+        MediaProbe(r.doc_id, r.media_ref, p.kind, p.width, p.height, p.channels,
+          p.sampleRate, p.nFrames, p.durationMs, p.mean.toSeq, p.rms)
+      }
+    }
+  }
+
+  /** Pure-JDK media decoding: `ImageIO` (PNG/JPEG/BMP/GIF) and
+    * `javax.sound.sampled` (RIFF/WAVE PCM). These are full real codecs —
+    * the stub below remains only for formats the JDK cannot decode.
+    */
+  object RealDecoders {
+    final case class Probe(kind: String, width: Int, height: Int, channels: Int,
+                           sampleRate: Int, nFrames: Long, durationMs: Double,
+                           mean: Array[Double], rms: Double)
+    private val Unknown = Probe("unknown", 0, 0, 0, 0, 0L, 0.0, Array.empty, 0.0)
+
+    def probe(content: Array[Byte]): Probe =
+      if (content.length >= 12 && content(0) == 'R' && content(1) == 'I' &&
+        content(2) == 'F' && content(3) == 'F' && content(8) == 'W' &&
+        content(9) == 'A' && content(10) == 'V' && content(11) == 'E') probeWav(content)
+      else probeImage(content)
+
+    private def probeImage(content: Array[Byte]): Probe = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (img == null) Unknown
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var (sr, sg, sb) = (0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        Probe("image", w, h, 3, 0, 1L, 0.0, Array(sr / n, sg / n, sb / n), 0.0)
+      }
+    }
+
+    private def probeWav(content: Array[Byte]): Probe =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val rate = fmt.getSampleRate.toDouble
+        // RMS over 16-bit little-endian PCM (the WAV default)
+        val rms =
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) 0.0
+          else {
+            val bytes = in.readAllBytes()
+            var acc = 0.0
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort / 32768.0
+              acc += s * s
+              i += 2
+            }
+            math.sqrt(acc / math.max(1, bytes.length / 2))
+          }
+        Probe("audio", 0, 0, fmt.getChannels, fmt.getSampleRate.toInt, frames,
+          frames * 1000.0 / rate, Array(rms), rms)
+      } catch { case _: Exception => Unknown }
+  }
+
+  /** Deterministic fake decoder for formats the JDK cannot decode
+    * (??? -> replace with an FFmpeg/JNI binding; JDK-codec formats
+    * already decode for real via [[RealDecoders]]). The fake's
+    * arithmetic is a plain byte-sum checksum
     * (NOT a bit mixer) on purpose: it is SQL-expressible, so the decode
     * output itself is pinned by the q33 DuckDB oracle end-to-end — the
     * fetched "payload" is the UTF-8 bytes of the media_ref (a

@@ -50,4 +50,63 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f === 1 + (s1 % 8).toInt)
     assert(emb === Seq.tabulate(8)(k => ((s1 * (k + 1)) % 1000).toFloat / 1000.0f))
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("RealDecoders: PNG decodes for real — exact dimensions and channel means") {
+    val p = Multimodal.RealDecoders.probe(pngBytes(13, 7, 0x4080C0))
+    assert(p.kind === "image")
+    assert((p.width, p.height, p.channels) === ((13, 7, 3)))
+    assert(p.mean.toSeq === Seq(0x40.toDouble, 0x80.toDouble, 0xC0.toDouble))
+  }
+
+  test("RealDecoders: JPEG decodes for real (lossy — means within tolerance)") {
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x646464)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val p = Multimodal.RealDecoders.probe(bos.toByteArray)
+    assert(p.kind === "image" && p.width === 16 && p.height === 16)
+    p.mean.foreach(m => assert(math.abs(m - 100.0) < 3.0, s"jpeg mean $m"))
+  }
+
+  test("RealDecoders: WAV PCM decodes for real — rate, frames, duration, sine RMS") {
+    val rate = 8000
+    val n = 8000
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * amp * 32767).toInt.toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val p = Multimodal.RealDecoders.probe(bos.toByteArray)
+    assert(p.kind === "audio")
+    assert(p.sampleRate === rate && p.channels === 1 && p.nFrames === n.toLong)
+    assert(math.abs(p.durationMs - 1000.0) < 1e-6)
+    assert(math.abs(p.rms - amp / math.sqrt(2)) < 0.01, s"rms ${p.rms}")
+  }
+
+  test("probeMedia: unknown payloads degrade to kind=unknown, not task failure") {
+    val rows = Seq(
+      Multimodal.MediaRow("d0", "png://x", pngBytes(4, 4, 0xFF0000), "image"),
+      Multimodal.MediaRow("d1", "bogus://y", Array[Byte](1, 2, 3), "image")).toDS()
+    val out = Multimodal.probeMedia(rows).collect().map(p => p.media_ref -> p.kind).toMap
+    assert(out === Map("png://x" -> "image", "bogus://y" -> "unknown"))
+  }
 }

@@ -249,10 +249,13 @@ object Hdf5Table {
           case l: Long => l
           case v: Int => v.toLong
         })
+        // booleans ride the long block as 0/1 (full |b1 bool-block parity
+        // would need a 1-byte dtype; downstream read_hdf sees ints)
+        case BooleanType => lng += f.name -> rows.map(r => if (r.getBoolean(i)) 1L else 0L)
         case StringType => str += f.name -> rows.map(_.getString(i))
         case other => throw new IllegalArgumentException(
           s"${f.name}: $other not supported in an HDFStore frame " +
-            "(double/long/string columns only — complex types belong in parquet)")
+            "(double/long/string/bool columns only — complex types belong in parquet)")
       }
     }
     val blocks = Seq.newBuilder[Hdf5Lite.H5Var]

@@ -120,8 +120,8 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
 
   test("multi-key store file: export/import rounds the reference store shape") {
     import spark.implicits._
-    val rd = Seq((0.0, 0.0, 5L, "GraftGPR"), (100.0, 0.0, 7L, "GraftSGPR"))
-      .toDF("x", "y", "num_obs", "model")
+    val rd = Seq((0.0, 0.0, 5L, "GraftGPR", true), (100.0, 0.0, 7L, "GraftSGPR", false))
+      .toDF("x", "y", "num_obs", "model", "optimise_success")
     val preds = Seq((0.0, 0.0, 1.5), (100.0, 0.0, -0.5)).toDF("x", "y", "f_star")
     val dir = Files.createTempDirectory("h5store_").toString
     val store = new graft.io.ResultStore(spark, s"$dir/store")
@@ -139,6 +139,9 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     assert(rdBack.schema("model").dataType.typeName === "string")
     assert(rdBack.select("model").collect().map(_.getString(0)).sorted ===
       Array("GraftGPR", "GraftSGPR"))
+    // booleans ride the long block as 0/1 (run_details' optimise flag)
+    assert(rdBack.select("num_obs", "optimise_success").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 1L), (7L, 0L)))
     // import into a fresh store: every key becomes a table again
     val store2 = new graft.io.ResultStore(spark, s"$dir/store2")
     assert(store2.importH5(spark, h5) === Seq("preds", "run_details"))

@@ -258,6 +258,117 @@ object ZarrGrid {
     readGrid2d(spark, dir, xDim, yDim, dataVars)
   }
 
+  /** Write a gridded table as one xarray-shaped zarr group with the CHUNK
+    * FILES written FROM THE EXECUTORS — the scale-path gridded sink: the
+    * driver touches only the axes and JSON metadata; every (chunk row
+    * band, variable) pair encodes + writes its own file through the
+    * Hadoop FS inside a task, so a planet-scale grid exports as
+    * embarrassingly parallel chunk writes. Rows must cover the full
+    * (x, y) lattice exactly once (validated by count, not by collect).
+    */
+  def writeGrid2dDistributed(df: DataFrame, dir: String, xCol: String, yCol: String,
+                             varNames: Seq[String], chunkRows: Int): Unit = {
+    require(chunkRows > 0, "chunkRows must be positive")
+    val spark = df.sparkSession
+    // axes: grid-axis-sized driver work (the only driver-side data)
+    val xs = df.select(xCol).distinct().collect().map(_.getDouble(0)).sorted
+    val ys = df.select(yCol).distinct().collect().map(_.getDouble(0)).sorted
+    val total = df.count()
+    require(total == xs.length.toLong * ys.length,
+      s"rows $total != full ${xs.length} x ${ys.length} lattice (duplicates or gaps)")
+    val cr = math.min(chunkRows, ys.length)
+    val nChunks = (ys.length + cr - 1) / cr
+
+    // metadata + coordinate arrays (tiny, driver-side)
+    writeMeta(dir, xCol, yCol, varNames, xs, ys, cr)
+
+    val xIdx = xs.zipWithIndex.toMap
+    val yIdx = ys.zipWithIndex.toMap
+    val width = xs.length
+    val dirB = dir
+    val vars = varNames
+    df.select((Seq(xCol, yCol) ++ varNames).map(col): _*)
+      .repartition(nChunks, udfYchunk(yIdx, cr)(col(yCol)))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        // assemble the partition's chunk bands (hash may co-locate several)
+        val bands = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+        rows.foreach { r =>
+          val ix = xIdx(r.getDouble(0))
+          val iy = yIdx(r.getDouble(1))
+          val ci = iy / cr
+          val band = bands.getOrElseUpdate(ci, Array.fill(vars.length)(new Array[Double](cr * width)))
+          var v = 0
+          while (v < vars.length) {
+            band(v)((iy - ci * cr) * width + ix) = r.getDouble(2 + v)
+            v += 1
+          }
+        }
+        if (bands.nonEmpty) {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          bands.foreach { case (ci, band) =>
+            vars.indices.foreach { v =>
+              val p = new org.apache.hadoop.fs.Path(s"$dirB/${vars(v)}/$ci.0")
+              val fs = p.getFileSystem(conf)
+              val out = fs.create(p, true)
+              try out.write(zlibBytes(doubleLeBytes(band(v)))) finally out.close()
+            }
+          }
+        }
+      }
+  }
+
+  // row -> chunk-band index (used only to co-locate a band's rows)
+  private def udfYchunk(yIdx: Map[Double, Int], cr: Int) =
+    udf((y: Double) => yIdx(y) / cr)
+
+  private def zlibBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(5)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  private def doubleLeBytes(vals: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  /** `.zgroup`, coordinate arrays, and per-variable `.zarray`/`.zattrs`
+    * for a (ys x xs) grid chunked in row bands of `cr`.
+    */
+  private def writeMeta(dir: String, xCol: String, yCol: String, varNames: Seq[String],
+                        xs: Array[Double], ys: Array[Double], cr: Int): Unit = {
+    val base = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(base)
+    def writeFile(rel: String, bytes: Array[Byte]): Unit = {
+      val p = base.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    def zarrayJson(shape: Seq[Int], chunks: Seq[Int]): String =
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],""" +
+        """"dtype":"<f8","compressor":{"id":"zlib","level":5},"fill_value":0.0,""" +
+        """"order":"C","filters":null}"""
+    writeFile(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
+    def writeCoord(name: String, vals: Array[Double]): Unit = {
+      writeFile(s"$name/.zarray", zarrayJson(Seq(vals.length), Seq(vals.length)).getBytes("UTF-8"))
+      writeFile(s"$name/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$name"]}""".getBytes("UTF-8"))
+      writeFile(s"$name/0", zlibBytes(doubleLeBytes(vals)))
+    }
+    writeCoord(xCol, xs)
+    writeCoord(yCol, ys)
+    varNames.foreach { v =>
+      writeFile(s"$v/.zarray",
+        zarrayJson(Seq(ys.length, xs.length), Seq(cr, xs.length)).getBytes("UTF-8"))
+      writeFile(s"$v/.zattrs",
+        s"""{"_ARRAY_DIMENSIONS":["$yCol","$xCol"]}""".getBytes("UTF-8"))
+    }
+  }
+
   /** Write a gridded table as ONE xarray-shaped zarr group (driver-side,
     * the result-grid-sized sink, like NetCdfGrid.writeGrid2d): coordinate
     * arrays + one 2-d zlib-chunked array per field, `.zattrs` naming the
@@ -275,52 +386,15 @@ object ZarrGrid {
       s"${rows.length - distinctCells} duplicate ($xCol, $yCol) rows")
     val xIdx = xs.zipWithIndex.toMap
     val yIdx = ys.zipWithIndex.toMap
+    val cr = if (chunkRows > 0) math.min(chunkRows, ys.length) else ys.length
+    writeMeta(dir, xCol, yCol, varNames, xs, ys, cr)
 
     val base = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(base)
-    def writeFile(rel: String, bytes: Array[Byte]): Unit = {
-      val p = base.resolve(rel)
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, bytes)
-    }
-    def zlib(raw: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater(5)
-      d.setInput(raw); d.finish()
-      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      out.toByteArray
-    }
-    def doubleBytes(vals: Array[Double]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      vals.foreach(bb.putDouble)
-      bb.array()
-    }
-    def zarrayJson(shape: Seq[Int], chunks: Seq[Int]): String =
-      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],""" +
-        """"dtype":"<f8","compressor":{"id":"zlib","level":5},"fill_value":0.0,""" +
-        """"order":"C","filters":null}"""
-
-    writeFile(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
-    def writeCoord(name: String, vals: Array[Double]): Unit = {
-      writeFile(s"$name/.zarray", zarrayJson(Seq(vals.length), Seq(vals.length)).getBytes("UTF-8"))
-      writeFile(s"$name/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$name"]}""".getBytes("UTF-8"))
-      writeFile(s"$name/0", zlib(doubleBytes(vals)))
-    }
-    writeCoord(xCol, xs)
-    writeCoord(yCol, ys)
-
     varNames.zipWithIndex.foreach { case (v, vi) =>
       val grid = new Array[Double](xs.length * ys.length)
       rows.foreach { r =>
         grid(yIdx(r.getDouble(1)) * xs.length + xIdx(r.getDouble(0))) = r.getDouble(2 + vi)
       }
-      val cr = if (chunkRows > 0) math.min(chunkRows, ys.length) else ys.length
-      writeFile(s"$v/.zarray",
-        zarrayJson(Seq(ys.length, xs.length), Seq(cr, xs.length)).getBytes("UTF-8"))
-      writeFile(s"$v/.zattrs",
-        s"""{"_ARRAY_DIMENSIONS":["$yCol","$xCol"]}""".getBytes("UTF-8"))
       val nChunks = (ys.length + cr - 1) / cr
       (0 until nChunks).foreach { ci =>
         // full-extent chunk, zero-padded rows at the ragged edge
@@ -330,7 +404,7 @@ object ZarrGrid {
           System.arraycopy(grid, (ci * cr + i) * xs.length, chunk, i * xs.length, xs.length)
           i += 1
         }
-        writeFile(s"$v/$ci.0", zlib(doubleBytes(chunk)))
+        java.nio.file.Files.write(base.resolve(s"$v/$ci.0"), zlibBytes(doubleLeBytes(chunk)))
       }
     }
   }

@@ -61,6 +61,24 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() === 5L)
   }
 
+  test("executor-side distributed chunk write is byte-identical to the driver sink") {
+    val dirA = Files.createTempDirectory("zarr_").resolve("a.zarr").toString
+    val dirB = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
+    val two = mkGrid(3.0).withColumn("w", col("z") * 0.5)
+    ZarrGrid.writeGrid2d(two, dirA, "x", "y", Seq("z", "w"), chunkRows = 2)
+    ZarrGrid.writeGrid2dDistributed(two.repartition(5), dirB, "x", "y", Seq("z", "w"),
+      chunkRows = 2)
+    val a = ZarrGrid.readGrid2d(spark, dirA, "x", "y", Seq("z", "w")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val b = ZarrGrid.readGrid2d(spark, dirB, "x", "y", Seq("z", "w")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(a === b && a.size === 35)
+    for (v <- Seq("z", "w"); ci <- 0 until 3)
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(dirA, v, s"$ci.0")),
+        Files.readAllBytes(Paths.get(dirB, v, s"$ci.0"))), s"$v/$ci.0 bytes")
+  }
+
   test("dimension_separator '/' (nested chunk directories) reads identically") {
     val dir = Files.createTempDirectory("zarr_").resolve("n.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(1.0), dir, "x", "y", Seq("z"), chunkRows = 2)

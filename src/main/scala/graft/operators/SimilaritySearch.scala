@@ -20,6 +20,13 @@ object SimilaritySearch {
 
   /** exact top-k by cosine; queries are broadcast. Output:
     * (query_id, item id, cosine, rank <= k).
+    *
+    * Scale shape: scoring stays in the scan stage (crossJoin with the
+    * BROADCAST query set, codegen'd cosine); each partition then keeps
+    * only a bounded per-query heap (<= nQueries x k rows emitted per
+    * partition — the textbook mapPartitions case), so the final exact
+    * rank window sees <= partitions x k candidates per query instead of
+    * funnelling EVERY item's score through one reducer per query.
     */
   def bruteForceTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                      queryIdCol: String, k: Int): DataFrame = {
@@ -30,8 +37,48 @@ object SimilaritySearch {
     val scored = it.crossJoin(broadcast(q))
       .select(col("query_id"), col("item_id"),
         Dedup.cosine(col("qvec"), col("ivec")).as("cosine"))
+
+    // per-partition bounded top-k (exact: the global top-k survives some
+    // partition's local top-k); ties follow the final (cosine desc,
+    // item_id asc) order so the reduced stream is order-equivalent
+    val enc = org.apache.spark.sql.Encoders.row(scored.schema)
+    val kk = k
+    val partial = scored.mapPartitions { rows =>
+      // better(a, b): strictly higher cosine, or equal cosine and smaller id
+      def ltId(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Long, y: Long) => x < y
+        case (x: Int, y: Int) => x < y
+        case (x: Double, y: Double) => x < y
+        case (x: String, y: String) => x < y
+        case (x, y) => String.valueOf(x) < String.valueOf(y)
+      }
+      // min-heap: head = the WORST kept candidate
+      val heapOrd = new Ordering[(Double, Any)] {
+        def compare(a: (Double, Any), b: (Double, Any)): Int =
+          if (a._1 != b._1) java.lang.Double.compare(b._1, a._1) // lower cosine first
+          else if (ltId(a._2, b._2)) 1 else if (ltId(b._2, a._2)) -1 else 0
+      }
+      val best = scala.collection.mutable.Map.empty[Any, scala.collection.mutable.PriorityQueue[(Double, Any)]]
+      rows.foreach { r =>
+        val qid = r.get(0)
+        val cand = (r.getDouble(2), r.get(1))
+        val heap = best.getOrElseUpdate(qid, scala.collection.mutable.PriorityQueue.empty(heapOrd))
+        if (heap.size < kk) heap.enqueue(cand)
+        else {
+          val worst = heap.head
+          val better = cand._1 > worst._1 || (cand._1 == worst._1 && ltId(cand._2, worst._2))
+          if (better) { heap.dequeue(); heap.enqueue(cand) }
+        }
+      }
+      best.iterator.flatMap { case (qid, heap) =>
+        heap.iterator.map { case (cos, item) =>
+          org.apache.spark.sql.Row(qid, item, cos)
+        }
+      }
+    }(enc)
+
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("item_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    partial.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Deterministic IVF: centroids = the `nlist` items with the smallest

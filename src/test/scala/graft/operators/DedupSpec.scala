@@ -99,6 +99,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.head === 7L) // self is most similar
   }
 
+  test("brute-force plan: one Exchange total — per-partition heaps bound the rank input") {
+    val q = items.filter(col("vec_id") < 3)
+    // many partitions + multiple queries: the old global per-query window
+    // funnelled every item score through one reducer per query
+    val out = SimilaritySearch.bruteForceTopK(items.repartition(8), q,
+      "vec_id", "embedding", "vec_id", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected the single final-rank exchange, got $exchanges:\n$plan")
+    // exactness survives partitioning: identical to the 1-partition run
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = SimilaritySearch.bruteForceTopK(items.coalesce(1), q,
+      "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a === b)
+  }
+
   test("IVF top-k returns k results with self as rank 1 and high recall vs brute force") {
     val q = items.filter(col("vec_id") < 5)
     val ivf = SimilaritySearch.ivfTopK(items, q, "vec_id", "embedding", "vec_id", 5, nlist = 8, nprobe = 4)

@@ -650,7 +650,10 @@ object SparkEntry {
         yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
         .withColumnRenamed("z", "z_mean").select("x", "y", "z_mean")
       val tmp = java.nio.file.Files.createTempDirectory("graft_q54_").toString + "/binned.zarr"
-      graft.sources.ZarrGrid.writeGrid2d(binned, tmp, "x", "y", Seq("z_mean"), chunkRows = 3)
+      // the EXECUTOR-side chunk writer (byte-identical to the driver sink
+      // per ZarrSpec) — the driver gate exercises the scale path
+      graft.sources.ZarrGrid.writeGrid2dDistributed(binned, tmp, "x", "y", Seq("z_mean"),
+        chunkRows = 3)
       graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),

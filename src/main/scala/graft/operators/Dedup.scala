@@ -20,10 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical text. */
+  /** Exact dedup: keep the smallest id per identical text.
+    *
+    * Scale shape: the shuffle KEY is `xxhash64(text)` — 8 bytes — not the
+    * multi-KB document text; the surviving text rides as the `min_by`
+    * aggregation payload, so map-side partial aggregation collapses
+    * duplicates to one text per distinct hash per partition before anything
+    * crosses the wire. Collision risk (two texts, one 64-bit hash) is the
+    * same class MinHash banding already accepts; swap `xxhash64` for
+    * `sha2(text, 256)` if 2^-64 per-pair is not acceptable.
+    */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+    df.groupBy(xxhash64(col(textCol)).as("_text_hash"))
+      .agg(min(col(idCol)).as(idCol),
+        min_by(col(textCol), col(idCol)).as(textCol),
+        count(lit(1)).as("dup_count"))
       .select(idCol, textCol, "dup_count")
 
   /** MinHash LSH candidate pairs: signatures banded; docs sharing any band
@@ -71,11 +82,64 @@ object Dedup {
       .groupBy("idA", "idB").agg(first("est_jaccard").as("est_jaccard"))
   }
 
-  /** Greedy near-dup removal from verified pairs: a doc survives unless a
-    * smaller-id near-duplicate exists.
+  /** Near-dup removal from verified pairs.
+    *
+    * Default (greedy, single anti-join pass): a doc survives unless a
+    * smaller-id near-duplicate exists — i.e. drop every id that appears as
+    * the larger side of any pair. One shuffle, no iteration.
+    *
+    * `transitive = true`: treat pairs as edges of a similarity graph and
+    * keep exactly the min id of each CONNECTED COMPONENT (hash-min label
+    * propagation, see [[connectedComponents]]). The two differ when two
+    * surviving-under-greedy docs are linked only through a common larger-id
+    * neighbour: pairs (1,3),(2,3) — greedy keeps {1,2}, closure keeps {1}.
+    * Iterations = component diameter; the propagation runs over the pair
+    * GRAPH only (verified near-dups, orders of magnitude smaller than the
+    * corpus), never over the document table.
     */
-  def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    df.join(pairs.select(col("idB").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  def dropDuplicatesByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                            transitive: Boolean = false): DataFrame =
+    if (!transitive)
+      df.join(pairs.select(col("idB").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    else {
+      val dropIds = connectedComponents(pairs)
+        .filter(col("label") =!= col("id"))
+        .select(col("id").as(idCol))
+      df.join(dropIds, Seq(idCol), "left_anti")
+    }
+
+  /** Hash-min connected components over an (idA, idB) pair table: returns
+    * (id, label) where label = the smallest id reachable from `id`.
+    * Each round joins current labels across edges and takes the min; stops
+    * at fixpoint (no label changed). Rounds = graph diameter — near-dup
+    * graphs are unions of tight cliques, so this converges in a few rounds.
+    * Frames are cached per round and localCheckpointed every few rounds to
+    * keep the lineage (and thus task re-execution cost) bounded.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      // min label among self and neighbours
+      val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next0 = labels.select("id", "label").union(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+      val next = (if (round % 4 == 3) next0.localCheckpoint(false) else next0).cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming. Banding the
     * 64-bit signature into (maxHamming + 1) chunks guarantees (pigeonhole)

@@ -37,14 +37,20 @@ object SimilaritySearch {
     val scored = it.crossJoin(broadcast(q))
       .select(col("query_id"), col("item_id"),
         Dedup.cosine(col("qvec"), col("ivec")).as("cosine"))
+    rankedTopK(scored, k)
+  }
 
-    // per-partition bounded top-k (exact: the global top-k survives some
-    // partition's local top-k); ties follow the final (cosine desc,
-    // item_id asc) order so the reduced stream is order-equivalent
+  /** Exact per-query top-k over a (query_id, item_id, cosine) frame:
+    * per-partition bounded heaps (<= nQueries x k rows out of each
+    * partition), then one rank window over the reduced stream. The global
+    * top-k always survives some partition's local top-k, so this is exact;
+    * ties follow the final (cosine desc, item_id asc) order throughout so
+    * the reduced stream is order-equivalent to the full one.
+    */
+  private[operators] def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(scored.schema)
     val kk = k
     val partial = scored.mapPartitions { rows =>
-      // better(a, b): strictly higher cosine, or equal cosine and smaller id
       def ltId(a: Any, b: Any): Boolean = (a, b) match {
         case (x: Long, y: Long) => x < y
         case (x: Int, y: Int) => x < y
@@ -52,11 +58,14 @@ object SimilaritySearch {
         case (x: String, y: String) => x < y
         case (x, y) => String.valueOf(x) < String.valueOf(y)
       }
-      // min-heap: head = the WORST kept candidate
+      // max-heap whose head must be the WORST kept candidate under the
+      // final (cosine desc, item_id asc) order: lower cosine ranks
+      // "greater"; on equal cosine the LARGER id ranks "greater" (it is
+      // the one a better tie should evict)
       val heapOrd = new Ordering[(Double, Any)] {
         def compare(a: (Double, Any), b: (Double, Any)): Int =
           if (a._1 != b._1) java.lang.Double.compare(b._1, a._1) // lower cosine first
-          else if (ltId(a._2, b._2)) 1 else if (ltId(b._2, a._2)) -1 else 0
+          else if (ltId(a._2, b._2)) -1 else if (ltId(b._2, a._2)) 1 else 0
       }
       val best = scala.collection.mutable.Map.empty[Any, scala.collection.mutable.PriorityQueue[(Double, Any)]]
       rows.foreach { r =>
@@ -66,6 +75,7 @@ object SimilaritySearch {
         if (heap.size < kk) heap.enqueue(cand)
         else {
           val worst = heap.head
+          // better(cand, worst): strictly higher cosine, or tie + smaller id
           val better = cand._1 > worst._1 || (cand._1 == worst._1 && ltId(cand._2, worst._2))
           if (better) { heap.dequeue(); heap.enqueue(cand) }
         }
@@ -138,11 +148,15 @@ object SimilaritySearch {
         explode(slice(array_sort(scoredLists), 1, nprobe)).as("p"))
       .select(col("query_id"), col("qvec"), col("p.list_id").as("list_id"))
 
-    val wRank = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("item_id").asc)
-    assigned.join(broadcast(probes), Seq("list_id"))
+    // probe join scores stay in the scan stage; the same per-partition
+    // bounded-heap reduction as bruteForceTopK runs BEFORE the rank window,
+    // so the window sees <= partitions x k rows per query instead of every
+    // item in the probed lists (~nprobe/nlist of the table) funnelling
+    // through one reducer per query
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("item_id"),
         Dedup.cosine(col("qvec"), col("ivec")).as("cosine"))
-      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+    rankedTopK(scored, k)
   }
 
   /** Lloyd's k-means over (a deterministic sample of) the item embeddings —

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -19,6 +20,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val got = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(got.length === 4)
     assert(got.head.getLong(0) === 1L && got.head.getLong(2) === 2L) // id 1 survives with dup_count 2
+  }
+
+  test("exact dedup shuffles 8-byte hash keys, not multi-KB document text") {
+    val big = Seq.tabulate(20) { i =>
+      (i.toLong, ("lorem ipsum dolor sit amet " * 400) + (i % 5)) // ~10 KB each, 5 distinct
+    }.toDF("doc_id", "text")
+    val out = Dedup.exact(big, "doc_id", "text")
+    assert(out.count() === 5)
+    assert(out.agg(sum("dup_count")).head.getLong(0) === 20L)
+    // the exchange must partition on the 64-bit text hash (Catalyst
+    // aliases it _groupingexpression#NL, a LongType key), never on text
+    val plan = out.queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\(([^,]+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(p => !p.startsWith("text#")),
+      s"shuffle key must be the text hash, got $parts:\n$plan")
+    assert(parts.forall(_.endsWith("L")), s"shuffle key must be an 8-byte long, got $parts")
+    assert(out.queryExecution.analyzed.toString.contains("xxhash64"),
+      "group key must be xxhash64(text)")
+  }
+
+  test("transitive closure differs from greedy on a common-neighbour chain") {
+    // pairs (1,3) and (2,3): greedy keeps {1,2} (only 3 ever appears as
+    // idB); closure sees one component {1,2,3} and keeps only min id 1
+    val ddocs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "unpaired")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("idA", "idB")
+    val greedy = Dedup.dropDuplicatesByPairs(ddocs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val closure = Dedup.dropDuplicatesByPairs(ddocs, "doc_id", pairs, transitive = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy === Set(1L, 2L, 9L))
+    assert(closure === Set(1L, 9L))
+  }
+
+  test("connected components: hash-min labels over a multi-hop chain") {
+    // chain 5-4, 4-2, 2-7 plus isolated pair 10-11: components {2,4,5,7}->2, {10,11}->10
+    val pairs = Seq((4L, 5L), (2L, 4L), (2L, 7L), (10L, 11L)).toDF("idA", "idB")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(2L -> 2L, 4L -> 2L, 5L -> 2L, 7L -> 2L, 10L -> 10L, 11L -> 10L))
   }
 
   test("minhash pairs find the exact and near duplicate, not unrelated docs") {
@@ -139,6 +179,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.6, s"trained-centroid IVF recall $recall")
     assert((0 until 5).forall(i => ivf.contains((i.toLong, i.toLong))), "self must be found")
+  }
+
+  test("heap tie-break: small-id item arriving last among k+1 identical-cosine items survives") {
+    // k+1 items with IDENTICAL vectors (so identical cosine); the small id
+    // arrives LAST in its partition. The final order is (cosine desc, id
+    // asc), so the true top-3 is ids {1, 10, 11} — a heap whose head is not
+    // the largest-id tie would evict the wrong element on admission of id 1.
+    val v = Seq.tabulate(8)(j => math.sin(j * 0.9).toFloat)
+    val dup = Seq(10L, 11L, 12L, 1L).map(id => (id, v)) // id 1 last
+    val itemsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(dup.map(Row.fromTuple(_)), 1),
+      items.schema)
+    val q = Seq((99L, v)).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.bruteForceTopK(itemsDf, q, "vec_id", "embedding", "vec_id", 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(1L, 10L, 11L), s"tie-break must follow (cosine desc, id asc): $got")
+  }
+
+  test("IVF plan: rank window input is heap-bounded — one hash exchange total") {
+    val q = items.filter(col("vec_id") < 3)
+    val out = SimilaritySearch.ivfTopK(items.repartition(8), q,
+      "vec_id", "embedding", "vec_id", 5, nlist = 8, nprobe = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected only the final-rank exchange, got $exchanges:\n$plan")
+    // the reduced stream must be order-equivalent: same rows as 1 partition
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = SimilaritySearch.ivfTopK(items.coalesce(1), q,
+      "vec_id", "embedding", "vec_id", 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a === b)
   }
 
   test("IVF plan shape: item->centroid assignment is a per-row argmax, not a window shuffle") {

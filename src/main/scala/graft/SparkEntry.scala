@@ -681,9 +681,12 @@ object SparkEntry {
         valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
         yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
         .withColumnRenamed("z", "z_mean")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q45_").toString + "/grid.nc"
-      graft.sources.NetCdfGrid.writeGrid2d(binned, tmp, "x", "y", Seq("z_mean"))
-      graft.sources.NetCdfGrid.readGrid2d(s, tmp, "x", "y", Seq("z_mean"))
+      // executor-parallel granule sink: one CDF-1 file per 3-row y band,
+      // written from the tasks, read back as a multi-granule glob scan
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q45_").toString + "/grid_nc"
+      graft.sources.NetCdfGrid.writeGrid2dDistributed(binned, tmp, "x", "y",
+        Seq("z_mean"), bandRows = 3)
+      graft.sources.NetCdfGrid.readGrid2d(s, tmp + "/*.nc", "x", "y", Seq("z_mean"))
         .select("x", "y", "z_mean")
     }),
 

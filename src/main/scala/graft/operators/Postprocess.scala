@@ -16,7 +16,13 @@ object Postprocess {
       lX: Double = 1.0,
       lY: Double = 1.0,
       minVal: Option[Double] = None,
-      maxVal: Option[Double] = None)
+      maxVal: Option[Double] = None,
+      // candidate cutoff in LENGTHSCALES: sources beyond cutoff normalized
+      // distance are dropped before the pairwise aggregate (their weight is
+      // < exp(-cutoff^2/2) ~ 2e-11 at the default 7 — below double display
+      // precision for any sane field). None = exact all-pairs (reference's
+      // own O(n^2) semantics, fine at 10^2..10^3 experts).
+      cutoff: Option[Double] = Some(7.0))
 
   /** Gaussian kernel smoothing of a hyperparameter field across expert
     * locations (reference `smooth_hyperparameters` + `gaussian_2d_weight`,
@@ -28,11 +34,19 @@ object Postprocess {
     * drop (reference emits NaN then dropna, :305-311).
     *
     * The reference's python loop over other-dims combos with an O(n^2)
-    * guvectorized kernel becomes a self-join on the other dims + groupBy —
-    * one shuffle, all groups at once. Expert counts are small (10^2..10^5),
-    * and the join key (other dims) partitions the quadratic work.
+    * guvectorized kernel becomes a candidate join + groupBy. With
+    * `cfg.cutoff` set (the default), candidates come from
+    * [[SpatialJoin.radiusJoin]] in LENGTHSCALE-NORMALIZED coordinates
+    * (x/lX, y/lY) at radius = cutoff, with the other dims as equality
+    * keys — cell-bucketed, so a 10^5-expert field generates
+    * O(n x neighborhood) pairs instead of the O(n^2)-per-group self-join
+    * (10^10 pairs at the survey's upper bound). Truncated weights are
+    * < exp(-cutoff^2/2) ~ 2e-11 of the (>= 1) self weight — float noise.
+    * `cutoff = None` keeps the exact all-pairs join (reference parity to
+    * the last ulp; the reference itself is O(n^2) here).
     */
   def smoothHyperparameters(df: DataFrame, cfg: SmoothConfig): DataFrame = {
+    require(cfg.lX > 0 && cfg.lY > 0, "lengthscales must be positive")
     def clamp(c: Column): Column = {
       val lo = cfg.minVal.map(v => greatest(c, lit(v))).getOrElse(c)
       cfg.maxVal.map(v => least(lo, lit(v))).getOrElse(lo)
@@ -50,9 +64,24 @@ object Postprocess {
       (Seq(col(cfg.xCol).as("__xs"), col(cfg.yCol).as("__ys"), col("__v")) ++ cfg.otherDims.map(col)): _*)
       .filter(!isnan(col("__v")))
 
-    val joined =
-      if (cfg.otherDims.nonEmpty) tgt.join(src, cfg.otherDims, "inner")
-      else tgt.crossJoin(src)
+    val joined = cfg.cutoff match {
+      case Some(cut) =>
+        // radius join on lengthscale-normalized coordinates: one isotropic
+        // radius bounds both dims; exact refine is dist^2 <= cutoff^2 there
+        val tn = tgt.withColumn("__x0n", col("__x0") / cfg.lX)
+          .withColumn("__y0n", col("__y0") / cfg.lY)
+        val sn = src.withColumn("__xsn", col("__xs") / cfg.lX)
+          .withColumn("__ysn", col("__ys") / cfg.lY)
+        SpatialJoin.radiusJoin(tn, sn, SpatialJoin.RadiusJoinConfig(
+          radius = cut, leftX = "__x0n", leftY = "__y0n",
+          rightX = "__xsn", rightY = "__ysn", matchCols = cfg.otherDims,
+          rightPrefix = "__s_"))
+          .withColumnRenamed("__s___xs", "__xs").withColumnRenamed("__s___ys", "__ys")
+          .withColumnRenamed("__s___v", "__v")
+      case None =>
+        if (cfg.otherDims.nonEmpty) tgt.join(src, cfg.otherDims, "inner")
+        else tgt.crossJoin(src)
+    }
 
     val d2 = pow((col("__xs") - col("__x0")) / cfg.lX, 2) + pow((col("__ys") - col("__y0")) / cfg.lY, 2)
     val w = exp(-d2 / 2.0)

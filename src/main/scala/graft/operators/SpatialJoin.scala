@@ -46,16 +46,23 @@ object SpatialJoin {
       temporal: Option[TemporalWindow] = None,
       broadcastRight: Boolean = true,
       saltBuckets: Int = 0,
-      rightPrefix: String = "expert_")
+      rightPrefix: String = "expert_",
+      matchCols: Seq[String] = Nil)
 
   /** Join `left` (observations / prediction locations; large) against
     * `right` (expert locations; small) within `radius`. Right columns are
     * returned prefixed with `cfg.rightPrefix`; all left columns (including
     * opaque payloads like `spans`) pass through untouched.
+    *
+    * `cfg.matchCols` are equality dimensions present on BOTH sides (e.g. a
+    * time bin): they join unprefixed with USING semantics (one output copy)
+    * and extend the shuffle key, so candidate pairs only form inside a
+    * matching group.
     */
   def radiusJoin(left: DataFrame, right: DataFrame, cfg: RadiusJoinConfig): DataFrame = {
     val pre = cfg.rightPrefix
-    val renamed = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, pre + c))
+    val renamed = right.columns.foldLeft(right)((df, c) =>
+      if (cfg.matchCols.contains(c)) df else df.withColumnRenamed(c, pre + c))
 
     val rx = col(pre + cfg.rightX)
     val ry = col(pre + cfg.rightY)
@@ -78,7 +85,7 @@ object SpatialJoin {
       case None => lit(true)
     }
 
-    val keys = if (salting) Seq("__cell", "__salt") else Seq("__cell")
+    val keys = (if (salting) Seq("__cell", "__salt") else Seq("__cell")) ++ cfg.matchCols
     val rside = if (cfg.broadcastRight) broadcast(r) else r
     l.join(rside, keys, "inner")
       .filter(distCond && tCond)

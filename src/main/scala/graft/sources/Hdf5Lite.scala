@@ -202,7 +202,10 @@ object Hdf5Lite {
           s"${v.name}: $nChunks chunks exceed one B-tree node (64) — raise chunkRows")
         val blobs = (0 until nChunks).map(ci => ChunkBlob(ci * c0, compress(rawChunk(v, ci * c0, c0))))
         val layoutRaw = 2 + 8 + 1 + (rank + 1) * 4
-        val filterSize = if (deflate > 0) 8 + 8 + 12 else 0 // msg hdr + body(8+12)
+        // msg hdr(8) + body(8 fixed + 8 filter record + 4 client value +
+        // 4 pad for the odd client count) — v1 message sizes are multiples
+        // of 8 and INCLUDE the pad bytes
+        val filterSize = if (deflate > 0) 8 + 24 else 0
         val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) +
           (8 + pad8(layoutRaw)) + filterSize
         val ohAddr = cursor
@@ -326,7 +329,7 @@ object Hdf5Lite {
       val dspaceSize = pad8(8 + rank * 8)
       val dtypeSize = dtypeSizeOf(p.v)
       val layoutSize = if (chunked) pad8(2 + 8 + 1 + (rank + 1) * 4) else 24
-      val filterSize = if (chunked && deflate > 0) 8 + 8 + 12 else 0
+      val filterSize = if (chunked && deflate > 0) 8 + 24 else 0
       val msgBlock = (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + layoutSize) + filterSize
       buf.put(1.toByte); buf.put(0.toByte)
       buf.putShort((if (filterSize > 0) 5 else 4).toShort)
@@ -404,7 +407,8 @@ object Hdf5Lite {
         buf.position(lStart + layoutSz)
         if (deflate > 0) {
           // filter pipeline v1: one filter, gzip (id 1), 1 client value
-          buf.putShort(0x000b.toShort); buf.putShort(20.toShort); buf.putInt(0)
+          // (declared size 24 = body incl. the 4 odd-count pad bytes)
+          buf.putShort(0x000b.toShort); buf.putShort(24.toShort); buf.putInt(0)
           buf.put(1.toByte); buf.put(1.toByte)
           buf.put(0.toByte); buf.put(0.toByte); buf.putInt(0) // 6 reserved
           buf.putShort(1.toShort)  // filter id: deflate

@@ -294,12 +294,17 @@ object Hdf5Table {
     */
   def writeGranules(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
+    // tasks write with the SESSION's Hadoop conf (credentials, fs.* tuning),
+    // not a default-constructed Configuration
+    val confB = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sessionState.newHadoopConf()))
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val bytes = Hdf5Lite.write(toVars(schema, rows))
         val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.h5")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(confB.value.value)
         val out = fs.create(p, true)
         try out.write(bytes) finally out.close()
       }

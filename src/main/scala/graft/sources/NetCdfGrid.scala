@@ -105,4 +105,76 @@ object NetCdfGrid {
         valCols.zipWithIndex.map { case (v, i) => NetCdf3.WVar(v, Seq(yCol, xCol), grids(i)) }
     Files.write(Paths.get(path), NetCdf3.write(dims, vars, gattrs))
   }
+
+  /** Write a gridded table as a DIRECTORY of classic netCDF-3 granules with
+    * the granule files written FROM THE EXECUTORS — the scale-path gridded
+    * sink (same shape as `ZarrGrid.writeGrid2dDistributed` and
+    * `Hdf5Table.writeGranules`): the driver touches only the axes; each row
+    * band of `bandRows` y-values becomes one complete CDF-1 granule
+    * `dir/part-NNNNN.nc` (its y coordinate = the band slice, x = the full
+    * axis), encoded and written through the Hadoop FileSystem inside a
+    * task. A planet-scale grid exports as embarrassingly parallel granule
+    * writes and reads back with [[readGrid2d]] on the `.nc` glob under
+    * `dir` — the granule directory IS the xarray `open_mfdataset` layout.
+    * Rows must cover the
+    * full (x, y) lattice exactly once (validated by count, not collect).
+    */
+  def writeGrid2dDistributed(df: DataFrame, dir: String, xCol: String, yCol: String,
+                             valCols: Seq[String], bandRows: Int,
+                             gattrs: Map[String, String] = Map.empty): Unit = {
+    require(bandRows > 0, "bandRows must be positive")
+    val spark = df.sparkSession
+    val xs = df.select(xCol).distinct().collect().map(_.getDouble(0)).sorted
+    val ys = df.select(yCol).distinct().collect().map(_.getDouble(0)).sorted
+    val total = df.count()
+    require(total == xs.length.toLong * ys.length,
+      s"rows $total != full ${xs.length} x ${ys.length} lattice (duplicates or gaps)")
+    val br = math.min(bandRows, ys.length)
+    val nBands = (ys.length + br - 1) / br
+
+    val xIdx = xs.zipWithIndex.toMap
+    val yIdx = ys.zipWithIndex.toMap
+    val width = xs.length
+    val dirB = dir; val vars = valCols; val xColB = xCol; val yColB = yCol
+    val gattrsB = gattrs; val ysB = ys; val xsB = xs
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val bandOf = udf((y: Double) => yIdx(y) / br)
+    df.select((Seq(xCol, yCol) ++ valCols).map(col): _*)
+      .repartition(nBands, bandOf(col(yCol)))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        // assemble this partition's band grids (hash may co-locate several)
+        val bands = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+        rows.foreach { r =>
+          val ix = xIdx(r.getDouble(0))
+          val iy = yIdx(r.getDouble(1))
+          val ci = iy / br
+          val bandLen = math.min(br, ysB.length - ci * br)
+          val band = bands.getOrElseUpdate(ci,
+            Array.fill(vars.length)(new Array[Double](bandLen * width)))
+          var v = 0
+          while (v < vars.length) {
+            band(v)((iy - ci * br) * width + ix) = r.getDouble(2 + v)
+            v += 1
+          }
+        }
+        bands.foreach { case (ci, band) =>
+          val bandLen = math.min(br, ysB.length - ci * br)
+          val ySlice = java.util.Arrays.copyOfRange(ysB, ci * br, ci * br + bandLen)
+          val dims = Seq(NetCdf3.NcDim(yColB, bandLen), NetCdf3.NcDim(xColB, width))
+          val wvars =
+            NetCdf3.WVar(yColB, Seq(yColB), ySlice) +:
+              NetCdf3.WVar(xColB, Seq(xColB), xsB) +:
+              vars.zipWithIndex.map { case (v, i) =>
+                NetCdf3.WVar(v, Seq(yColB, xColB), band(i))
+              }
+          val bytes = NetCdf3.write(dims, wvars, gattrsB)
+          val p = new org.apache.hadoop.fs.Path(dirB, f"part-$ci%05d.nc")
+          val fs = p.getFileSystem(confB.value.value)
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+  }
 }

@@ -27,11 +27,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * <f8/<f4/<i8/<i4, compressor null or zlib/gzip (blosc/lz4 stores raise
   * an error naming the codec), 1-d coordinate + 2-d data arrays.
   */
-object ZarrGrid {
+object ZarrGrid extends Serializable {
   implicit private val formats: Formats = DefaultFormats
 
   private final case class ZMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                                 zlib: Boolean, sep: String)
+                                 zlib: Boolean, sep: String, fill: Option[Double])
 
   private def parseZarray(json: String, name: String): ZMeta = {
     val j = JsonMethods.parse(json)
@@ -51,10 +51,31 @@ object ZarrGrid {
             "blosc stores must be rewritten, e.g. ds.to_zarr(encoding={'compressor': zlib}))")
         true
     }
+    // absent chunk files legally mean "all fill_value" in zarr v2
+    // (xarray/NaN-heavy stores omit them); null fill -> missing chunks raise
+    val fill = (j \ "fill_value") match {
+      case JNull | JNothing => None
+      case JString("NaN") => Some(Double.NaN)
+      case JString("Infinity") => Some(Double.PositiveInfinity)
+      case JString("-Infinity") => Some(Double.NegativeInfinity)
+      case v => Some(v.extract[Double])
+    }
     ZMeta((j \ "shape").extract[Seq[Int]], (j \ "chunks").extract[Seq[Int]],
       (j \ "dtype").extract[String], zlib,
-      (j \ "dimension_separator").extractOpt[String].getOrElse("."))
+      (j \ "dimension_separator").extractOpt[String].getOrElse("."), fill)
   }
+
+  /** Fully-fill chunk for an absent chunk file, or a loud error when the
+    * array declares no fill_value (silently dropping cells would break the
+    * class contract of erroring outside supported scope).
+    */
+  private def fillChunk(m: ZMeta, name: String, chunkRel: String): Array[Double] =
+    m.fill match {
+      case Some(f) => Array.fill(m.chunks.product)(f)
+      case None => throw new IllegalArgumentException(
+        s"$name: chunk file '$chunkRel' is absent and .zarray has no fill_value — " +
+          "cannot synthesize its cells")
+    }
 
   private def dtypeSize(dt: String, name: String): Int = {
     require(dt.length == 3 && (dt(0) == '<' || dt(0) == '|'),
@@ -100,8 +121,19 @@ object ZarrGrid {
     out
   }
 
+  /** FileSystem for `path` with CRC sidecars off: a zarr store is an
+    * externally-specified directory layout — Hadoop `.name.crc` files don't
+    * belong in it, and other writers' edits must not fail our reads.
+    */
+  private def rawFs(path: String, conf: org.apache.hadoop.conf.Configuration) = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    fs
+  }
+
   private def fsFor(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawFs(path, spark.sparkContext.hadoopConfiguration)
 
   private def readSmall(spark: SparkSession, path: String): Array[Byte] = {
     val fs = fsFor(spark, path)
@@ -113,19 +145,58 @@ object ZarrGrid {
     out
   }
 
-  /** Driver-side full read of a small (coordinate) array. */
+  /** Driver-side full read of a small (coordinate) array; absent chunk
+    * files resolve to fill_value (or raise if none declared).
+    */
   private def readArrayLocal(spark: SparkSession, arrDir: String, name: String): Array[Double] = {
     val m = parseZarray(new String(readSmall(spark, s"$arrDir/.zarray"), "UTF-8"), name)
     require(m.shape.length == 1, s"$name: expected 1-d coordinate array, got ${m.shape}")
+    val fs = fsFor(spark, arrDir)
     val out = new Array[Double](m.shape.head)
     val nChunks = (m.shape.head + m.chunks.head - 1) / m.chunks.head
     (0 until nChunks).foreach { ci =>
-      val vals = decodeChunk(readSmall(spark, s"$arrDir/$ci"), m, name)
+      val vals =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$arrDir/$ci")))
+          decodeChunk(readSmall(spark, s"$arrDir/$ci"), m, name)
+        else fillChunk(m, name, ci.toString)
       val base = ci * m.chunks.head
       var i = 0
       while (i < m.chunks.head && base + i < m.shape.head) { out(base + i) = vals(i); i += 1 }
     }
     out
+  }
+
+  /** Present (ci, cj) chunk indices of a 2-d array directory — one driver
+    * file listing (the same listing a binaryFile scan performs anyway).
+    */
+  private def presentChunks2d(spark: SparkSession, arrDir: String, sep: String): Set[(Int, Int)] = {
+    val fs = fsFor(spark, arrDir)
+    val base = new org.apache.hadoop.fs.Path(arrDir)
+    if (sep == "/")
+      fs.listStatus(base).filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .flatMap { d =>
+          val ci = d.getPath.getName.toInt
+          fs.listStatus(d.getPath).filterNot(_.getPath.getName.startsWith("."))
+            .map(f => (ci, f.getPath.getName.toInt))
+        }.toSet
+    else
+      fs.listStatus(base).map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && n.matches("\\d+\\.\\d+"))
+        .map { n => val p = n.split("\\."); (p(0).toInt, p(1).toInt) }.toSet
+  }
+
+  private def readChunkFile(conf: org.apache.hadoop.conf.Configuration,
+                            path: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = rawFs(path, conf)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      Some(bytes)
+    }
   }
 
   /** Read 2-d (yDim, xDim) variables of a zarr group into rows
@@ -165,7 +236,28 @@ object ZarrGrid {
       val enc = org.apache.spark.sql.Encoders.row(schema)
       val xsB = xs; val ysB = ys; val metasB = metas
       val v0 = varNames.head; val others = varNames.tail; val dirB = dir
-      spark.read.format("binaryFile")
+      // tasks read sibling chunks with the SESSION's Hadoop conf (fs.*
+      // settings / credentials), not a default-constructed one
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      def chunkRelOf(sep: String, ci: Int, cj: Int): String =
+        if (sep == "/") s"$ci/$cj" else s"$ci.$cj"
+      def siblingChunk(v: String, ci: Int, cj: Int): Array[Double] = {
+        val rel = chunkRelOf(metasB(v).sep, ci, cj)
+        readChunkFile(confB.value.value, s"$dirB/$v/$rel") match {
+          case Some(bytes) => decodeChunk(bytes, metasB(v), v)
+          case None => fillChunk(metasB(v), v, rel)
+        }
+      }
+      def rowsOf(ci: Int, cj: Int, all: Seq[Array[Double]]): Iterator[Row] =
+        for {
+          i <- (0 until cr).iterator if ci * cr + i < ysB.length
+          j <- (0 until cc).iterator if cj * cc + j < xsB.length
+        } yield Row.fromSeq(
+          xsB(cj * cc + j) +: ysB(ci * cr + i) +: all.map(_(i * cc + j)))
+
+      val scanned = spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true").load(s"$dir/$v0")
         .filter(!col("path").contains("/."))
         .select(col("path"), col("content"))
@@ -177,23 +269,29 @@ object ZarrGrid {
           val (ci, cj) = (idx(0), idx(1))
           // first variable's chunk from the scan; siblings opened in-task
           val all = decodeChunk(r.getAs[Array[Byte]](1), metasB(v0), v0) +:
-            others.map { v =>
-              val sep = metasB(v).sep
-              val chunkRel = if (sep == "/") s"$ci/$cj" else s"$ci.$cj"
-              val p = new org.apache.hadoop.fs.Path(s"$dirB/$v/$chunkRel")
-              val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-              val len = fs.getFileStatus(p).getLen.toInt
-              val bytes = new Array[Byte](len)
-              val in = fs.open(p)
-              try in.readFully(0, bytes) finally in.close()
-              decodeChunk(bytes, metasB(v), v)
-            }
-          for {
-            i <- (0 until cr).iterator if ci * cr + i < ysB.length
-            j <- 0 until cc if cj * cc + j < xsB.length
-          } yield Row.fromSeq(
-            xsB(cj * cc + j) +: ysB(ci * cr + i) +: all.map(_(i * cc + j)))
+            others.map(v => siblingChunk(v, ci, cj))
+          rowsOf(ci, cj, all)
         }(enc)
+
+      // zarr legally omits all-fill chunk files: cells of v0 chunks with no
+      // file are synthesized from fill_value in a (usually empty) side scan
+      val nci = (ys.length + cr - 1) / cr
+      val ncj = (xs.length + cc - 1) / cc
+      val expected = for { ci <- 0 until nci; cj <- 0 until ncj } yield (ci, cj)
+      val missing = expected.filterNot(presentChunks2d(spark, s"$dir/$v0", m0.sep))
+      if (missing.isEmpty) scanned
+      else {
+        missing.foreach(c => if (m0.fill.isEmpty)
+          fillChunk(m0, v0, chunkRelOf(m0.sep, c._1, c._2))) // loud error path
+        import spark.implicits._
+        val synthesized = missing.toDS().repartition(math.min(missing.size, 32))
+          .flatMap { case (ci, cj) =>
+            val all = fillChunk(metasB(v0), v0, chunkRelOf(m0.sep, ci, cj)) +:
+              others.map(v => siblingChunk(v, ci, cj))
+            rowsOf(ci, cj, all)
+          }(enc)
+        scanned.unionAll(synthesized)
+      }
     } else {
       // fallback: per-variable chunk scans joined on the grid cell
       def varDf(v: String): DataFrame = {
@@ -206,7 +304,12 @@ object ZarrGrid {
           StructField(v, DoubleType, nullable = false)))
         val enc = org.apache.spark.sql.Encoders.row(schema)
         val xsB = xs; val ysB = ys; val mB = m; val vName = v
-        spark.read.format("binaryFile")
+        def rowsOf(ci: Int, cj: Int, vals: Array[Double]): Iterator[Row] =
+          for {
+            i <- (0 until cr).iterator if ci * cr + i < ysB.length
+            j <- (0 until cc).iterator if cj * cc + j < xsB.length
+          } yield Row(xsB(cj * cc + j), ysB(ci * cr + i), vals(i * cc + j))
+        val scanned = spark.read.format("binaryFile")
           .option("recursiveFileLookup", "true").load(s"$dir/$v")
           .filter(!col("path").contains("/."))
           .select(col("path"), col("content"))
@@ -215,13 +318,23 @@ object ZarrGrid {
             val rel = path.substring(path.lastIndexOf(s"/$vName/") + vName.length + 2)
             val idx = rel.split(if (mB.sep == "/") "/" else "\\.").map(_.toInt)
             require(idx.length == 2, s"$path: bad chunk name '$rel'")
-            val vals = decodeChunk(r.getAs[Array[Byte]](1), mB, vName)
-            val (ci, cj) = (idx(0), idx(1))
-            for {
-              i <- (0 until cr).iterator if ci * cr + i < ysB.length
-              j <- 0 until cc if cj * cc + j < xsB.length
-            } yield Row(xsB(cj * cc + j), ysB(ci * cr + i), vals(i * cc + j))
+            rowsOf(idx(0), idx(1), decodeChunk(r.getAs[Array[Byte]](1), mB, vName))
           }(enc)
+        // absent chunk files = fill_value cells (or a loud error)
+        val nci = (ysB.length + cr - 1) / cr
+        val ncj = (xsB.length + cc - 1) / cc
+        val expected = for { ci <- 0 until nci; cj <- 0 until ncj } yield (ci, cj)
+        val missing = expected.filterNot(presentChunks2d(spark, s"$dir/$v", m.sep))
+        if (missing.isEmpty) scanned
+        else {
+          import spark.implicits._
+          val synthesized = missing.toDS().repartition(math.min(missing.size, 32))
+            .flatMap { case (ci, cj) =>
+              rowsOf(ci, cj, fillChunk(mB, vName,
+                if (mB.sep == "/") s"$ci/$cj" else s"$ci.$cj"))
+            }(enc)
+          scanned.unionAll(synthesized)
+        }
       }
       varNames.map(varDf).reduce((a, b) => a.join(b, Seq(xDim, yDim)))
     }
@@ -279,14 +392,19 @@ object ZarrGrid {
     val cr = math.min(chunkRows, ys.length)
     val nChunks = (ys.length + cr - 1) / cr
 
-    // metadata + coordinate arrays (tiny, driver-side)
-    writeMeta(dir, xCol, yCol, varNames, xs, ys, cr)
+    // metadata + coordinate arrays (tiny, driver-side, via the Hadoop FS
+    // API so the sink targets local paths, HDFS, or object stores alike)
+    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr)
 
     val xIdx = xs.zipWithIndex.toMap
     val yIdx = ys.zipWithIndex.toMap
     val width = xs.length
     val dirB = dir
     val vars = varNames
+    // tasks write with the SESSION's Hadoop conf (credentials, fs.* tuning)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     df.select((Seq(xCol, yCol) ++ varNames).map(col): _*)
       .repartition(nChunks, udfYchunk(yIdx, cr)(col(yCol)))
       .foreachPartition { (rows: Iterator[Row]) =>
@@ -304,11 +422,11 @@ object ZarrGrid {
           }
         }
         if (bands.nonEmpty) {
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = confB.value.value
           bands.foreach { case (ci, band) =>
             vars.indices.foreach { v =>
               val p = new org.apache.hadoop.fs.Path(s"$dirB/${vars(v)}/$ci.0")
-              val fs = p.getFileSystem(conf)
+              val fs = rawFs(p.toString, conf)
               val out = fs.create(p, true)
               try out.write(zlibBytes(doubleLeBytes(band(v)))) finally out.close()
             }
@@ -338,16 +456,17 @@ object ZarrGrid {
   }
 
   /** `.zgroup`, coordinate arrays, and per-variable `.zarray`/`.zattrs`
-    * for a (ys x xs) grid chunked in row bands of `cr`.
+    * for a (ys x xs) grid chunked in row bands of `cr` — written through
+    * the Hadoop FileSystem API (works on any fs.* scheme, not only local).
     */
-  private def writeMeta(dir: String, xCol: String, yCol: String, varNames: Seq[String],
-                        xs: Array[Double], ys: Array[Double], cr: Int): Unit = {
-    val base = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(base)
+  private def writeMeta(spark: SparkSession, dir: String, xCol: String, yCol: String,
+                        varNames: Seq[String], xs: Array[Double], ys: Array[Double],
+                        cr: Int): Unit = {
+    val fs = fsFor(spark, dir)
     def writeFile(rel: String, bytes: Array[Byte]): Unit = {
-      val p = base.resolve(rel)
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, bytes)
+      val p = new org.apache.hadoop.fs.Path(dir, rel)
+      val out = fs.create(p, true) // create() makes parent dirs
+      try out.write(bytes) finally out.close()
     }
     def zarrayJson(shape: Seq[Int], chunks: Seq[Int]): String =
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],""" +
@@ -387,9 +506,10 @@ object ZarrGrid {
     val xIdx = xs.zipWithIndex.toMap
     val yIdx = ys.zipWithIndex.toMap
     val cr = if (chunkRows > 0) math.min(chunkRows, ys.length) else ys.length
-    writeMeta(dir, xCol, yCol, varNames, xs, ys, cr)
+    val spark = df.sparkSession
+    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr)
 
-    val base = java.nio.file.Paths.get(dir)
+    val fs = fsFor(spark, dir)
     varNames.zipWithIndex.foreach { case (v, vi) =>
       val grid = new Array[Double](xs.length * ys.length)
       rows.foreach { r =>
@@ -404,7 +524,8 @@ object ZarrGrid {
           System.arraycopy(grid, (ci * cr + i) * xs.length, chunk, i * xs.length, xs.length)
           i += 1
         }
-        java.nio.file.Files.write(base.resolve(s"$v/$ci.0"), zlibBytes(doubleLeBytes(chunk)))
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$v/$ci.0"), true)
+        try out.write(zlibBytes(doubleLeBytes(chunk))) finally out.close()
       }
     }
   }

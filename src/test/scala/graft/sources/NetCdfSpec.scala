@@ -126,6 +126,33 @@ class NetCdfSpec extends AnyFunSuite with SparkTestBase {
       (10.0, 1.0, 103.0), (20.0, 1.0, 104.0), (30.0, 1.0, 105.0)))
   }
 
+  test("distributed granule sink: executor-written bands roundtrip bit-exactly; " +
+    "one band is byte-identical to the driver sink") {
+    import spark.implicits._
+    val rows = for (y <- 0 until 5; x <- 0 until 3)
+      yield (x * 1000.0 + 0.1, y * 500.0 - 0.25, math.Pi * (x + 1) / (y + 1), x - y * 0.5)
+    val df = rows.toDF("x", "y", "v1", "v2")
+    // banded: 5 y-rows in bands of 2 -> 3 granules, written from tasks
+    val dir = Files.createTempDirectory("graft_ncd_").toString + "/bands"
+    NetCdfGrid.writeGrid2dDistributed(df.repartition(7), dir, "x", "y",
+      Seq("v1", "v2"), bandRows = 2, Map("source" -> "graft"))
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString).count(_.endsWith(".nc")) === 3)
+    val back = NetCdfGrid.readGrid2d(spark, s"$dir/*.nc", "x", "y", Seq("v1", "v2"))
+      .select("x", "y", "v1", "v2")
+    val got = back.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === rows.toSet)
+
+    // a single band covering all ys must equal the driver-side writer's file
+    val dirOne = Files.createTempDirectory("graft_ncd_").toString
+    NetCdfGrid.writeGrid2dDistributed(df.repartition(4), dirOne, "x", "y",
+      Seq("v1", "v2"), bandRows = 99, Map("source" -> "graft"))
+    val single = Files.createTempDirectory("graft_ncw_").toString + "/grid.nc"
+    NetCdfGrid.writeGrid2d(df, single, "x", "y", Seq("v1", "v2"), Map("source" -> "graft"))
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(dirOne, "part-00000.nc")),
+      Files.readAllBytes(Paths.get(single))), "one-band granule != driver-sink bytes")
+  }
+
   test("writeGrid2d -> readGrid2d roundtrip preserves doubles bit-exactly") {
     import spark.implicits._
     val rows = for (y <- 0 until 4; x <- 0 until 3)

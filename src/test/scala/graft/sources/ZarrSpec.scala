@@ -100,6 +100,32 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       .head().getDouble(2) === 1.0 + 2 * 7 + 3)
   }
 
+  test("absent chunk files synthesize fill_value cells (aligned and joined paths)") {
+    // build a 2-var aligned store, delete one z chunk band and one w chunk
+    // band; .zarray declares fill_value 0.0 -> those cells read back as 0.0
+    val dir = Files.createTempDirectory("zarr_").resolve("f.zarr").toString
+    val two = mkGrid(1.0).withColumn("w", col("z") + 100.0)
+    ZarrGrid.writeGrid2d(two, dir, "x", "y", Seq("z", "w"), chunkRows = 2)
+    Files.delete(Paths.get(dir, "z", "0.0")) // v0 chunk missing (side branch)
+    Files.delete(Paths.get(dir, "w", "1.0")) // sibling chunk missing (in-task fill)
+    val back = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w"))
+    assert(back.count() === 35, "absent chunks must still yield their cells")
+    val z00 = back.filter(col("x") === 0.0 && col("y") === 0.0).head()
+    assert(z00.getDouble(2) === 0.0 && z00.getDouble(3) === 101.0)
+    val r2 = back.filter(col("x") === 0.0 && col("y") === 200.0).head()
+    assert(r2.getDouble(2) === 1.0 + 2 * 7 && r2.getDouble(3) === 0.0)
+
+    // fill_value null -> loud error naming the missing chunk
+    val za = Paths.get(dir, "z", ".zarray")
+    val txt = new String(Files.readAllBytes(za), "UTF-8")
+      .replace(""""fill_value":0.0""", """"fill_value":null""")
+    Files.write(za, txt.getBytes("UTF-8"))
+    val e = intercept[Exception](
+      ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w")).collect())
+    assert(e.getMessage.contains("fill_value") || e.getMessage.contains("0.0"),
+      s"got: ${e.getMessage}")
+  }
+
   test("unsupported stores raise errors naming the blocker") {
     val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))

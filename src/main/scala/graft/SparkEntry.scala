@@ -676,6 +676,25 @@ object SparkEntry {
         colSelect = Seq("x", "y", "z_mean", "n_obs")))
     }),
 
+    // same binned frame through the PyTables format='table' layout — the
+    // format the reference itself writes for every results table
+    // (write_to_hdf, GPSat/dataloader.py:644-704: to_hdf(format='table',
+    // data_columns=True)); chunked + gzip'd compound records, storer
+    // attrs, read back through the read_hdf-style key dispatch
+    "q57_hdfstore_table" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean", "count")))
+        .select(col("x"), col("y"), col("z_mean"),
+          col("z_count").cast("long").as("n_obs"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q57_").toString + "/store.h5"
+      graft.sources.Hdf5Table.writePandasTable(binned, tmp, key = "binned",
+        chunkRows = 16, deflate = 6)
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, table = Some("binned"),
+        colSelect = Seq("x", "y", "z_mean", "n_obs")))
+    }),
+
     "q45_netcdf_roundtrip" -> ((s, dir) => {
       val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
         valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
@@ -1270,6 +1289,16 @@ object SparkEntry {
          | GROUP BY 1, 2""".stripMargin,
 
     "q53_hdfstore_roundtrip" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS n_obs FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    // identical frame to q53, roundtripped through format='table' instead
+    "q57_hdfstore_table" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS n_obs FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,

@@ -175,8 +175,10 @@ object ConfigExpr {
       sourceColumn: Option[String] = None, // per-file provenance column
       newColumnNames: Option[Seq[String]] = None, // positional full rename
                                                   // (dataloader.py:428-432)
-      table: Option[String] = None) // HDFStore key for pandas-fixed .h5
-                                    // frames (read_hdf's `key`/`table` arg)
+      table: Option[String] = None) // HDFStore key for pandas .h5 frames
+                                    // (read_hdf's `key`/`table` arg; both
+                                    // format='fixed' and format='table'
+                                    // layouts dispatch by store shape)
 
   /** suffix -> format dispatch (dataloader.py:28-35) + scan -> where ->
     * col_funcs -> row_select -> col_select, in reference order
@@ -188,11 +190,11 @@ object ConfigExpr {
     // HDF5 goes through the pure-JVM granule codec (the reference's
     // canonical store suffix, dataloader.py:28-35 "h5"/"hdf5" -> read_hdf)
     if (suffix == "h5" || suffix == "hdf5") {
-      // `table` set -> ONE pandas-HDFStore-fixed frame under that key;
-      // unset -> columnar granule scan (directory/glob parallel)
+      // `table` set -> ONE pandas-HDFStore frame under that key (fixed or
+      // table layout); unset -> columnar granule scan (directory/glob)
       var df = cfg.table match {
         case Some(key) =>
-          var d = graft.sources.Hdf5Table.readPandasFixed(spark, cfg.source, key).drop("index")
+          var d = graft.sources.Hdf5Table.readPandasKey(spark, cfg.source, key).drop("index")
           cfg.sourceColumn.foreach { c =>
             d = d.withColumn(c, regexp_extract(lit(cfg.source), "([^/]+)$", 1))
           }

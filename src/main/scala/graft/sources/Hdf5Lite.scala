@@ -39,11 +39,55 @@ object Hdf5Lite {
 
   // ---------------------------------------------------------------- model
 
+  /** One HDF5 attribute: a scalar (or small 1-d) value attached to a
+    * dataset or group object header. Exactly one payload is set:
+    * `bytesVal` (class-3 fixed string — also the home of PyTables' pickled
+    * object attributes, which are raw bytes), `longsVal` (class-0 int64),
+    * or `doublesVal` (class-1 float64). `scalar` selects a rank-0
+    * dataspace (the shape h5py/PyTables write for single values).
+    */
+  final case class H5Attr(name: String, bytesVal: Array[Byte] = null,
+                          longsVal: Array[Long] = null, doublesVal: Array[Double] = null,
+                          scalar: Boolean = true) {
+    require(Seq(bytesVal, longsVal, doublesVal).count(_ != null) == 1,
+      s"attr $name: exactly one payload")
+    def stringVal: String = {
+      require(bytesVal != null, s"attr $name is not a string")
+      var end = bytesVal.length
+      while (end > 0 && bytesVal(end - 1) == 0) end -= 1
+      new String(bytesVal, 0, end, "UTF-8")
+    }
+    def longVal: Long = { require(longsVal != null && scalar, s"attr $name not a scalar long"); longsVal(0) }
+  }
+  object H5Attr {
+    def str(name: String, v: String): H5Attr = H5Attr(name, bytesVal = v.getBytes("UTF-8"))
+    def long(name: String, v: Long): H5Attr = H5Attr(name, longsVal = Array(v))
+    def bytes(name: String, v: Array[Byte]): H5Attr = H5Attr(name, bytesVal = v)
+  }
+
+  /** One member of a compound (record) datatype: `cls` is the HDF5
+    * datatype class (0 fixed-point, 1 float, 3 string), `size` its byte
+    * width, `offset` its position inside the record.
+    */
+  final case class H5Member(name: String, offset: Int, cls: Int, size: Int)
+
+  /** A 1-d compound-typed dataset (the PyTables `format='table'` record
+    * layout): `data` holds nRecords x recordSize raw little-endian bytes.
+    */
+  final case class H5CompoundVar(name: String, nRecords: Int, recordSize: Int,
+                                 members: Seq[H5Member], data: Array[Byte],
+                                 attrs: Seq[H5Attr] = Nil) {
+    require(data.length == nRecords * recordSize,
+      s"$name: ${data.length} bytes != $nRecords x $recordSize")
+    require(members.nonEmpty, s"$name: compound needs members")
+  }
+
   /** One dataset: name, shape, and values (Doubles, Longs, or fixed-length
     * Strings — strings are always stored contiguous).
     */
   final case class H5Var(name: String, shape: Seq[Int], doubles: Array[Double] = null,
-                         longs: Array[Long] = null, strings: Array[String] = null) {
+                         longs: Array[Long] = null, strings: Array[String] = null,
+                         attrs: Seq[H5Attr] = Nil) {
     require(Seq(doubles, longs, strings).count(_ != null) == 1,
       s"$name: exactly one of doubles/longs/strings")
     private def len =
@@ -53,6 +97,116 @@ object Hdf5Lite {
     private[sources] def elemSize: Int =
       if (strings == null) 8
       else math.max(1, strings.map(_.getBytes("UTF-8").length).max + 1)
+  }
+
+  // ------------------------------------------- shared binary encodings
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+
+  /** Unpadded datatype-message body size for a basic class: fixed-point
+    * int (12), IEEE float64 (20), fixed string (8) — the v1 sizes the
+    * dataset path has always written.
+    */
+  private def dtBodySize(cls: Int): Int = cls match {
+    case 0 => 12
+    case 1 => 20
+    case 3 => 8
+    case c => throw new IllegalArgumentException(s"datatype class $c not encodable")
+  }
+
+  /** Emit one basic datatype body (v1, little-endian): class 0 = signed
+    * int of `size` bytes, class 1 = float64, class 3 = NUL-terminated
+    * ASCII string of fixed `size`.
+    */
+  private def emitDtBody(buf: ByteBuffer, cls: Int, size: Int): Unit = cls match {
+    case 0 =>
+      buf.put(0x10.toByte); buf.put(0x08.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putInt(size); buf.putShort(0.toShort); buf.putShort((size * 8).toShort)
+    case 1 =>
+      require(size == 8, "float attrs/members are f8")
+      buf.put(0x11.toByte); buf.put(0x20.toByte); buf.put(0x3f.toByte); buf.put(0.toByte)
+      buf.putInt(8); buf.putShort(0.toShort); buf.putShort(64.toShort)
+      buf.put(52.toByte); buf.put(11.toByte); buf.put(0.toByte); buf.put(52.toByte)
+      buf.putInt(1023)
+    case 3 =>
+      buf.put(0x13.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putInt(size)
+  }
+
+  private def attrClsSize(a: H5Attr): (Int, Int) =
+    if (a.bytesVal != null) (3, math.max(1, a.bytesVal.length))
+    else if (a.longsVal != null) (0, 8) else (1, 8)
+  private def attrNElems(a: H5Attr): Int =
+    if (a.bytesVal != null) 1
+    else if (a.longsVal != null) a.longsVal.length else a.doublesVal.length
+  private def attrDsBodySize(a: H5Attr): Int = if (a.scalar) 8 else 16
+  private def attrBodySize(a: H5Attr): Int = {
+    val (cls, esize) = attrClsSize(a)
+    8 + pad8(a.name.getBytes("UTF-8").length + 1) + pad8(dtBodySize(cls)) +
+      pad8(attrDsBodySize(a)) + esize * attrNElems(a)
+  }
+  /** Full v1 Attribute message size: 8-byte header + padded body. */
+  private def attrMsgSize(a: H5Attr): Int = 8 + pad8(attrBodySize(a))
+  private def attrsMsgSize(as: Seq[H5Attr]): Int = as.map(attrMsgSize).sum
+
+  /** Emit one v1 Attribute message (header + body) at the current position. */
+  private def emitAttr(buf: ByteBuffer, a: H5Attr): Unit = {
+    require(!a.scalar || attrNElems(a) == 1, s"attr ${a.name}: scalar with ${attrNElems(a)} values")
+    val body = attrBodySize(a)
+    buf.putShort(0x000C.toShort); buf.putShort(pad8(body).toShort); buf.putInt(0)
+    val start = buf.position()
+    val nameB = a.name.getBytes("UTF-8")
+    val (cls, esize) = attrClsSize(a)
+    buf.put(1.toByte); buf.put(0.toByte)                 // version 1, reserved
+    buf.putShort((nameB.length + 1).toShort)             // name size incl NUL
+    buf.putShort(dtBodySize(cls).toShort)                // datatype size (unpadded)
+    buf.putShort(attrDsBodySize(a).toShort)              // dataspace size (unpadded)
+    val nameStart = buf.position()
+    buf.put(nameB); buf.put(0.toByte)
+    buf.position(nameStart + pad8(nameB.length + 1))
+    val dtStart = buf.position()
+    emitDtBody(buf, cls, esize)
+    buf.position(dtStart + pad8(dtBodySize(cls)))
+    val dsStart = buf.position()
+    if (a.scalar) { buf.put(1.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.putInt(0) }
+    else {
+      buf.put(1.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.putInt(0)
+      buf.putLong(attrNElems(a).toLong)
+    }
+    buf.position(dsStart + pad8(attrDsBodySize(a)))
+    if (a.bytesVal != null) buf.put(a.bytesVal)
+    else if (a.longsVal != null) a.longsVal.foreach(buf.putLong)
+    else a.doublesVal.foreach(buf.putDouble)
+    buf.position(start + pad8(body))
+  }
+
+  /** v1 compound member entry size: padded NUL name + offset(4) +
+    * dimensionality(1) + reserved(3) + permutation(4) + reserved(4) +
+    * 4 dim sizes(16) + the member's datatype body (unpadded, per spec).
+    */
+  private def compoundMemberEntrySize(m: H5Member): Int =
+    pad8(m.name.getBytes("UTF-8").length + 1) + 4 + 1 + 3 + 4 + 4 + 16 + dtBodySize(m.cls)
+  private def compoundDtSize(c: H5CompoundVar): Int =
+    pad8(8 + c.members.map(compoundMemberEntrySize).sum)
+
+  private def emitCompoundDt(buf: ByteBuffer, c: H5CompoundVar): Unit = {
+    val n = c.members.length
+    buf.put(0x16.toByte)                                  // version 1, class 6
+    buf.put((n & 0xff).toByte); buf.put(((n >> 8) & 0xff).toByte); buf.put(0.toByte)
+    buf.putInt(c.recordSize)
+    c.members.foreach { m =>
+      val nameB = m.name.getBytes("UTF-8")
+      val nameStart = buf.position()
+      buf.put(nameB); buf.put(0.toByte)
+      buf.position(nameStart + pad8(nameB.length + 1))
+      buf.putInt(m.offset)
+      buf.put(0.toByte)                                   // dimensionality 0 (scalar member)
+      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putInt(0)                                       // dimension permutation
+      buf.putInt(0)                                       // reserved
+      (0 until 4).foreach(_ => buf.putInt(0))             // dim sizes
+      emitDtBody(buf, m.cls, m.size)
+    }
   }
 
   // ---------------------------------------------------------------- write
@@ -69,45 +223,64 @@ object Hdf5Lite {
     * (the `pd.HDFStore` key shape, `/key/axis0` etc.).
     */
   def write(vars: Seq[H5Var], chunkRows: Int = 0, deflate: Int = 0,
-            group: String = ""): Array[Byte] =
-    if (group.isEmpty) writeImage(vars, Nil, chunkRows, deflate)
-    else writeImage(Nil, Seq(group -> vars), chunkRows, deflate)
+            group: String = "", groupAttrs: Seq[H5Attr] = Nil): Array[Byte] =
+    if (group.isEmpty) writeImage(vars, Nil, chunkRows, deflate,
+      if (groupAttrs.isEmpty) Map.empty else Map("" -> groupAttrs))
+    else writeImage(Nil, Seq(group -> vars), chunkRows, deflate,
+      if (groupAttrs.isEmpty) Map.empty else Map(group -> groupAttrs))
 
   /** Multi-key image: each (key, datasets) pair becomes one root child
     * group — the multi-table `pd.HDFStore` store shape the reference keeps
     * its run results in (run_details / preds / hyperparameter tables
     * side by side in ONE `.h5`, local_experts.py:499-550).
+    *
+    * `groupAttrs` attaches attributes to a key's group object header (""
+    * = the root group); `compounds` places 1-d compound-typed datasets
+    * (the PyTables `format='table'` record layout) under their key group
+    * alongside any plain datasets.
     */
   def writeKeys(keyed: Seq[(String, Seq[H5Var])], chunkRows: Int = 0,
-                deflate: Int = 0): Array[Byte] =
-    writeImage(Nil, keyed, chunkRows, deflate)
+                deflate: Int = 0, groupAttrs: Map[String, Seq[H5Attr]] = Map.empty,
+                compounds: Seq[(String, H5CompoundVar)] = Nil): Array[Byte] =
+    writeImage(Nil, keyed, chunkRows, deflate, groupAttrs, compounds)
 
   private def writeImage(rootVars: Seq[H5Var], keyed0: Seq[(String, Seq[H5Var])],
-                         chunkRows: Int, deflate: Int): Array[Byte] = {
+                         chunkRows: Int, deflate: Int,
+                         groupAttrs: Map[String, Seq[H5Attr]] = Map.empty,
+                         compounds: Seq[(String, H5CompoundVar)] = Nil): Array[Byte] = {
     require(deflate >= 0 && deflate <= 9, "deflate level 0..9")
     require(deflate == 0 || chunkRows > 0, "deflate requires chunked layout (chunkRows > 0)")
-    val keyed = keyed0.sortBy(_._1) // root SNOD entries must be name-sorted
+    type DS = Either[H5Var, H5CompoundVar]
+    def nameOf(d: DS): String = d.fold(_.name, _.name)
+    def attrsOf(d: DS): Seq[H5Attr] = d.fold(_.attrs, _.attrs)
+    val keyedKeys = (keyed0.map(_._1) ++ compounds.map(_._1)).distinct.sorted
+    val byKey: Map[String, Seq[DS]] = keyedKeys.map { k =>
+      k -> ((keyed0.filter(_._1 == k).flatMap(_._2).map(Left(_): DS)) ++
+        compounds.filter(_._1 == k).map(c => Right(c._2): DS))
+    }.toMap
+    val keyed = keyedKeys.map(k => k -> byKey(k)) // root SNOD entries name-sorted
     keyed.foreach { case (k, vs) =>
       require(k.nonEmpty && !k.contains("/"), s"key '$k' must be one non-empty level")
       require(vs.nonEmpty, s"key '$k': no datasets")
     }
-    require(keyed.map(_._1).distinct.length == keyed.length, "duplicate keys")
     require(rootVars.nonEmpty || keyed.nonEmpty, "no datasets")
     val flat = keyed.isEmpty
     // dataset groups to lay out: the root itself, or one section per key
-    val groups: Seq[(String, Seq[H5Var])] =
-      if (flat) Seq("" -> rootVars.sortBy(_.name))
-      else keyed.map { case (k, vs) => k -> vs.sortBy(_.name) }
+    val groups: Seq[(String, Seq[DS])] =
+      if (flat) Seq("" -> rootVars.sortBy(_.name).map(Left(_): DS))
+      else keyed.map { case (k, vs) => k -> vs.sortBy(nameOf) }
     groups.foreach { case (k, vs) =>
-      require(vs.map(_.name).distinct.length == vs.length,
+      require(vs.map(nameOf).distinct.length == vs.length,
         s"duplicate dataset names${if (k.isEmpty) "" else s" under '$k'"}")
     }
 
     // ---- address plan (all sections 8-byte aligned) ----
-    def pad8(n: Int): Int = (n + 7) & ~7
     val superblockSize = 96
     val rootOhAddr = superblockSize.toLong
-    val grpOhSize = 16 + (8 + 16) // v1 prefix + SymbolTable message
+    // v1 prefix + SymbolTable message + any group attribute messages
+    def grpOhSizeOf(key: String): Int =
+      16 + (8 + 16) + attrsMsgSize(groupAttrs.getOrElse(key, Nil))
+    val grpOhSize = grpOhSizeOf("")
 
     // one symbol-table section = local heap + v1 group B-tree + one SNOD
     final case class SymSec(heapHdr: Long, heapDataSize: Int, btree: Long,
@@ -133,14 +306,14 @@ object Hdf5Lite {
 
     // root section: datasets directly (flat) or the key directory
     val rootSec = planSym(
-      if (flat) groups.head._2.map(_.name) else groups.map(_._1), rootOhAddr + grpOhSize)
+      if (flat) groups.head._2.map(nameOf) else groups.map(_._1), rootOhAddr + grpOhSize)
     // per key: group object header followed by its own dataset section
     var secCursor = rootSec.end
-    val keySecs: Seq[(Long, SymSec)] = groups.map { case (_, vs) =>
+    val keySecs: Seq[(Long, SymSec)] = groups.map { case (k, vs) =>
       if (flat) (0L, rootSec)
       else {
         val ohAddr = secCursor
-        val sec = planSym(vs.map(_.name), ohAddr + grpOhSize)
+        val sec = planSym(vs.map(nameOf), ohAddr + grpOhSizeOf(k))
         secCursor = sec.end
         (ohAddr, sec)
       }
@@ -148,8 +321,10 @@ object Hdf5Lite {
 
     // per-var chunk payloads (compressed up front: sizes drive the layout)
     final case class ChunkBlob(offset0: Int, bytes: Array[Byte])
-    final case class DsPlan(v: H5Var, ohAddr: Long, dataAddr: Long, dataSize: Long,
-                            isFloat: Boolean, placed: Seq[(ChunkBlob, Long)], chunkDim0: Int)
+    final case class DsPlan(d: DS, ohAddr: Long, dataAddr: Long, dataSize: Long,
+                            placed: Seq[(ChunkBlob, Long)], chunkDim0: Int) {
+      def name: String = nameOf(d)
+    }
     def rawChunk(v: H5Var, off0: Int, c0: Int): Array[Byte] = {
       // full-size chunk, edge chunks zero-padded (HDF5 stores whole chunks)
       val rest = v.shape.drop(1).product
@@ -176,38 +351,53 @@ object Hdf5Lite {
         out.toByteArray
       }
 
+    def rawCompChunk(c: H5CompoundVar, off0: Int, c0: Int): Array[Byte] = {
+      // full-size chunk of records, edge chunks zero-padded
+      val out = new Array[Byte](c0 * c.recordSize)
+      val avail = math.min(c0, c.nRecords - off0)
+      System.arraycopy(c.data, off0 * c.recordSize, out, 0, avail * c.recordSize)
+      out
+    }
+
     def dtypeSizeOf(v: H5Var): Int =
       if (v.doubles != null) pad8(20) else if (v.longs != null) pad8(12) else pad8(8)
 
     var cursor = secCursor
-    val plansByGroup: Seq[Seq[DsPlan]] = groups.map(_._2.map { v =>
-      val isFloat = v.doubles != null
-      val rank = v.shape.length
-      require(rank >= 1 && rank <= 2, s"${v.name}: only 1-d/2-d datasets supported")
+    val plansByGroup: Seq[Seq[DsPlan]] = groups.map(_._2.map { d =>
+      val attrsSize = attrsMsgSize(attrsOf(d))
+      val name = nameOf(d)
+      // uniform shape view: compound = rank-1 records of recordSize bytes
+      val (rank, dim0, dtypeSize, elemSize, contiguousOnly) = d match {
+        case Left(v) =>
+          require(v.shape.length >= 1 && v.shape.length <= 2,
+            s"${v.name}: only 1-d/2-d datasets supported")
+          (v.shape.length, v.shape.head, dtypeSizeOf(v), v.elemSize, v.strings != null)
+        case Right(c) => (1, c.nRecords, compoundDtSize(c), c.recordSize, false)
+      }
       val dspaceSize = pad8(8 + rank * 8)
-      val dtypeSize = dtypeSizeOf(v)
-      if (chunkRows == 0 || v.strings != null) {
+      if (chunkRows == 0 || contiguousOnly) {
         // OH: prefix 16 + dataspace + datatype + fillvalue(8 + 8) + layout(8 + 24)
-        val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + 24)
+        val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + 24) + attrsSize
         val ohAddr = cursor
         val dataAddr = ohAddr + ohSize
-        val dataSize = v.shape.product.toLong * v.elemSize
+        val dataSize = d.fold(v => v.shape.product.toLong * v.elemSize, c => c.data.length.toLong)
         cursor = dataAddr + pad8(dataSize.toInt)
-        DsPlan(v, ohAddr, dataAddr, dataSize, isFloat, Nil, 0)
+        DsPlan(d, ohAddr, dataAddr, dataSize, Nil, 0)
         // (contiguous: dataAddr/dataSize are the raw extent)
       } else {
-        val c0 = math.min(chunkRows, v.shape.head)
-        val nChunks = (v.shape.head + c0 - 1) / c0
+        val c0 = math.max(1, math.min(chunkRows, dim0))
+        val nChunks = (dim0 + c0 - 1) / c0
         require(nChunks <= 64,
-          s"${v.name}: $nChunks chunks exceed one B-tree node (64) — raise chunkRows")
-        val blobs = (0 until nChunks).map(ci => ChunkBlob(ci * c0, compress(rawChunk(v, ci * c0, c0))))
+          s"$name: $nChunks chunks exceed one B-tree node (64) — raise chunkRows")
+        val blobs = (0 until nChunks).map(ci => ChunkBlob(ci * c0,
+          compress(d.fold(v => rawChunk(v, ci * c0, c0), c => rawCompChunk(c, ci * c0, c0)))))
         val layoutRaw = 2 + 8 + 1 + (rank + 1) * 4
         // msg hdr(8) + body(8 fixed + 8 filter record + 4 client value +
         // 4 pad for the odd client count) — v1 message sizes are multiples
         // of 8 and INCLUDE the pad bytes
         val filterSize = if (deflate > 0) 8 + 24 else 0
         val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) +
-          (8 + pad8(layoutRaw)) + filterSize
+          (8 + pad8(layoutRaw)) + filterSize + attrsSize
         val ohAddr = cursor
         val btreeAddr = ohAddr + ohSize // dataAddr doubles as the btree address
         val keySize = 8 + (rank + 1) * 8
@@ -220,7 +410,7 @@ object Hdf5Lite {
         }
         cursor = chunkCursor
         // chunked: dataAddr = B-tree address, dataSize unused
-        DsPlan(v, ohAddr, btreeAddr, 0L, isFloat, placed, c0)
+        DsPlan(d, ohAddr, btreeAddr, 0L, placed, c0)
       }
     })
     val plans = plansByGroup.flatten
@@ -255,18 +445,19 @@ object Hdf5Lite {
     require(buf.position() == superblockSize)
 
     // one symbol-table group object header (root and key groups share the
-    // single-SymbolTable-message shape)
-    def emitGroupOh(at: Long, bt: Long, hp: Long): Unit = {
+    // SymbolTable-message shape, plus any group attribute messages)
+    def emitGroupOh(at: Long, bt: Long, hp: Long, attrs: Seq[H5Attr]): Unit = {
       buf.position(at.toInt)
       buf.put(1.toByte); buf.put(0.toByte)
-      buf.putShort(1.toShort)      // message count
+      buf.putShort((1 + attrs.length).toShort) // message count
       buf.putInt(1)                // reference count
-      buf.putInt(8 + 16)           // header data size
+      buf.putInt(8 + 16 + attrsMsgSize(attrs)) // header data size
       buf.putInt(0)                // pad to 8
       buf.putShort(0x0011.toShort); buf.putShort(16.toShort); buf.putInt(0)
       buf.putLong(bt); buf.putLong(hp)
+      attrs.foreach(a => emitAttr(buf, a))
     }
-    emitGroupOh(rootOhAddr, rootSec.btree, rootSec.heapHdr)
+    emitGroupOh(rootOhAddr, rootSec.btree, rootSec.heapHdr, groupAttrs.getOrElse("", Nil))
 
     // local heap + group B-tree + SNOD for one section; entries are
     // (name, objectHeaderAddr, cacheType, scratch0, scratch1), name-sorted
@@ -307,7 +498,7 @@ object Hdf5Lite {
     }
 
     if (flat)
-      emitSymSec(rootSec, plans.map(p => (p.v.name, p.ohAddr, 0, 0L, 0L)))
+      emitSymSec(rootSec, plans.map(p => (p.name, p.ohAddr, 0, 0L, 0L)))
     else {
       // root directory of keys (cache type 1 scratch = the cached
       // (B-tree, heap) real libhdf5 writes for group entries)
@@ -316,23 +507,28 @@ object Hdf5Lite {
       })
       groups.indices.foreach { gi =>
         val (ohAddr, sec) = keySecs(gi)
-        emitGroupOh(ohAddr, sec.btree, sec.heapHdr)
-        emitSymSec(sec, plansByGroup(gi).map(p => (p.v.name, p.ohAddr, 0, 0L, 0L)))
+        emitGroupOh(ohAddr, sec.btree, sec.heapHdr, groupAttrs.getOrElse(groups(gi)._1, Nil))
+        emitSymSec(sec, plansByGroup(gi).map(p => (p.name, p.ohAddr, 0, 0L, 0L)))
       }
     }
 
     // ---- datasets ----
     plans.foreach { p =>
       buf.position(p.ohAddr.toInt)
-      val rank = p.v.shape.length
+      val attrs = attrsOf(p.d)
+      // uniform view: a compound dataset is rank-1 records of recordSize bytes
+      val (rank, shape, dtypeSize, layoutElemSize) = p.d match {
+        case Left(v) => (v.shape.length, v.shape, dtypeSizeOf(v), 8)
+        case Right(c) => (1, Seq(c.nRecords), compoundDtSize(c), c.recordSize)
+      }
       val chunked = p.chunkDim0 > 0
       val dspaceSize = pad8(8 + rank * 8)
-      val dtypeSize = dtypeSizeOf(p.v)
       val layoutSize = if (chunked) pad8(2 + 8 + 1 + (rank + 1) * 4) else 24
       val filterSize = if (chunked && deflate > 0) 8 + 24 else 0
-      val msgBlock = (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + layoutSize) + filterSize
+      val msgBlock = (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) + (8 + layoutSize) +
+        filterSize + attrsMsgSize(attrs)
       buf.put(1.toByte); buf.put(0.toByte)
-      buf.putShort((if (filterSize > 0) 5 else 4).toShort)
+      buf.putShort(((if (filterSize > 0) 5 else 4) + attrs.length).toShort)
       buf.putInt(1)
       buf.putInt(msgBlock)
       buf.putInt(0)
@@ -341,32 +537,17 @@ object Hdf5Lite {
       val dsStart = buf.position()
       buf.put(1.toByte); buf.put(rank.toByte); buf.put(0.toByte); buf.put(0.toByte)
       buf.putInt(0)
-      p.v.shape.foreach(d => buf.putLong(d.toLong))
+      shape.foreach(d => buf.putLong(d.toLong))
       buf.position(dsStart + dspaceSize)
-      // datatype v1 (class 1 float / class 0 fixed), little-endian, 8 bytes
+      // datatype v1 (class 1 float / 0 fixed / 3 string / 6 compound), LE
       buf.putShort(0x0003.toShort); buf.putShort(dtypeSize.toShort); buf.putInt(0)
       val dtStart = buf.position()
-      if (p.isFloat) {
-        buf.put(0x11.toByte)                 // version 1, class 1 (float)
-        buf.put(0x20.toByte)                 // LE, implied-msb mantissa norm
-        buf.put(0x3f.toByte)                 // sign location 63
-        buf.put(0.toByte)
-        buf.putInt(8)                        // size
-        buf.putShort(0.toShort); buf.putShort(64.toShort) // bit offset/precision
-        buf.put(52.toByte); buf.put(11.toByte)            // exponent loc/size
-        buf.put(0.toByte); buf.put(52.toByte)             // mantissa loc/size
-        buf.putInt(1023)                     // exponent bias
-      } else if (p.v.longs != null) {
-        buf.put(0x10.toByte)                 // version 1, class 0 (fixed)
-        buf.put(0x08.toByte)                 // LE, signed
-        buf.put(0.toByte); buf.put(0.toByte)
-        buf.putInt(8)
-        buf.putShort(0.toShort); buf.putShort(64.toShort)
-      } else {
-        buf.put(0x13.toByte)                 // version 1, class 3 (string)
-        buf.put(0.toByte)                    // NUL-terminated, ASCII
-        buf.put(0.toByte); buf.put(0.toByte)
-        buf.putInt(p.v.elemSize)             // fixed element size
+      p.d match {
+        case Left(v) =>
+          if (v.doubles != null) emitDtBody(buf, 1, 8)
+          else if (v.longs != null) emitDtBody(buf, 0, 8)
+          else emitDtBody(buf, 3, v.elemSize)
+        case Right(c) => emitCompoundDt(buf, c)
       }
       buf.position(dtStart + dtypeSize)
       // fill value v2: alloc early, fill undefined
@@ -380,18 +561,23 @@ object Hdf5Lite {
         buf.putLong(p.dataAddr); buf.putLong(p.dataSize)
         buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte);
         buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+        attrs.foreach(a => emitAttr(buf, a))
         // raw data
         buf.position(p.dataAddr.toInt)
-        if (p.isFloat) p.v.doubles.foreach(buf.putDouble)
-        else if (p.v.longs != null) p.v.longs.foreach(buf.putLong)
-        else {
-          val es = p.v.elemSize
-          p.v.strings.foreach { s0 =>
-            val b = s0.getBytes("UTF-8")
-            buf.put(b)
-            var k = b.length
-            while (k < es) { buf.put(0.toByte); k += 1 }
-          }
+        p.d match {
+          case Left(v) =>
+            if (v.doubles != null) v.doubles.foreach(buf.putDouble)
+            else if (v.longs != null) v.longs.foreach(buf.putLong)
+            else {
+              val es = v.elemSize
+              v.strings.foreach { s0 =>
+                val b = s0.getBytes("UTF-8")
+                buf.put(b)
+                var k = b.length
+                while (k < es) { buf.put(0.toByte); k += 1 }
+              }
+            }
+          case Right(c) => buf.put(c.data)
         }
       } else {
         val layoutSz = pad8(2 + 8 + 1 + (rank + 1) * 4)
@@ -402,8 +588,8 @@ object Hdf5Lite {
         buf.put((rank + 1).toByte)
         buf.putLong(p.dataAddr) // B-tree address
         buf.putInt(p.chunkDim0)
-        p.v.shape.drop(1).foreach(dd => buf.putInt(dd))
-        buf.putInt(8) // element size
+        shape.drop(1).foreach(dd => buf.putInt(dd))
+        buf.putInt(layoutElemSize) // element size (record size for compound)
         buf.position(lStart + layoutSz)
         if (deflate > 0) {
           // filter pipeline v1: one filter, gzip (id 1), 1 client value
@@ -418,6 +604,7 @@ object Hdf5Lite {
           buf.putInt(deflate)      // level
           buf.putInt(0)            // odd client count -> 4 pad bytes
         }
+        attrs.foreach(a => emitAttr(buf, a))
         // chunk B-tree v1 (single level-0 node)
         val keySize = 8 + (rank + 1) * 8
         buf.position(p.dataAddr.toInt)
@@ -426,7 +613,7 @@ object Hdf5Lite {
         buf.put(0.toByte)  // level
         buf.putShort(p.placed.length.toShort)
         buf.putLong(Undef); buf.putLong(Undef)
-        val rest = p.v.shape.drop(1)
+        val rest = shape.drop(1)
         p.placed.foreach { case (blob, at) =>
           buf.putInt(blob.bytes.length)       // key: chunk size (stored bytes)
           buf.putInt(0)                       // filter mask: all applied
@@ -453,15 +640,25 @@ object Hdf5Lite {
   // ----------------------------------------------------------------- read
 
   final case class H5Read(name: String, shape: Seq[Int], doubles: Array[Double],
-                          longs: Array[Long], strings: Array[String] = null) {
+                          longs: Array[Long], strings: Array[String] = null,
+                          attrs: Seq[H5Attr] = Nil, members: Seq[H5Member] = null,
+                          raw: Array[Byte] = null) {
     def asDoubles: Array[Double] = if (doubles != null) doubles else longs.map(_.toDouble)
+    def isCompound: Boolean = members != null
+    def attr(n: String): Option[H5Attr] = attrs.find(_.name == n)
   }
 
   /** Parse an HDF5 byte image: every dataset under the root group or any
     * nested symbol-table sub-group; nested dataset names come back
     * path-qualified (`group/dataset`).
     */
-  def read(bytes: Array[Byte]): Seq[H5Read] = {
+  def read(bytes: Array[Byte]): Seq[H5Read] = readAll(bytes)._1
+
+  /** Like [[read]], also returning the GROUP attributes keyed by group path
+    * ("" = the root group) — where pandas/PyTables keep their storer
+    * metadata (`pandas_type`, `table_type`, ...).
+    */
+  def readAll(bytes: Array[Byte]): (Seq[H5Read], Map[String, Seq[H5Attr]]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](8); buf.get(sig)
     require(sig.sameElements(Signature), "not an HDF5 file (signature mismatch)")
@@ -475,17 +672,70 @@ object Hdf5Lite {
     // bytes) from offset 24, STE at 56; v1 inserts 4 bytes (indexed-storage
     // K + reserved) before them
     val steOff = if (sbVersion == 0) 24 + 32 else 28 + 32
+    val rootOh = buf.getLong(steOff + 8)
     val rootBtree = buf.getLong(steOff + 24)
     val rootHeap = buf.getLong(steOff + 32)
     require(rootBtree != Undef && rootHeap != Undef, "root group is not symbol-table based")
-    readGroup(bytes, buf, rootBtree, rootHeap, prefix = "", depth = 0)
+    val groupAttrs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[H5Attr]]
+    groupAttrs("") = attrsOfHeader(bytes, buf, "", rootOh)
+    val reads = readGroup(bytes, buf, rootBtree, rootHeap, prefix = "", depth = 0, groupAttrs)
+    (reads, groupAttrs.toMap)
+  }
+
+  /** Attribute messages of the object header at `ohAddr`. */
+  private def attrsOfHeader(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                            ohAddr: Long): Seq[H5Attr] =
+    messages(bytes, buf, name, ohAddr).collect {
+      case (0x000C, body) => parseAttr(bytes, buf, name, body)
+    }
+
+  /** Parse one v1 Attribute message body. */
+  private def parseAttr(bytes: Array[Byte], buf: ByteBuffer, owner: String,
+                        body: Int): H5Attr = {
+    val ver = bytes(body).toInt
+    require(ver == 1, s"$owner: attribute message v$ver not supported " +
+      "(v2/v3 come from libver='latest' writers)")
+    val nameSize = buf.getShort(body + 2).toInt & 0xffff
+    val dtSz = buf.getShort(body + 4).toInt & 0xffff
+    val dsSz = buf.getShort(body + 6).toInt & 0xffff
+    var pos = body + 8
+    var end = pos
+    while (bytes(end) != 0) end += 1
+    val aname = new String(bytes, pos, end - pos, "UTF-8")
+    pos += pad8(nameSize)
+    val acls = bytes(pos).toInt & 0x0f
+    val asize = buf.getInt(pos + 4)
+    pos += pad8(dtSz)
+    val rank = bytes(pos + 1).toInt
+    require(rank <= 1, s"$owner/$aname: attribute rank $rank not supported")
+    val n = if (rank == 0) 1 else buf.getLong(pos + 8).toInt
+    pos += pad8(dsSz)
+    acls match {
+      case 3 =>
+        val out = new Array[Byte](asize * n)
+        System.arraycopy(bytes, pos, out, 0, out.length)
+        H5Attr(aname, bytesVal = out, scalar = rank == 0)
+      case 0 =>
+        require(asize == 4 || asize == 8, s"$owner/$aname: int$asize attr not supported")
+        H5Attr(aname, longsVal = Array.tabulate(n)(i =>
+          if (asize == 8) buf.getLong(pos + i * 8) else buf.getInt(pos + i * 4).toLong),
+          scalar = rank == 0)
+      case 1 =>
+        require(asize == 4 || asize == 8, s"$owner/$aname: float$asize attr not supported")
+        H5Attr(aname, doublesVal = Array.tabulate(n)(i =>
+          if (asize == 8) buf.getDouble(pos + i * 8) else buf.getFloat(pos + i * 4).toDouble),
+          scalar = rank == 0)
+      case c => throw new IllegalArgumentException(
+        s"$owner/$aname: attribute datatype class $c not supported")
+    }
   }
 
   /** Walk one symbol-table group: its B-tree's SNOD entries are datasets or
     * sub-groups (recursed into, path-prefixing the names).
     */
   private def readGroup(bytes: Array[Byte], buf: ByteBuffer, btree: Long, heapHdr: Long,
-                        prefix: String, depth: Int): Seq[H5Read] = {
+                        prefix: String, depth: Int,
+                        groupAttrsAcc: scala.collection.mutable.Map[String, Seq[H5Attr]]): Seq[H5Read] = {
     require(depth <= 8, s"group nesting deeper than 8 at '$prefix'")
     require(buf.get(heapHdr.toInt) == 'H' && buf.get(heapHdr.toInt + 1) == 'E',
       s"bad local heap signature at '$prefix'")
@@ -521,10 +771,14 @@ object Hdf5Lite {
         val ohAddr = buf.getLong(e + 8)
         val cacheType = buf.getInt(e + 16)
         require(cacheType != 2, s"$full: symbolic links not supported")
-        if (cacheType == 1) // cached group: scratch holds (B-tree, heap)
-          readGroup(bytes, buf, buf.getLong(e + 24), buf.getLong(e + 32), full, depth + 1)
-        else symbolTableAddrs(bytes, buf, full, ohAddr) match {
-          case Some((bt, hp)) => readGroup(bytes, buf, bt, hp, full, depth + 1)
+        if (cacheType == 1) { // cached group: scratch holds (B-tree, heap)
+          groupAttrsAcc(full) = attrsOfHeader(bytes, buf, full, ohAddr)
+          readGroup(bytes, buf, buf.getLong(e + 24), buf.getLong(e + 32), full, depth + 1,
+            groupAttrsAcc)
+        } else symbolTableAddrs(bytes, buf, full, ohAddr) match {
+          case Some((bt, hp)) =>
+            groupAttrsAcc(full) = attrsOfHeader(bytes, buf, full, ohAddr)
+            readGroup(bytes, buf, bt, hp, full, depth + 1, groupAttrsAcc)
           case None => Seq(readDataset(bytes, buf, full, ohAddr))
         }
       }
@@ -594,6 +848,8 @@ object Hdf5Lite {
     var dataSize = -1L
     var chunkDims: Seq[Int] = null // set for chunked layout (class 2)
     var filters: Seq[Int] = Nil
+    var attrs = Vector.empty[H5Attr]
+    var members: Seq[H5Member] = null
     messages(bytes, buf, name, ohAddr).foreach { case (mtype, body) =>
       mtype match {
         case 0x0001 => // dataspace
@@ -604,6 +860,32 @@ object Hdf5Lite {
         case 0x0003 => // datatype
           dtClass = bytes(body).toInt & 0x0f
           dtSize = buf.getInt(body + 4)
+          if (dtClass == 6) { // compound: parse the member table
+            val dtVer = (bytes(body).toInt >> 4) & 0x0f
+            require(dtVer == 1, s"$name: compound datatype v$dtVer not supported (v1 only)")
+            val n = (bytes(body + 1).toInt & 0xff) | ((bytes(body + 2).toInt & 0xff) << 8)
+            var mo = body + 8
+            members = (0 until n).map { _ =>
+              var e = mo
+              while (bytes(e) != 0) e += 1
+              val nm = new String(bytes, mo, e - mo, "UTF-8")
+              mo += pad8(e - mo + 1)
+              val off = buf.getInt(mo); mo += 4
+              val dimensionality = bytes(mo).toInt
+              require(dimensionality == 0,
+                s"$name/$nm: array compound members not supported (data_columns " +
+                  "stores are scalar-membered; values_block arrays are not)")
+              mo += 1 + 3 + 4 + 4 + 16
+              val mcls = bytes(mo).toInt & 0x0f
+              val msize = buf.getInt(mo + 4)
+              require(mcls == 0 || mcls == 1 || mcls == 3,
+                s"$name/$nm: compound member class $mcls not supported")
+              mo += dtBodySize(mcls)
+              H5Member(nm, off, mcls, msize)
+            }
+          }
+        case 0x000C => // attribute
+          attrs :+= parseAttr(bytes, buf, name, body)
         case 0x0008 => // layout
           val ver = bytes(body).toInt
           require(ver == 3, s"$name: layout message v$ver not supported")
@@ -736,7 +1018,7 @@ object Hdf5Lite {
           else dataBuf.getFloat((dataBase + i * 4L).toInt).toDouble
           i += 1
         }
-        H5Read(name, shape, out, null)
+        H5Read(name, shape, out, null, attrs = attrs)
       case 0 => // fixed point
         require(dtSize == 8 || dtSize == 4, s"$name: int$dtSize not supported")
         val out = new Array[Long](n)
@@ -746,7 +1028,7 @@ object Hdf5Lite {
           else dataBuf.getInt((dataBase + i * 4L).toInt).toLong
           i += 1
         }
-        H5Read(name, shape, null, out)
+        H5Read(name, shape, null, out, attrs = attrs)
       case 3 => // fixed-length string (pandas axis labels)
         val out = new Array[String](n)
         var i = 0
@@ -760,11 +1042,17 @@ object Hdf5Lite {
           out(i) = new String(sb, "UTF-8")
           i += 1
         }
-        H5Read(name, shape, null, null, out)
-      case 6 => throw new IllegalArgumentException(
-        s"$name: compound datatype not supported — this is the PyTables " +
-          "format='table' record layout; rewrite the store with " +
-          "format='fixed' (pandas to_hdf default) or convert to parquet")
+        H5Read(name, shape, null, null, out, attrs = attrs)
+      case 6 => // compound (PyTables format='table' record layout)
+        require(members != null, s"$name: compound datatype without member table")
+        val raw =
+          if (chunkedRaw != null) chunkedRaw
+          else {
+            val out = new Array[Byte](n * dtSize)
+            System.arraycopy(bytes, dataAddr.toInt, out, 0, out.length)
+            out
+          }
+        H5Read(name, shape, null, null, attrs = attrs, members = members, raw = raw)
       case c => throw new IllegalArgumentException(
         s"$name: datatype class $c not supported (numeric and fixed-string datasets only)")
     }

@@ -200,20 +200,208 @@ object Hdf5Table {
   /** Write a small DataFrame as a pandas-HDFStore-fixed-shaped `.h5`
     * (axis0/axis1/block layout under one `key` group): double columns form
     * block0, long columns block1; the index is a RangeIndex 0..n-1 (the
-    * pandas default). Round-trips through [[readPandasFixed]]; string
+    * pandas default). The group and datasets carry the pandas/PyTables
+    * attribute set of the documented BlockManagerFixed layout
+    * (`pandas_type='frame'`, `nblocks`, per-axis `kind`, pytables
+    * CLASS/FLAVOR markers) — validated by engine round-trip + structural
+    * goldens only, NOT against live PyTables (unavailable here).
+    * Round-trips through [[readPandasFixed]]; string
     * columns are rejected (pandas format='fixed' pickles those — parquet
     * is the right home).
     */
-  def writePandasFixed(df: DataFrame, path: String, key: String = "df"): Unit =
-    Files.write(Paths.get(path), Hdf5Lite.write(pandasFrameVars(df), group = key))
+  def writePandasFixed(df: DataFrame, path: String, key: String = "df"): Unit = {
+    val (vars, gattrs) = pandasFrameVars(df)
+    Files.write(Paths.get(path), Hdf5Lite.write(vars, group = key, groupAttrs = gattrs))
+  }
+
+  // ------------------------------------------------ pandas HDFStore table
+
+  /** Read a `pd.HDFStore` format='table' frame — the layout the reference
+    * itself WRITES for every results table (`write_to_hdf`,
+    * GPSat/dataloader.py:644-704: `to_hdf(..., format='table',
+    * data_columns=True)`) and selects from with `where`
+    * (`read_hdf`, :563-624). Per the public pandas io/pytables.py +
+    * PyTables docs, a data-columns table is ONE 1-d chunked dataset
+    * `key/table` of compound (record) datatype whose members are `index`
+    * plus one scalar member per column; storer metadata rides as pickled
+    * HDF5 attributes on the group and table.
+    *
+    * The row index comes back as an `index` column, remaining columns in
+    * member order — the same convention as [[readPandasFixed]]. Scope:
+    * scalar members (int/float/fixed-string); `values_block_N` ARRAY
+    * members (format='table' with data_columns=False) raise an error
+    * naming the member, since the reference's own stores are data-column
+    * tables. Driver-side single-file read — the honest cost for
+    * result-store-sized frames.
+    */
+  def readPandasTable(spark: SparkSession, path: String, key: String = "df"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val (reads, _) = Hdf5Lite.readAll(bytes)
+    val byName = reads.map(v => v.name -> v).toMap
+    val table = byName.getOrElse(s"$key/table",
+      throw new IllegalArgumentException(
+        s"$path: no dataset '$key/table' — present: ${byName.keys.toSeq.sorted.mkString(", ")}" +
+          (if (byName.contains(s"$key/axis0"))
+            " (an axis0 dataset exists: this is a format='fixed' store; " +
+              "use readPandasFixed)"
+          else "")))
+    require(table.isCompound, s"$path: $key/table is not a compound-typed dataset")
+    val n = table.shape.product
+    val recordSize = if (n == 0) 0 else table.raw.length / n
+    val members = table.members
+    val bb = java.nio.ByteBuffer.wrap(table.raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    def typeOf(m: Hdf5Lite.H5Member) = m.cls match {
+      case 0 => LongType
+      case 1 => DoubleType
+      case 3 => StringType
+    }
+    val schema = StructType(members.map(m => StructField(
+      if (m.name == "index") "index" else m.name, typeOf(m), nullable = false)))
+    val rows = new java.util.ArrayList[Row](n)
+    var i = 0
+    while (i < n) {
+      val base = i * recordSize
+      val vals = members.map[Any] { m =>
+        val off = base + m.offset
+        m.cls match {
+          case 0 =>
+            require(m.size == 8 || m.size == 4, s"${m.name}: int${m.size} member not supported")
+            if (m.size == 8) bb.getLong(off) else bb.getInt(off).toLong
+          case 1 =>
+            require(m.size == 8 || m.size == 4, s"${m.name}: float${m.size} member not supported")
+            if (m.size == 8) bb.getDouble(off) else bb.getFloat(off).toDouble
+          case 3 =>
+            var l = 0
+            while (l < m.size && table.raw(off + l) != 0) l += 1
+            new String(table.raw, off, l, "UTF-8")
+        }
+      }
+      rows.add(Row.fromSeq(vals))
+      i += 1
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Write a small DataFrame as a PyTables-table-shaped `.h5` under `key`:
+    * one chunked compound dataset `key/table` with members (index, each
+    * column as its own scalar field — the `data_columns=True` layout the
+    * reference writes), group + table attributes mirroring pandas'
+    * documented storer metadata (`pandas_type='frame_table'`,
+    * `FIELD_N_NAME`, pickled `data_columns` / `non_index_axes`, ...).
+    * Round-trips through [[readPandasTable]]; the attribute set follows
+    * the public pandas/PyTables layout but is validated by engine
+    * round-trip + structural goldens only (no live PyTables here).
+    * Booleans ride as int64 0/1 (documented divergence from PyTables'
+    * 1-byte bool).
+    */
+  def writePandasTable(df: DataFrame, path: String, key: String = "df",
+                       chunkRows: Int = 512, deflate: Int = 0): Unit = {
+    val rows = df.collect()
+    require(rows.nonEmpty, "empty table")
+    val n = rows.length
+    // member layout: index first, then schema order
+    var offset = 8
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val (cls, size) = f.dataType match {
+        case DoubleType | FloatType => (1, 8)
+        case LongType | IntegerType | BooleanType => (0, 8)
+        case StringType =>
+          (3, math.max(1, rows.map(r => r.getString(i).getBytes("UTF-8").length).max))
+        case other => throw new IllegalArgumentException(
+          s"${f.name}: $other not supported in a format='table' frame " +
+            "(double/long/string/bool columns only)")
+      }
+      val m = Hdf5Lite.H5Member(f.name, offset, cls, size)
+      offset += size
+      m
+    }
+    val recordSize = offset
+    val members = Hdf5Lite.H5Member("index", 0, 0, 8) +: fields.toSeq
+    val data = java.nio.ByteBuffer.allocate(n * recordSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      val base = ri * recordSize
+      data.putLong(base, ri.toLong) // RangeIndex
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val m = fields(i)
+        f.dataType match {
+          case DoubleType => data.putDouble(base + m.offset, r.getDouble(i))
+          case FloatType => data.putDouble(base + m.offset, r.getFloat(i).toDouble)
+          case LongType => data.putLong(base + m.offset, r.getLong(i))
+          case IntegerType => data.putLong(base + m.offset, r.getInt(i).toLong)
+          case BooleanType => data.putLong(base + m.offset, if (r.getBoolean(i)) 1L else 0L)
+          case StringType =>
+            val b = r.getString(i).getBytes("UTF-8")
+            var k = 0
+            while (k < b.length) { data.put(base + m.offset + k, b(k)); k += 1 }
+        }
+      }
+    }
+    val colNames = df.schema.fieldNames.toSeq
+    import Hdf5Lite.H5Attr
+    val tableAttrs =
+      Seq(H5Attr.str("CLASS", "TABLE"), H5Attr.str("VERSION", "2.7"),
+        H5Attr.str("TITLE", ""), H5Attr.long("NROWS", n.toLong),
+        H5Attr.str("index_kind", "integer")) ++
+        members.zipWithIndex.map { case (m, i) => H5Attr.str(s"FIELD_${i}_NAME", m.name) } ++
+        colNames.flatMap { c =>
+          Seq(H5Attr.bytes(s"${c}_kind", PickleLite.pickle(List(c))),
+            H5Attr.str(s"${c}_dtype", df.schema(c).dataType match {
+              case DoubleType | FloatType => "float64"
+              case StringType => "object"
+              case _ => "int64"
+            }))
+        }
+    val groupAttrs = Seq(
+      H5Attr.str("CLASS", "GROUP"), H5Attr.str("TITLE", ""), H5Attr.str("VERSION", "1.0"),
+      H5Attr.str("pandas_type", "frame_table"), H5Attr.str("pandas_version", "0.15.2"),
+      H5Attr.str("table_type", "appendable_frame"),
+      H5Attr.str("encoding", "UTF-8"), H5Attr.str("errors", "strict"),
+      H5Attr.str("nan_rep", "nan"),
+      H5Attr.bytes("index_cols", PickleLite.pickle(List((0L, "index")))),
+      H5Attr.bytes("values_cols", PickleLite.pickle(colNames.toList)),
+      H5Attr.bytes("data_columns", PickleLite.pickle(colNames.toList)),
+      H5Attr.bytes("non_index_axes", PickleLite.pickle(List((1L, colNames.toList)))),
+      H5Attr.bytes("levels", PickleLite.pickle(None)))
+    val comp = Hdf5Lite.H5CompoundVar(
+      "table", n, recordSize, members, data.array(), attrs = tableAttrs)
+    Files.write(Paths.get(path), Hdf5Lite.writeKeys(
+      Nil, chunkRows = chunkRows, deflate = deflate,
+      groupAttrs = Map(key -> groupAttrs), compounds = Seq(key -> comp)))
+  }
+
+  /** Read ONE HDFStore frame under `key`, whichever layout it is stored in
+    * (`format='table'` -> [[readPandasTable]]; `format='fixed'` ->
+    * [[readPandasFixed]]) — the `pd.read_hdf(path, key)` dispatch.
+    */
+  def readPandasKey(spark: SparkSession, path: String, key: String = "df"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val names = Hdf5Lite.read(bytes).map(_.name).toSet
+    if (names.contains(s"$key/table")) readPandasTable(spark, path, key)
+    else readPandasFixed(spark, path, key)
+  }
 
   /** Several frames in ONE `.h5`, one HDFStore key each — the reference's
     * result-store file shape (run_details / preds / ... side by side,
     * local_experts.py:499-550).
     */
-  def writePandasFixedKeys(keyed: Seq[(String, DataFrame)], path: String): Unit =
+  def writePandasFixedKeys(keyed: Seq[(String, DataFrame)], path: String): Unit = {
+    val built = keyed.map { case (k, df) => k -> pandasFrameVars(df) }
     Files.write(Paths.get(path),
-      Hdf5Lite.writeKeys(keyed.map { case (k, df) => k -> pandasFrameVars(df) }))
+      Hdf5Lite.writeKeys(built.map { case (k, (vars, _)) => k -> vars },
+        groupAttrs = built.map { case (k, (_, ga)) => k -> ga }.toMap))
+  }
 
   /** The HDFStore keys present in a `.h5` file (every group holding an
     * axis0 dataset — the pandas frame marker).
@@ -230,7 +418,9 @@ object Hdf5Table {
     }.sorted
   }
 
-  private def pandasFrameVars(df: DataFrame): Seq[Hdf5Lite.H5Var] = {
+  /** (datasets with pandas attrs, group attrs) of one fixed-format frame. */
+  private def pandasFrameVars(df: DataFrame): (Seq[Hdf5Lite.H5Var], Seq[Hdf5Lite.H5Attr]) = {
+    import Hdf5Lite.H5Attr
     val rows = df.collect()
     require(rows.nonEmpty, "empty table")
     val n = rows.length
@@ -258,32 +448,50 @@ object Hdf5Table {
             "(double/long/string/bool columns only — complex types belong in parquet)")
       }
     }
+    // pytables ARRAY markers every value/axis dataset carries
+    def arrayAttrs(kind: String, extra: Seq[H5Attr] = Nil): Seq[H5Attr] =
+      Seq(H5Attr.str("CLASS", "ARRAY"), H5Attr.str("VERSION", "2.4"),
+        H5Attr.str("FLAVOR", "numpy"), H5Attr.str("kind", kind)) ++ extra
+    val transposed = Seq(H5Attr.long("transposed", 1L)) // blocks store (ncols, nrows)
+
     val blocks = Seq.newBuilder[Hdf5Lite.H5Var]
     var bi = 0
     def items(names: Seq[String]): Hdf5Lite.H5Var =
-      Hdf5Lite.H5Var(s"block${bi}_items", Seq(names.length), strings = names.toArray)
+      Hdf5Lite.H5Var(s"block${bi}_items", Seq(names.length), strings = names.toArray,
+        attrs = arrayAttrs("string"))
     if (dbl.nonEmpty) {
       blocks += items(dbl.map(_._1).toSeq)
       blocks += Hdf5Lite.H5Var(s"block${bi}_values", Seq(dbl.length, n),
-        doubles = dbl.flatMap(_._2).toArray)
+        doubles = dbl.flatMap(_._2).toArray, attrs = arrayAttrs("float64", transposed))
       bi += 1
     }
     if (lng.nonEmpty) {
       blocks += items(lng.map(_._1).toSeq)
       blocks += Hdf5Lite.H5Var(s"block${bi}_values", Seq(lng.length, n),
-        longs = lng.flatMap(_._2).toArray)
+        longs = lng.flatMap(_._2).toArray, attrs = arrayAttrs("int64", transposed))
       bi += 1
     }
     if (str.nonEmpty) {
       blocks += items(str.map(_._1).toSeq)
       blocks += Hdf5Lite.H5Var(s"block${bi}_values", Seq(str.length, n),
-        strings = str.flatMap(_._2).toArray)
+        strings = str.flatMap(_._2).toArray, attrs = arrayAttrs("string", transposed))
       bi += 1
     }
-    Seq(
-      Hdf5Lite.H5Var("axis0", Seq(df.columns.length), strings = df.columns),
-      Hdf5Lite.H5Var("axis1", Seq(n), longs = Array.tabulate(n)(_.toLong))) ++
+    val vars = Seq(
+      Hdf5Lite.H5Var("axis0", Seq(df.columns.length), strings = df.columns,
+        attrs = arrayAttrs("string") :+ H5Attr.str("name", "columns")),
+      Hdf5Lite.H5Var("axis1", Seq(n), longs = Array.tabulate(n)(_.toLong),
+        attrs = arrayAttrs("integer") :+ H5Attr.str("name", "rows"))) ++
       blocks.result()
+    // group attrs: the documented pandas BlockManagerFixed storer markers
+    val groupAttrs = Seq(
+      H5Attr.str("CLASS", "GROUP"), H5Attr.str("TITLE", ""), H5Attr.str("VERSION", "1.0"),
+      H5Attr.str("pandas_type", "frame"), H5Attr.str("pandas_version", "0.15.2"),
+      H5Attr.str("encoding", "UTF-8"), H5Attr.str("errors", "strict"),
+      H5Attr.long("ndim", 2L), H5Attr.long("nblocks", bi.toLong),
+      H5Attr.str("axis0_variety", "regular"), H5Attr.str("axis1_variety", "regular")) ++
+      (0 until bi).map(i => H5Attr.str(s"block${i}_items_variety", "regular"))
+    (vars, groupAttrs)
   }
 
   /** Write one `.h5` granule per partition from the executors (no driver

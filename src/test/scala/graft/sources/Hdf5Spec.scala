@@ -161,6 +161,132 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
       e.getMessage.contains("right/axis0"))
   }
 
+  test("attributes roundtrip on datasets and groups (string / long / double / pickled bytes)") {
+    import Hdf5Lite.H5Attr
+    val img = Hdf5Lite.writeKeys(
+      Seq("k" -> Seq(H5Var("v", Seq(2), doubles = Array(1.0, 2.0),
+        attrs = Seq(H5Attr.str("CLASS", "ARRAY"), H5Attr.long("NROWS", 2L),
+          H5Attr(name = "scale", doublesVal = Array(0.5, 2.5), scalar = false))))),
+      groupAttrs = Map(
+        "k" -> Seq(H5Attr.str("pandas_type", "frame_table"),
+          H5Attr.bytes("data_columns", PickleLite.pickle(List("a", "b"))))))
+    val (reads, gattrs) = Hdf5Lite.readAll(img)
+    val v = reads.find(_.name == "k/v").get
+    assert(v.doubles.toSeq === Seq(1.0, 2.0))
+    assert(v.attr("CLASS").get.stringVal === "ARRAY")
+    assert(v.attr("NROWS").get.longVal === 2L)
+    assert(v.attr("scale").get.doublesVal.toSeq === Seq(0.5, 2.5))
+    assert(gattrs("k").find(_.name == "pandas_type").get.stringVal === "frame_table")
+    val dc = gattrs("k").find(_.name == "data_columns").get.bytesVal
+    assert(PickleLite.unpickle(dc) === Vector("a", "b"))
+  }
+
+  test("PickleLite: protocol-2 roundtrip of pandas storer metadata shapes") {
+    val cases: Seq[Any] = Seq(
+      Vector("a", "bb", "ccc"),
+      Vector.empty[String],
+      Vector((1L, Vector("x", "y"))),
+      Vector((0L, "index")),
+      None, true, 300L, 7L, "solo")
+    for (c <- cases) {
+      val got = PickleLite.unpickle(PickleLite.pickle(c))
+      val want = c match { case null | None => None case v => v }
+      assert(got === want, s"case $c")
+    }
+  }
+
+  test("PickleLite: decodes protocol-0 list-of-strings (legacy PyTables attrs)") {
+    // hand-written protocol-0 pickle of ['a', 'bb'] per public pickletools
+    val p0 = "(lp0\nS'a'\np1\naS'bb'\np2\na.".getBytes("US-ASCII")
+    assert(PickleLite.unpickle(p0) === Vector("a", "bb"))
+  }
+
+  test("pandas-table (format='table') roundtrip: mixed double/long/string/bool frame") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.5, "alpha", true),
+      (2L, -2.25, "b", false),
+      (3L, Double.NaN, "ccc", true)
+    ).toDF("id", "z", "tag", "ok")
+    for ((chunk, defl) <- Seq((0, 0), (2, 6))) {
+      val path = Files.createTempDirectory("h5t_").resolve("t.h5").toString
+      Hdf5Table.writePandasTable(df, path, key = "obs", chunkRows = chunk, deflate = defl)
+      val back = Hdf5Table.readPandasTable(spark, path, key = "obs")
+      assert(back.columns.toSeq === Seq("index", "id", "z", "tag", "ok"))
+      val got = back.orderBy("index").collect()
+      assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+      assert(got.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+      assert(java.lang.Double.isNaN(got(2).getDouble(2)) && got(1).getDouble(2) === -2.25)
+      assert(got.map(_.getString(3)).toSeq === Seq("alpha", "b", "ccc"))
+      assert(got.map(_.getLong(4)).toSeq === Seq(1L, 0L, 1L), s"bools as 0/1 (chunk=$chunk)")
+    }
+  }
+
+  test("pandas-table structural goldens: compound members, FIELD names, storer attrs") {
+    import spark.implicits._
+    val df = Seq((10L, 1.5, "xyz")).toDF("id", "z", "tag")
+    val path = Files.createTempDirectory("h5t_").resolve("g.h5").toString
+    Hdf5Table.writePandasTable(df, path, key = "df", chunkRows = 8, deflate = 1)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val (reads, gattrs) = Hdf5Lite.readAll(bytes)
+    val t = reads.find(_.name == "df/table").get
+    assert(t.isCompound)
+    // members: index@0 then schema order with packed offsets
+    assert(t.members.map(m => (m.name, m.offset, m.cls)) === Seq(
+      ("index", 0, 0), ("id", 8, 0), ("z", 16, 1), ("tag", 24, 3)))
+    assert(t.members.last.size === 3, "string member width = max byte length")
+    assert(t.attr("CLASS").get.stringVal === "TABLE")
+    assert(t.attr("NROWS").get.longVal === 1L)
+    assert(t.attr("FIELD_0_NAME").get.stringVal === "index")
+    assert(t.attr("FIELD_2_NAME").get.stringVal === "z")
+    val ga = gattrs("df")
+    assert(ga.find(_.name == "pandas_type").get.stringVal === "frame_table")
+    assert(ga.find(_.name == "table_type").get.stringVal === "appendable_frame")
+    assert(PickleLite.unpickle(ga.find(_.name == "data_columns").get.bytesVal) ===
+      Vector("id", "z", "tag"))
+    assert(PickleLite.unpickle(ga.find(_.name == "non_index_axes").get.bytesVal) ===
+      Vector((1L, Vector("id", "z", "tag"))))
+  }
+
+  test("readPandasKey dispatches fixed vs table stores; ConfigExpr.load reads both") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "z")
+    val fixedPath = Files.createTempDirectory("h5k_").resolve("f.h5").toString
+    val tablePath = Files.createTempDirectory("h5k_").resolve("t.h5").toString
+    Hdf5Table.writePandasFixed(df, fixedPath, key = "df")
+    Hdf5Table.writePandasTable(df, tablePath, key = "df")
+    for (p <- Seq(fixedPath, tablePath)) {
+      val got = Hdf5Table.readPandasKey(spark, p, "df")
+        .select("id", "z").orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === Seq((1L, 0.5), (2L, 1.5)), p)
+      val viaConfig = ConfigExpr.load(spark, ConfigExpr.DataConfig(
+        source = p, table = Some("df")))
+      assert(viaConfig.select("id", "z").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((1L, 0.5), (2L, 1.5)), p)
+    }
+    // fixed reader on a table store points at the right API
+    val e = intercept[IllegalArgumentException](
+      Hdf5Table.readPandasTable(spark, fixedPath, key = "df"))
+    assert(e.getMessage.contains("readPandasFixed"))
+  }
+
+  test("fixed-format stores now carry the pandas BlockManagerFixed attribute set") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5)).toDF("id", "z")
+    val path = Files.createTempDirectory("h5a_").resolve("f.h5").toString
+    Hdf5Table.writePandasFixed(df, path, key = "df")
+    val (reads, gattrs) = Hdf5Lite.readAll(Files.readAllBytes(Paths.get(path)))
+    val ga = gattrs("df")
+    assert(ga.find(_.name == "pandas_type").get.stringVal === "frame")
+    assert(ga.find(_.name == "nblocks").get.longVal === 2L)
+    assert(ga.find(_.name == "axis0_variety").get.stringVal === "regular")
+    val axis0 = reads.find(_.name == "df/axis0").get
+    assert(axis0.attr("kind").get.stringVal === "string")
+    assert(axis0.attr("CLASS").get.stringVal === "ARRAY")
+    val blk = reads.find(_.name == "df/block0_values").get
+    assert(blk.attr("transposed").get.longVal === 1L)
+  }
+
   test("reader follows object-header continuation blocks (attribute-heavy real files)") {
     val vals = Array(1.5, -2.5, 3.25)
     val img = Hdf5Lite.write(Seq(H5Var("v", Seq(3), doubles = vals)))

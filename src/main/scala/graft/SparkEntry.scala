@@ -658,6 +658,24 @@ object SparkEntry {
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // same grid through the zarr DEFAULT compressor: chunk files re-framed
+    // as blosc1 (lz4 inner codec, byte-shuffled — what numcodecs Blosc
+    // writes), decoded by the pure-JVM BloscLite codec in the same
+    // chunk-parallel scan; oracle recomputes from parquet
+    "q58_zarr_blosc" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("x", "y", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q58_").toString + "/binned.zarr"
+      graft.sources.ZarrGrid.writeGrid2dDistributed(binned, tmp, "x", "y", Seq("z_mean"),
+        chunkRows = 3)
+      graft.sources.ZarrGrid.toBlosc(s, tmp + "/z_mean", cname = "lz4")
+      graft.sources.ZarrGrid.toBlosc(s, tmp + "/x", cname = "zlib")
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, colSelect = Seq("x", "y", "z_mean")))
+    }),
+
     // pandas-HDFStore-fixed roundtrip: the reference's actual store SHAPE
     // (df.to_hdf(path, key) -> /key/axis0 + blockN layout, read back via
     // the `table` key like pd.read_hdf(path, key), dataloader.py:563-624).
@@ -1280,6 +1298,16 @@ object SparkEntry {
          | GROUP BY 1, 2""".stripMargin,
 
     "q54_zarr_roundtrip" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    // same values as q54 — the blosc re-framing must be lossless
+    "q58_zarr_blosc" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,

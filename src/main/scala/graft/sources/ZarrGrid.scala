@@ -24,14 +24,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   * binaryFile scan task, emitting rows for its own grid slice.
   *
   * Scope (checked, loud errors outside it): zarr v2, C-order, dtypes
-  * <f8/<f4/<i8/<i4, compressor null or zlib/gzip (blosc/lz4 stores raise
-  * an error naming the codec), 1-d coordinate + 2-d data arrays.
+  * <f8/<f4/<i8/<i4, compressor null, zlib/gzip, or blosc with lz4/zlib
+  * inner codecs — the zarr DEFAULT (numcodecs Blosc) — via the pure-JVM
+  * [[BloscLite]] frame codec (zstd/snappy/blosclz frames raise naming the
+  * codec); 1-d coordinate + 2-d data arrays.
   */
 object ZarrGrid extends Serializable {
   implicit private val formats: Formats = DefaultFormats
 
+  // comp: "none" | "zlib" | "blosc" (blosc frames name their own inner codec)
   private final case class ZMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                                 zlib: Boolean, sep: String, fill: Option[Double])
+                                 comp: String, sep: String, fill: Option[Double])
 
   private def parseZarray(json: String, name: String): ZMeta = {
     val j = JsonMethods.parse(json)
@@ -42,14 +45,26 @@ object ZarrGrid extends Serializable {
       case JNull | JNothing | JArray(Nil) => ()
       case f => throw new IllegalArgumentException(s"$name: zarr filters $f not supported")
     }
-    val zlib = (j \ "compressor") match {
-      case JNull | JNothing => false
+    val comp = (j \ "compressor") match {
+      case JNull | JNothing => "none"
       case c =>
         val id = (c \ "id").extract[String]
-        require(id == "zlib" || id == "gzip",
-          s"$name: compressor '$id' not supported (null/zlib only — " +
-            "blosc stores must be rewritten, e.g. ds.to_zarr(encoding={'compressor': zlib}))")
-        true
+        id match {
+          case "zlib" | "gzip" => "zlib"
+          case "blosc" =>
+            // the zarr DEFAULT compressor (numcodecs Blosc, cname lz4);
+            // decoded by the pure-JVM BloscLite frame codec. The frame
+            // header names its own inner codec — unsupported ones (zstd,
+            // snappy, blosclz) raise there with the cname in the message.
+            (c \ "cname").extractOpt[String].foreach { cn =>
+              require(cn == "lz4" || cn == "lz4hc" || cn == "zlib",
+                s"$name: blosc cname '$cn' not supported (lz4/lz4hc/zlib only — " +
+                  "rewrite zstd/snappy/blosclz stores with cname='lz4')")
+            }
+            "blosc"
+          case o => throw new IllegalArgumentException(
+            s"$name: compressor '$o' not supported (null/zlib/blosc only)")
+        }
     }
     // absent chunk files legally mean "all fill_value" in zarr v2
     // (xarray/NaN-heavy stores omit them); null fill -> missing chunks raise
@@ -61,7 +76,7 @@ object ZarrGrid extends Serializable {
       case v => Some(v.extract[Double])
     }
     ZMeta((j \ "shape").extract[Seq[Int]], (j \ "chunks").extract[Seq[Int]],
-      (j \ "dtype").extract[String], zlib,
+      (j \ "dtype").extract[String], comp,
       (j \ "dimension_separator").extractOpt[String].getOrElse("."), fill)
   }
 
@@ -88,9 +103,10 @@ object ZarrGrid extends Serializable {
     * zarr pads edge chunks to the declared chunk shape).
     */
   private def decodeChunk(raw: Array[Byte], m: ZMeta, name: String): Array[Double] = {
-    val bytes =
-      if (!m.zlib) raw
-      else {
+    val bytes = m.comp match {
+      case "none" => raw
+      case "blosc" => BloscLite.decompress(raw, name)
+      case "zlib" =>
         val inf = new java.util.zip.Inflater()
         inf.setInput(raw)
         val out = new java.io.ByteArrayOutputStream(raw.length * 3 + 64)
@@ -103,7 +119,7 @@ object ZarrGrid extends Serializable {
         }
         inf.end()
         out.toByteArray
-      }
+    }
     val es = dtypeSize(m.dtype, name)
     val n = m.chunks.product
     require(bytes.length == n * es,
@@ -369,6 +385,65 @@ object ZarrGrid extends Serializable {
       s"$dir: data variables disagree on dims: $dimPairs")
     val Seq(yDim, xDim) = dimPairs.head
     readGrid2d(spark, dir, xDim, yDim, dataVars)
+  }
+
+  /** Re-encode one array's chunk files as blosc frames (the zarr-default
+    * numcodecs layout: 16-byte header + block starts + lz4/zlib streams,
+    * byte-shuffled) and patch its `.zarray` compressor accordingly.
+    * Driver-side utility (store-conversion-sized work) — also how the
+    * engine's own stores are made byte-compatible with readers expecting
+    * the zarr default compressor.
+    */
+  def toBlosc(spark: SparkSession, arrDir: String, cname: String = "lz4",
+              byteShuffle: Boolean = true): Unit = {
+    val meta = parseZarray(new String(readSmall(spark, s"$arrDir/.zarray"), "UTF-8"), arrDir)
+    val typesize = dtypeSize(meta.dtype, arrDir)
+    val codec = cname match {
+      case "lz4" | "lz4hc" => BloscLite.CodecLz4
+      case "zlib" => BloscLite.CodecZlib
+      case o => throw new IllegalArgumentException(s"blosc cname '$o' not supported (lz4/zlib)")
+    }
+    val fs = fsFor(spark, arrDir)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith(".")).flatMap { s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s.getPath)
+      }
+    walk(new org.apache.hadoop.fs.Path(arrDir)).foreach { p =>
+      val len = fs.getFileStatus(p).getLen.toInt
+      val raw = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, raw) finally in.close()
+      // decode with the CURRENT compressor to plain bytes, re-frame as blosc
+      val plain = meta.comp match {
+        case "none" => raw
+        case "blosc" => BloscLite.decompress(raw, p.toString)
+        case "zlib" =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(raw)
+          val o = new java.io.ByteArrayOutputStream(raw.length * 3 + 64)
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val got = inf.inflate(tmp)
+            if (got == 0 && inf.needsInput())
+              throw new IllegalArgumentException(s"$p: truncated zlib chunk")
+            o.write(tmp, 0, got)
+          }
+          inf.end()
+          o.toByteArray
+      }
+      val framed = BloscLite.compress(plain, typesize, codec, byteShuffle = byteShuffle)
+      val out = fs.create(p, true)
+      try out.write(framed) finally out.close()
+    }
+    val zaPath = s"$arrDir/.zarray"
+    val patched = JsonMethods.parse(new String(readSmall(spark, zaPath), "UTF-8"))
+      .transformField { case ("compressor", _) =>
+        ("compressor", JsonMethods.parse(
+          s"""{"id":"blosc","cname":"$cname","clevel":5,"shuffle":${if (byteShuffle) 1 else 0},"blocksize":0}"""))
+      }
+    val out = fs.create(new org.apache.hadoop.fs.Path(zaPath), true)
+    try out.write(JsonMethods.compact(JsonMethods.render(patched)).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Write a gridded table as one xarray-shaped zarr group with the CHUNK

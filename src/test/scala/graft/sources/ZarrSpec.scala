@@ -126,6 +126,31 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       s"got: ${e.getMessage}")
   }
 
+  test("blosc-framed stores (the zarr default compressor) read chunk-parallel") {
+    val dir = Files.createTempDirectory("zarr_").resolve("bl.zarr").toString
+    val two = mkGrid(2.5).withColumn("w", col("z") * 3.0)
+    ZarrGrid.writeGrid2d(two, dir, "x", "y", Seq("z", "w"), chunkRows = 2)
+    // convert z to blosc-lz4 (shuffled) and w to blosc-zlib, plus a coord
+    ZarrGrid.toBlosc(spark, s"$dir/z", cname = "lz4")
+    ZarrGrid.toBlosc(spark, s"$dir/w", cname = "zlib", byteShuffle = false)
+    ZarrGrid.toBlosc(spark, s"$dir/x", cname = "lz4")
+    // chunk files are genuine blosc1 frames now (version byte 2, lz4 codec)
+    val zchunk = Files.readAllBytes(Paths.get(dir, "z", "0.0"))
+    assert(zchunk(0) === 2.toByte && ((zchunk(2) & 0xff) >>> 5) === BloscLite.CodecLz4)
+    assert((zchunk(2) & 1) === 1, "shuffle flag set")
+    val back = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w"))
+    assert(back.count() === 35)
+    assert(back.filter(col("w") =!= col("z") * 3.0).count() === 0)
+    assert(back.filter(col("x") === 30.0 && col("y") === 200.0)
+      .head().getDouble(2) === 2.5 + 2 * 7 + 3)
+    // unsupported blosc cname raises naming the codec
+    val za = Paths.get(dir, "z", ".zarray")
+    val txt = new String(Files.readAllBytes(za), "UTF-8").replace("\"lz4\"", "\"zstd\"")
+    Files.write(za, txt.getBytes("UTF-8"))
+    val e = intercept[Exception](ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w")))
+    assert(e.getMessage.contains("zstd"))
+  }
+
   test("unsupported stores raise errors naming the blocker") {
     val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))

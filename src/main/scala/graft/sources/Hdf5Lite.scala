@@ -28,8 +28,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    granules raise errors naming the filter id);
   *  - IEEE float64/float32, signed int64/int32, and fixed-length strings
   *    (the datatype pandas axis labels use), little-endian.
-  * Superblock v2/v3 files raise errors that say exactly that, mirroring
-  * NetCdf3's NetCDF-4 error path.
+  *
+  * READ additionally covers the `libver='latest'` profile: superblock
+  * v2/v3 (root addressed by object header), v2 'OHDR' object headers with
+  * 'OCHK' continuations, compact Link-message groups, v2/v3 attribute
+  * messages, and layout v4 chunk indexes (single-chunk / implicit /
+  * unpaged fixed-array). Dense (fractal-heap) link storage, paged or
+  * extensible-array/v2-btree chunk indexes, and bit-shuffle raise errors
+  * naming the feature.
   */
 object Hdf5Lite {
 
@@ -663,9 +669,19 @@ object Hdf5Lite {
     val sig = new Array[Byte](8); buf.get(sig)
     require(sig.sameElements(Signature), "not an HDF5 file (signature mismatch)")
     val sbVersion = buf.get(0x08).toInt
+    val groupAttrs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[H5Attr]]
+    if (sbVersion == 2 || sbVersion == 3) {
+      // libver='latest' profile: superblock v2/v3 addresses the root group
+      // OBJECT HEADER directly; groups are OHDR headers with compact Link
+      // messages (dense fractal-heap link storage raises a named error)
+      require(buf.get(9).toInt == 8 && buf.get(10).toInt == 8,
+        "only 8-byte offsets/lengths supported")
+      val rootOh = buf.getLong(36)
+      val reads = readGroupV2(bytes, buf, rootOh, prefix = "", depth = 0, groupAttrs)
+      return (reads, groupAttrs.toMap)
+    }
     require(sbVersion == 0 || sbVersion == 1,
-      s"superblock v$sbVersion not supported (v2/v3 files come from libver='latest' " +
-        "writers; rewrite with libver='earliest' or convert to parquet)")
+      s"superblock v$sbVersion not supported (v0-v3 only)")
     require(buf.get(0x0d).toInt == 8 && buf.get(0x0e).toInt == 8,
       "only 8-byte offsets/lengths supported")
     // root symbol table entry: v0 superblock has base/free/eof/driver (32
@@ -676,10 +692,70 @@ object Hdf5Lite {
     val rootBtree = buf.getLong(steOff + 24)
     val rootHeap = buf.getLong(steOff + 32)
     require(rootBtree != Undef && rootHeap != Undef, "root group is not symbol-table based")
-    val groupAttrs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[H5Attr]]
     groupAttrs("") = attrsOfHeader(bytes, buf, "", rootOh)
     val reads = readGroup(bytes, buf, rootBtree, rootHeap, prefix = "", depth = 0, groupAttrs)
     (reads, groupAttrs.toMap)
+  }
+
+  /** Walk one new-style (OHDR) group: children are compact Link messages
+    * (0x0006, hard links); a Link Info message pointing at a fractal heap
+    * means dense storage — unsupported, loud error. Old-style groups
+    * reached from a v2 superblock (SymbolTable message) delegate to the
+    * v1 walk.
+    */
+  private def readGroupV2(bytes: Array[Byte], buf: ByteBuffer, ohAddr: Long,
+                          prefix: String, depth: Int,
+                          groupAttrsAcc: scala.collection.mutable.Map[String, Seq[H5Attr]]): Seq[H5Read] = {
+    require(depth <= 8, s"group nesting deeper than 8 at '$prefix'")
+    val msgs = messages(bytes, buf, prefix, ohAddr)
+    groupAttrsAcc(prefix) = msgs.collect {
+      case (0x000C, body) => parseAttr(bytes, buf, prefix, body)
+    }
+    msgs.find(_._1 == 0x0011).foreach { case (_, body) =>
+      return readGroup(bytes, buf, buf.getLong(body), buf.getLong(body + 8),
+        prefix, depth, groupAttrsAcc)
+    }
+    msgs.foreach { case (mtype, body) =>
+      if (mtype == 0x0002) { // Link Info
+        val flags = bytes(body + 1).toInt
+        val q = body + 2 + (if ((flags & 1) != 0) 8 else 0)
+        require(buf.getLong(q) == Undef,
+          s"'$prefix': dense link storage (fractal heap) not supported — " +
+            "groups with many links; rewrite with libver='earliest'")
+      }
+    }
+    msgs.collect { case (0x0006, body) => parseLink(bytes, buf, prefix, body) }
+      .sortBy(_._1)
+      .flatMap { case (name, childOh) =>
+        val full = if (prefix.isEmpty) name else s"$prefix/$name"
+        val childMsgs = messages(bytes, buf, full, childOh)
+        val isGroup = childMsgs.exists(m =>
+          m._1 == 0x0002 || m._1 == 0x0006 || m._1 == 0x0011 || m._1 == 0x000A) &&
+          !childMsgs.exists(_._1 == 0x0008)
+        if (isGroup) readGroupV2(bytes, buf, childOh, full, depth + 1, groupAttrsAcc)
+        else Seq(readDataset(bytes, buf, full, childOh))
+      }
+  }
+
+  /** Parse one v1 Link message: returns (link name, child object header
+    * address). Hard links only.
+    */
+  private def parseLink(bytes: Array[Byte], buf: ByteBuffer, owner: String,
+                        body: Int): (String, Long) = {
+    require(bytes(body) == 1, s"$owner: link message v${bytes(body)} not supported")
+    val flags = bytes(body + 1).toInt & 0xff
+    var q = body + 2
+    val ltype = if ((flags & 0x08) != 0) { val t = bytes(q).toInt; q += 1; t } else 0
+    require(ltype == 0, s"$owner: link type $ltype not supported (hard links only)")
+    if ((flags & 0x04) != 0) q += 8 // creation order
+    if ((flags & 0x10) != 0) q += 1 // charset
+    val lenSize = 1 << (flags & 0x3)
+    var nameLen = 0L
+    (0 until lenSize).foreach(i => nameLen |= (bytes(q + i).toLong & 0xff) << (8 * i))
+    q += lenSize
+    val name = new String(bytes, q, nameLen.toInt, "UTF-8")
+    q += nameLen.toInt
+    (name, buf.getLong(q))
   }
 
   /** Attribute messages of the object header at `ohAddr`. */
@@ -689,27 +765,34 @@ object Hdf5Lite {
       case (0x000C, body) => parseAttr(bytes, buf, name, body)
     }
 
-  /** Parse one v1 Attribute message body. */
+  /** Parse one Attribute message body (v1 pads name/datatype/dataspace to
+    * 8; v2/v3 — libver='latest' writers — pack them; v3 adds a charset
+    * byte).
+    */
   private def parseAttr(bytes: Array[Byte], buf: ByteBuffer, owner: String,
                         body: Int): H5Attr = {
     val ver = bytes(body).toInt
-    require(ver == 1, s"$owner: attribute message v$ver not supported " +
-      "(v2/v3 come from libver='latest' writers)")
+    require(ver >= 1 && ver <= 3, s"$owner: attribute message v$ver not supported")
+    if (ver >= 2) require((bytes(body + 1) & 0x3) == 0,
+      s"$owner: shared attribute datatype/dataspace not supported")
     val nameSize = buf.getShort(body + 2).toInt & 0xffff
     val dtSz = buf.getShort(body + 4).toInt & 0xffff
     val dsSz = buf.getShort(body + 6).toInt & 0xffff
-    var pos = body + 8
+    var pos = body + 8 + (if (ver == 3) 1 else 0) // v3: name charset byte
+    def advance(declared: Int): Int = if (ver == 1) pad8(declared) else declared
     var end = pos
     while (bytes(end) != 0) end += 1
     val aname = new String(bytes, pos, end - pos, "UTF-8")
-    pos += pad8(nameSize)
+    pos += advance(nameSize)
     val acls = bytes(pos).toInt & 0x0f
     val asize = buf.getInt(pos + 4)
-    pos += pad8(dtSz)
+    pos += advance(dtSz)
     val rank = bytes(pos + 1).toInt
     require(rank <= 1, s"$owner/$aname: attribute rank $rank not supported")
-    val n = if (rank == 0) 1 else buf.getLong(pos + 8).toInt
-    pos += pad8(dsSz)
+    val dsVer = bytes(pos).toInt
+    val n = if (rank == 0) 1
+      else buf.getLong(pos + (if (dsVer == 1) 8 else 4)).toInt
+    pos += advance(dsSz)
     acls match {
       case 3 =>
         val out = new Array[Byte](asize * n)
@@ -779,24 +862,82 @@ object Hdf5Lite {
           case Some((bt, hp)) =>
             groupAttrsAcc(full) = attrsOfHeader(bytes, buf, full, ohAddr)
             readGroup(bytes, buf, bt, hp, full, depth + 1, groupAttrsAcc)
-          case None => Seq(readDataset(bytes, buf, full, ohAddr))
+          case None =>
+            val childMsgs = messages(bytes, buf, full, ohAddr)
+            if (childMsgs.exists(m => m._1 == 0x0002 || m._1 == 0x0006))
+              readGroupV2(bytes, buf, ohAddr, full, depth + 1, groupAttrsAcc) // new-style child group
+            else Seq(readDataset(bytes, buf, full, ohAddr))
         }
       }
     }
   }
 
-  /** All v1 object-header messages at `ohAddr` as (type, bodyOffset),
-    * following CONTINUATION blocks (0x0010) — real h5py/PyTables files
-    * carry enough attribute messages to spill the header into one.
-    * Messages fill the current block to its declared end, then resume in
-    * the next continuation block, in declaration order; nil (type 0)
-    * padding messages pass through harmlessly.
+  /** All object-header messages at `ohAddr` as (type, bodyOffset) —
+    * dispatches v1 (prefix starts with version byte 1) vs v2 ('OHDR'
+    * signature, what libver='latest' writers emit).
     */
   private def messages(bytes: Array[Byte], buf: ByteBuffer, name: String,
                        ohAddr: Long): Seq[(Int, Int)] = {
     val p = ohAddr.toInt
-    require(bytes(p) == 1, s"$name: object header v${bytes(p)} not supported (v2 'OHDR' " +
-      "headers come from libver='latest' writers)")
+    if (bytes(p) == 'O' && bytes(p + 1) == 'H' && bytes(p + 2) == 'D' && bytes(p + 3) == 'R')
+      messagesV2(bytes, buf, name, p)
+    else messagesV1(bytes, buf, name, ohAddr)
+  }
+
+  /** v2 'OHDR' object header messages, following 'OCHK' continuation
+    * blocks. Message header: type(1), size(2), flags(1), optional
+    * creation-order(2); chunk 0 length excludes the trailing checksum.
+    */
+  private def messagesV2(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                         p: Int): Seq[(Int, Int)] = {
+    require(bytes(p + 4) == 2, s"$name: OHDR version ${bytes(p + 4)} not supported")
+    val flags = bytes(p + 5).toInt & 0xff
+    var q = p + 6
+    if ((flags & 0x20) != 0) q += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) q += 4  // max compact / min dense attr counts
+    val sizeBytes = 1 << (flags & 0x3)
+    var chunk0 = 0L
+    (0 until sizeBytes).foreach(i => chunk0 |= (bytes(q + i).toLong & 0xff) << (8 * i))
+    q += sizeBytes
+    val withOrder = (flags & 0x04) != 0
+    val hdrLen = 4 + (if (withOrder) 2 else 0)
+    val out = Seq.newBuilder[(Int, Int)]
+    var pending = List.empty[(Long, Long)]
+    var cursor = q
+    var end = q + chunk0.toInt // checksum follows; not part of chunk length
+    var guard = 0
+    var more = true
+    while (more) {
+      if (cursor + hdrLen > end) {
+        if (pending.isEmpty) more = false
+        else {
+          val (off, len) = pending.head
+          pending = pending.tail
+          // continuation block: 'OCHK' signature + messages + checksum(4)
+          val cp = off.toInt
+          require(bytes(cp) == 'O' && bytes(cp + 1) == 'C' && bytes(cp + 2) == 'H' && bytes(cp + 3) == 'K',
+            s"$name: bad OCHK signature")
+          cursor = cp + 4
+          end = (off + len - 4).toInt
+        }
+      } else {
+        val mtype = bytes(cursor).toInt & 0xff
+        val msize = buf.getShort(cursor + 1).toInt & 0xffff
+        val body = cursor + hdrLen
+        if (mtype == 0x0010) pending = pending :+ ((buf.getLong(body), buf.getLong(body + 8)))
+        else if (mtype != 0) out += ((mtype, body))
+        cursor = body + msize
+        guard += 1
+        require(guard < 100000, s"$name: runaway OHDR message scan")
+      }
+    }
+    out.result()
+  }
+
+  private def messagesV1(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                         ohAddr: Long): Seq[(Int, Int)] = {
+    val p = ohAddr.toInt
+    require(bytes(p) == 1, s"$name: object header v${bytes(p)} not supported")
     val nmsgs = buf.getShort(p + 2).toInt
     val out = Seq.newBuilder[(Int, Int)]
     var pending = List.empty[(Long, Long)]
@@ -831,9 +972,7 @@ object Hdf5Lite {
     messages(bytes, buf, name, ohAddr).foreach { case (mtype, body) =>
       if (mtype == 0x0011 && found.isEmpty)
         found = Some((buf.getLong(body), buf.getLong(body + 8)))
-      if (mtype == 0x0002) throw new IllegalArgumentException(
-        s"$name: new-style (link-info) group not supported — written with " +
-          "libver='latest'; rewrite with libver='earliest'")
+      // link-info (0x0002) groups route to readGroupV2 at the caller
     }
     found
   }
@@ -847,6 +986,8 @@ object Hdf5Lite {
     var dataAddr = -1L
     var dataSize = -1L
     var chunkDims: Seq[Int] = null // set for chunked layout (class 2)
+    var chunkIndexType = 0         // 0 = v1 B-tree (layout v3); 1/2/3 = v4 indexes
+    var v4SingleSize = -1L         // filtered single-chunk stored size
     var filters: Seq[Int] = Nil
     var attrs = Vector.empty[H5Attr]
     var members: Seq[H5Member] = null
@@ -888,16 +1029,48 @@ object Hdf5Lite {
           attrs :+= parseAttr(bytes, buf, name, body)
         case 0x0008 => // layout
           val ver = bytes(body).toInt
-          require(ver == 3, s"$name: layout message v$ver not supported")
           val cls = bytes(body + 1).toInt
-          if (cls == 1) {
-            dataAddr = buf.getLong(body + 2)
-            dataSize = buf.getLong(body + 10)
-          } else if (cls == 2) {
-            val ndims = bytes(body + 2).toInt // rank + 1 (element dim)
-            dataAddr = buf.getLong(body + 3)  // chunk B-tree address
-            chunkDims = (0 until ndims - 1).map(i => buf.getInt(body + 11 + i * 4))
-          } else throw new IllegalArgumentException(s"$name: compact layout not supported")
+          if (ver == 3) {
+            if (cls == 1) {
+              dataAddr = buf.getLong(body + 2)
+              dataSize = buf.getLong(body + 10)
+            } else if (cls == 2) {
+              val ndims = bytes(body + 2).toInt // rank + 1 (element dim)
+              dataAddr = buf.getLong(body + 3)  // chunk B-tree address
+              chunkDims = (0 until ndims - 1).map(i => buf.getInt(body + 11 + i * 4))
+            } else throw new IllegalArgumentException(s"$name: compact layout not supported")
+          } else if (ver == 4) { // libver='latest' writers
+            if (cls == 1) {
+              dataAddr = buf.getLong(body + 2)
+              dataSize = buf.getLong(body + 10)
+            } else if (cls == 2) {
+              val cflags = bytes(body + 2).toInt & 0xff
+              val ndims = bytes(body + 3).toInt & 0xff
+              val dimLen = bytes(body + 4).toInt & 0xff
+              var q = body + 5
+              chunkDims = (0 until ndims).map { _ =>
+                var v = 0L
+                (0 until dimLen).foreach(i => v |= (bytes(q + i).toLong & 0xff) << (8 * i))
+                q += dimLen
+                v.toInt
+              }
+              val idx = bytes(q).toInt & 0xff
+              q += 1
+              chunkIndexType = idx
+              idx match {
+                case 1 => // single chunk: filtered variant carries size + mask
+                  if ((cflags & 0x02) != 0) { v4SingleSize = buf.getLong(q); q += 8 + 4 }
+                case 2 => () // implicit: consecutive unfiltered chunks
+                case 3 => q += 1 // fixed array: page bits byte
+                case t => throw new IllegalArgumentException(
+                  s"$name: v4 chunk index type $t not supported (single-chunk/implicit/" +
+                    "fixed-array only — extensible-array/v2-btree indexes come from " +
+                    "unlimited-dimension datasets)")
+              }
+              dataAddr = buf.getLong(q)
+            } else throw new IllegalArgumentException(
+              s"$name: layout v4 class $cls not supported (contiguous/chunked only)")
+          } else throw new IllegalArgumentException(s"$name: layout message v$ver not supported")
         case 0x000b => // filter pipeline
           val ver = bytes(body).toInt
           val nf = bytes(body + 1).toInt
@@ -926,83 +1099,142 @@ object Hdf5Lite {
       s"$name: filter id $id not supported (gzip=1 and shuffle=2 only; " +
         "szip/lzf/blosc granules must be rewritten)"))
 
-    // chunked path: walk the v1 chunk B-tree, undo filters, assemble the
-    // row-major element buffer, then fall through to the typed copy below
+    // chunked path: collect (chunk offsets, address, stored size) entries
+    // from whichever index the layout declares — v1 chunk B-tree (layout
+    // v3) or a v4 single-chunk / implicit / fixed-array index
+    // (libver='latest') — undo filters, assemble the row-major element
+    // buffer, then fall through to the typed copy below
     val chunkedRaw: Array[Byte] =
       if (chunkDims == null) null
       else {
+        // v4 writers may or may not append the element-size dim; normalize
+        if (chunkDims.length == shape.length + 1) chunkDims = chunkDims.dropRight(1)
         require(chunkDims.length == shape.length,
           s"$name: chunk rank ${chunkDims.length} != dataspace rank ${shape.length}")
         val out = new Array[Byte](n * dtSize)
-        val keyDims = shape.length + 1
-        val keySize = 8 + keyDims * 8
-        def walk(node: Long): Unit = {
-          val q = node.toInt
-          require(bytes(q) == 'T' && bytes(q + 1) == 'R' && bytes(q + 2) == 'E' && bytes(q + 3) == 'E',
-            s"$name: bad chunk B-tree signature")
-          require(bytes(q + 4) == 1, s"$name: not a chunk B-tree node")
-          val level = bytes(q + 5).toInt
-          val used = buf.getShort(q + 6).toInt
-          var e = 0
-          while (e < used) {
-            val keyOff = q + 24 + e * (keySize + 8)
-            val child = buf.getLong(keyOff + keySize)
-            if (level > 0) walk(child)
-            else {
-              val storedSize = buf.getInt(keyOff)
-              val offs = (0 until shape.length).map(i => buf.getLong(keyOff + 8 + i * 8).toInt)
-              var chunk = new Array[Byte](storedSize)
-              System.arraycopy(bytes, child.toInt, chunk, 0, storedSize)
-              // undo filters in reverse pipeline order
-              if (filters.contains(1)) {
-                val inf = new java.util.zip.Inflater()
-                inf.setInput(chunk)
-                val outB = new java.io.ByteArrayOutputStream(chunk.length * 3 + 64)
-                val tmp = new Array[Byte](8192)
-                while (!inf.finished()) {
-                  val got = inf.inflate(tmp)
-                  if (got == 0 && inf.needsInput()) throw new IllegalArgumentException(
-                    s"$name: truncated deflate chunk")
-                  outB.write(tmp, 0, got)
-                }
-                inf.end()
-                chunk = outB.toByteArray
-              }
-              if (filters.contains(2)) {
-                // shuffle filter: bytes grouped by significance — transpose back
-                val elems = chunk.length / dtSize
-                val un = new Array[Byte](chunk.length)
-                var j = 0
-                while (j < dtSize) {
-                  var i = 0
-                  while (i < elems) { un(i * dtSize + j) = chunk(j * elems + i); i += 1 }
-                  j += 1
-                }
-                chunk = un
-              }
-              // scatter valid region into the row-major output
-              val d0 = shape.head
-              val rest = shape.drop(1).product
-              val c0 = chunkDims.head
-              val cRest = chunkDims.drop(1).product
-              var i0 = 0
-              while (i0 < c0 && offs.head + i0 < d0) {
-                if (shape.length == 1) {
-                  System.arraycopy(chunk, i0 * cRest * dtSize,
-                    out, (offs.head + i0) * dtSize, dtSize)
-                } else {
-                  val o1 = offs(1)
-                  val len = math.min(cRest, shape(1) - o1)
-                  System.arraycopy(chunk, i0 * cRest * dtSize,
-                    out, ((offs.head + i0) * rest + o1) * dtSize, len * dtSize)
-                }
-                i0 += 1
+        val chunkByteSize = chunkDims.product * dtSize
+        val nPerDim = shape.indices.map(i => (shape(i) + chunkDims(i) - 1) / chunkDims(i))
+        val nChunksTotal = nPerDim.product
+        def gridOffs(linear: Int): Seq[Int] = {
+          var rem = linear
+          val o = new Array[Int](shape.length)
+          var i = shape.length - 1
+          while (i >= 0) { o(i) = (rem % nPerDim(i)) * chunkDims(i); rem /= nPerDim(i); i -= 1 }
+          o.toSeq
+        }
+
+        // (offs, address, stored size) per existing chunk
+        val entries: Seq[(Seq[Int], Long, Int)] = chunkIndexType match {
+          case 0 => // v1 chunk B-tree
+            val keyDims = shape.length + 1
+            val keySize = 8 + keyDims * 8
+            val acc = Seq.newBuilder[(Seq[Int], Long, Int)]
+            def walk(node: Long): Unit = {
+              val q = node.toInt
+              require(bytes(q) == 'T' && bytes(q + 1) == 'R' && bytes(q + 2) == 'E' && bytes(q + 3) == 'E',
+                s"$name: bad chunk B-tree signature")
+              require(bytes(q + 4) == 1, s"$name: not a chunk B-tree node")
+              val level = bytes(q + 5).toInt
+              val used = buf.getShort(q + 6).toInt
+              var e = 0
+              while (e < used) {
+                val keyOff = q + 24 + e * (keySize + 8)
+                val child = buf.getLong(keyOff + keySize)
+                if (level > 0) walk(child)
+                else acc += (((0 until shape.length).map(i => buf.getLong(keyOff + 8 + i * 8).toInt),
+                  child, buf.getInt(keyOff)))
+                e += 1
               }
             }
-            e += 1
+            walk(dataAddr)
+            acc.result()
+          case 1 => // v4 single chunk
+            Seq((Seq.fill(shape.length)(0), dataAddr,
+              if (v4SingleSize >= 0) v4SingleSize.toInt else chunkByteSize))
+          case 2 => // v4 implicit: consecutive unfiltered chunks
+            require(filters.isEmpty, s"$name: implicit chunk index cannot carry filters")
+            (0 until nChunksTotal).map(i =>
+              (gridOffs(i), dataAddr + i.toLong * chunkByteSize, chunkByteSize))
+          case 3 => // v4 fixed array: FAHD header -> FADB data block
+            val p0 = dataAddr.toInt
+            require(bytes(p0) == 'F' && bytes(p0 + 1) == 'A' && bytes(p0 + 2) == 'H' && bytes(p0 + 3) == 'D',
+              s"$name: bad fixed-array header signature")
+            val clientId = bytes(p0 + 5).toInt
+            val entrySize = bytes(p0 + 6).toInt & 0xff
+            val pageBits = bytes(p0 + 7).toInt & 0xff
+            val maxEntries = buf.getLong(p0 + 8)
+            val dbAddr = buf.getLong(p0 + 16)
+            require(maxEntries <= (1L << pageBits),
+              s"$name: paged fixed-array chunk index not supported ($maxEntries entries)")
+            val db = dbAddr.toInt
+            require(bytes(db) == 'F' && bytes(db + 1) == 'A' && bytes(db + 2) == 'D' && bytes(db + 3) == 'B',
+              s"$name: bad fixed-array data-block signature")
+            val entBase = db + 4 + 1 + 1 + 8 // sig, version, client id, header addr
+            (0 until nChunksTotal).map { i =>
+              val e = entBase + i * entrySize
+              val addr = buf.getLong(e)
+              val stored =
+                if (clientId == 0) chunkByteSize
+                else {
+                  val szLen = entrySize - 12 // addr(8) + size + filter mask(4)
+                  var v = 0L
+                  (0 until szLen).foreach(k => v |= (bytes(e + 8 + k).toLong & 0xff) << (8 * k))
+                  v.toInt
+                }
+              (gridOffs(i), addr, stored)
+            }.filter(_._2 != Undef)
+          case t => throw new IllegalArgumentException(s"$name: chunk index type $t")
+        }
+
+        entries.foreach { case (offs, addr, storedSize) =>
+          var chunk = new Array[Byte](storedSize)
+          System.arraycopy(bytes, addr.toInt, chunk, 0, storedSize)
+          // undo filters in reverse pipeline order
+          if (filters.contains(1)) {
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(chunk)
+            val outB = new java.io.ByteArrayOutputStream(chunk.length * 3 + 64)
+            val tmp = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val got = inf.inflate(tmp)
+              if (got == 0 && inf.needsInput()) throw new IllegalArgumentException(
+                s"$name: truncated deflate chunk")
+              outB.write(tmp, 0, got)
+            }
+            inf.end()
+            chunk = outB.toByteArray
+          }
+          if (filters.contains(2)) {
+            // shuffle filter: bytes grouped by significance — transpose back
+            val elems = chunk.length / dtSize
+            val un = new Array[Byte](chunk.length)
+            var j = 0
+            while (j < dtSize) {
+              var i = 0
+              while (i < elems) { un(i * dtSize + j) = chunk(j * elems + i); i += 1 }
+              j += 1
+            }
+            chunk = un
+          }
+          // scatter valid region into the row-major output
+          val d0 = shape.head
+          val rest = shape.drop(1).product
+          val c0 = chunkDims.head
+          val cRest = chunkDims.drop(1).product
+          var i0 = 0
+          while (i0 < c0 && offs.head + i0 < d0) {
+            if (shape.length == 1) {
+              System.arraycopy(chunk, i0 * cRest * dtSize,
+                out, (offs.head + i0) * dtSize, dtSize)
+            } else {
+              val o1 = offs(1)
+              val len = math.min(cRest, shape(1) - o1)
+              System.arraycopy(chunk, i0 * cRest * dtSize,
+                out, ((offs.head + i0) * rest + o1) * dtSize, len * dtSize)
+            }
+            i0 += 1
           }
         }
-        walk(dataAddr)
         out
       }
     val dataBuf = if (chunkedRaw != null)

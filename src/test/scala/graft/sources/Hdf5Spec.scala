@@ -322,9 +322,9 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     val e1 = intercept[IllegalArgumentException](Hdf5Lite.read(notH5))
     assert(e1.getMessage.contains("signature"))
     val img = Hdf5Lite.write(Seq(H5Var("x", Seq(1), doubles = Array(1.0))))
-    img(8) = 2 // pretend superblock v2
+    img(8) = 4 // pretend a future superblock version (v2/v3 now parse)
     val e2 = intercept[IllegalArgumentException](Hdf5Lite.read(img))
-    assert(e2.getMessage.contains("superblock v2"))
+    assert(e2.getMessage.contains("superblock v4"))
   }
 
   test("Spark roundtrip: writeFile -> Hdf5Table.read preserves values and types") {
@@ -375,5 +375,227 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     val path = Files.createTempDirectory("h5bad_").resolve("bad.h5").toString
     val e = intercept[Exception](Hdf5Table.writeFile(df, path))
     assert(e.getMessage.contains("numeric columns only"))
+  }
+}
+
+/** `libver='latest'` profile fixtures, hand-assembled byte-by-byte from
+  * the public HDF5 File Format Specification (superblock v3, 'OHDR'
+  * object headers, compact Link messages, v2 attributes, layout v4 chunk
+  * indexes) — the container has no h5py, so these ARE the conformance
+  * vectors, the same approach as NetCdfSpec's hand-built CDF-2 file.
+  */
+class Hdf5LatestSpec extends AnyFunSuite {
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  /** little-endian image builder with positioned writes */
+  private final class B(size: Int) {
+    val buf: ByteBuffer = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    def at(p: Int): B = { buf.position(p); this }
+    def u8(vs: Int*): B = { vs.foreach(v => buf.put(v.toByte)); this }
+    def ascii(s: String): B = { s.foreach(c => buf.put(c.toByte)); this }
+    def u16(v: Int): B = { buf.putShort(v.toShort); this }
+    def u32(v: Int): B = { buf.putInt(v); this }
+    def u64(v: Long): B = { buf.putLong(v); this }
+    def f64(v: Double): B = { buf.putDouble(v); this }
+    def raw(b: Array[Byte]): B = { buf.put(b); this }
+    def bytes: Array[Byte] = buf.array()
+  }
+  private val UNDEF = -1L
+
+  private def sigV3(b: B, rootOh: Long, eof: Long): Unit = {
+    b.at(0).u8(0x89).ascii("HDF").u8('\r', '\n', 0x1a, '\n')
+    b.u8(3, 8, 8, 0)          // version 3, offsets 8, lengths 8, flags
+    b.u64(0L).u64(UNDEF)      // base addr, superblock extension
+    b.u64(eof).u64(rootOh)    // EOF, root group OBJECT HEADER address
+    b.u32(0)                  // checksum (not validated by the reader)
+  }
+
+  /** OHDR with flags 0 (1-byte chunk0 size): returns bytes consumed. */
+  private def ohdr(b: B, at: Int, msgs: Seq[(Int, Array[Byte])]): Int = {
+    val msgBytes = msgs.map(_._2.length + 4).sum
+    require(msgBytes < 256, "test builder: 1-byte chunk0 only")
+    b.at(at).ascii("OHDR").u8(2, 0).u8(msgBytes)
+    msgs.foreach { case (t, body) => b.u8(t).u16(body.length).u8(0).raw(body) }
+    b.u32(0) // checksum (not validated)
+    7 + msgBytes + 4
+  }
+
+  private def linkMsg(name: String, ohAddr: Long): Array[Byte] = {
+    val bb = new B(2 + 1 + name.length + 8)
+    bb.u8(1, 0)                // version 1, flags: 1-byte name length
+    bb.u8(name.length).ascii(name).u64(ohAddr)
+    bb.bytes
+  }
+
+  private def dspaceV2(dims: Seq[Int]): Array[Byte] = {
+    val bb = new B(4 + dims.length * 8)
+    bb.u8(2, dims.length, 0, if (dims.isEmpty) 0 else 1) // ver, rank, flags, type
+    dims.foreach(d => bb.u64(d.toLong))
+    bb.bytes
+  }
+
+  private def dtypeF64: Array[Byte] = {
+    val bb = new B(20)
+    bb.u8(0x11, 0x20, 0x3f, 0).u32(8).u16(0).u16(64)
+    bb.u8(52, 11, 0, 52).u32(1023)
+    bb.bytes
+  }
+
+  private def attrV2Str(name: String, value: String): Array[Byte] = {
+    val dt = new B(8).u8(0x13, 0, 0, 0).u32(value.length).bytes
+    val ds = new B(4).u8(2, 0, 0, 0).bytes // v2 scalar dataspace
+    val bb = new B(8 + name.length + 1 + dt.length + ds.length + value.length)
+    bb.u8(2, 0).u16(name.length + 1).u16(dt.length).u16(ds.length)
+    bb.ascii(name).u8(0).raw(dt).raw(ds).ascii(value)
+    bb.bytes
+  }
+
+  private def gzip(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val o = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) o.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    o.toByteArray
+  }
+
+  test("superblock v3 + OHDR + compact links + v2 attribute + layout v4 contiguous") {
+    val img = new B(4096)
+    val rootOh = 48
+    val dsOh = 128
+    val dataAddr = 320L
+    // layout v4 class 1 contiguous
+    val layout = new B(18).u8(4, 1).u64(dataAddr).u64(24L).bytes
+    sigV3(img, rootOh, 4096L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(3)),
+      0x03 -> dtypeF64,
+      0x08 -> layout,
+      0x0C -> attrV2Str("unit", "mK")))
+    img.at(dataAddr.toInt).f64(1.5).f64(-2.5).f64(3.25)
+
+    val (reads, gattrs) = Hdf5Lite.readAll(img.bytes)
+    assert(reads.map(_.name) === Seq("v"))
+    assert(reads.head.doubles.toSeq === Seq(1.5, -2.5, 3.25))
+    assert(reads.head.attr("unit").get.stringVal === "mK")
+    assert(gattrs.contains("")) // root group attrs recorded (empty)
+  }
+
+  test("OHDR group nesting via compact links, group attrs captured") {
+    val img = new B(4096)
+    val rootOh = 48
+    val grpOh = 128
+    val dsOh = 256
+    val dataAddr = 460L
+    val layout = new B(18).u8(4, 1).u64(dataAddr).u64(16L).bytes
+    sigV3(img, rootOh, 4096L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("g", grpOh)))
+    ohdr(img, grpOh, Seq(
+      0x0C -> attrV2Str("pandas_type", "frame"),
+      0x06 -> linkMsg("data", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(2)),
+      0x03 -> dtypeF64,
+      0x08 -> layout))
+    img.at(dataAddr.toInt).f64(7.0).f64(8.0)
+
+    val (reads, gattrs) = Hdf5Lite.readAll(img.bytes)
+    assert(reads.map(_.name) === Seq("g/data"))
+    assert(reads.head.doubles.toSeq === Seq(7.0, 8.0))
+    assert(gattrs("g").find(_.name == "pandas_type").get.stringVal === "frame")
+  }
+
+  test("layout v4 implicit chunk index reads consecutive chunks") {
+    val img = new B(4096)
+    val rootOh = 48
+    val dsOh = 128
+    val dataAddr = 300L
+    // chunked class 2: flags 0, ndims 1, dim len 4, dims {2}, index 2, addr
+    val layout = new B(2 + 1 + 1 + 1 + 4 + 1 + 8)
+      .u8(4, 2, 0, 1, 4).u32(2).u8(2).u64(dataAddr).bytes
+    sigV3(img, rootOh, 4096L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(4)),
+      0x03 -> dtypeF64,
+      0x08 -> layout))
+    img.at(dataAddr.toInt).f64(1.0).f64(2.0).f64(3.0).f64(4.0)
+
+    val reads = Hdf5Lite.read(img.bytes)
+    assert(reads.head.doubles.toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("layout v4 fixed-array chunk index with gzip-filtered chunks (ragged edge)") {
+    val img = new B(8192)
+    val rootOh = 48
+    val dsOh = 128
+    val fahd = 400
+    val fadb = 440
+    // raw chunks: 4 doubles each, edge chunk zero-padded
+    val c0raw = new B(32).f64(1.0).f64(2.0).f64(3.0).f64(4.0).bytes
+    val c1raw = new B(32).f64(5.0).f64(6.0).f64(0.0).f64(0.0).bytes
+    val c0 = gzip(c0raw); val c1 = gzip(c1raw)
+    val chunk0At = 600; val chunk1At = 700
+    // filter pipeline v2: deflate, 1 client value
+    val filters = new B(12).u8(2, 1).u16(1).u16(1).u16(1).u32(6).bytes
+    // layout v4 class 2: flags 0, ndims 1, dimlen 4, dims {4}, index 3 (+page bits), FAHD
+    val layout = new B(2 + 1 + 1 + 1 + 4 + 1 + 1 + 8)
+      .u8(4, 2, 0, 1, 4).u32(4).u8(3).u8(10).u64(fahd.toLong).bytes
+    sigV3(img, rootOh, 8192L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(6)),
+      0x03 -> dtypeF64,
+      0x0B -> filters,
+      0x08 -> layout))
+    // FAHD: client 1 (filtered), entry size 16 (addr 8 + size 4 + mask 4)
+    img.at(fahd).ascii("FAHD").u8(0, 1, 16, 10).u64(2L).u64(fadb.toLong).u32(0)
+    // FADB: entries (addr, size, mask)
+    img.at(fadb).ascii("FADB").u8(0, 1).u64(fahd.toLong)
+      .u64(chunk0At.toLong).u32(c0.length).u32(0)
+      .u64(chunk1At.toLong).u32(c1.length).u32(0)
+      .u32(0)
+    img.at(chunk0At).raw(c0)
+    img.at(chunk1At).raw(c1)
+
+    val reads = Hdf5Lite.read(img.bytes)
+    assert(reads.head.shape === Seq(6))
+    assert(reads.head.doubles.toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("layout v4 single-chunk index, filtered") {
+    val img = new B(4096)
+    val rootOh = 48
+    val dsOh = 128
+    val raw = new B(24).f64(9.0).f64(8.0).f64(7.0).bytes
+    val comp = gzip(raw)
+    val chunkAt = 400
+    val filters = new B(12).u8(2, 1).u16(1).u16(1).u16(1).u32(6).bytes
+    // single chunk (index 1) with filter flag 0x02: size + mask before addr
+    val layout = new B(2 + 1 + 1 + 1 + 4 + 1 + 8 + 4 + 8)
+      .u8(4, 2, 2, 1, 4).u32(3).u8(1).u64(comp.length.toLong).u32(0)
+      .u64(chunkAt.toLong).bytes
+    sigV3(img, rootOh, 4096L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(3)),
+      0x03 -> dtypeF64,
+      0x0B -> filters,
+      0x08 -> layout))
+    img.at(chunkAt).raw(comp)
+    assert(Hdf5Lite.read(img.bytes).head.doubles.toSeq === Seq(9.0, 8.0, 7.0))
+  }
+
+  test("dense link storage and unsupported v4 indexes raise named errors") {
+    val img = new B(1024)
+    val rootOh = 48
+    // Link Info message pointing at a fractal heap (non-UNDEF address)
+    val linkInfo = new B(2 + 8 + 8).u8(1, 0).u64(777L).u64(UNDEF).bytes
+    sigV3(img, rootOh, 1024L)
+    ohdr(img, rootOh, Seq(0x02 -> linkInfo))
+    val e = intercept[IllegalArgumentException](Hdf5Lite.read(img.bytes))
+    assert(e.getMessage.contains("fractal heap"))
   }
 }

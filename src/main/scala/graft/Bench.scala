@@ -68,8 +68,34 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM local[N] default — e.g.
+    // local-cluster[4,8,8192] runs 4 SEPARATE 8-core executor JVMs
+    // (requires SPARK_HOME=/opt/spark and a packaged jar): the multi-
+    // executor emulation used for the N-vs-4N scaling evidence, since
+    // executor JVMs get their own heaps/GC/code caches like real workers.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
+    val builder =
+      if (!master.startsWith("local-cluster")) builder0
+      else {
+        val jar = sys.env.getOrElse("SPARK_GRAFT_JAR",
+          "target/scala-2.13/gpsatspark_2.13-0.1.0.jar")
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar")
+          .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+        builder0
+          .config("spark.jars", jar)
+          .config("spark.executor.extraJavaOptions",
+            addOpens + " --add-modules=jdk.incubator.vector")
+      }
+    val spark = builder
       // fit tasks are CPU-bound with heterogeneous per-tile cost: default
       // ~24 tasks per core so most shuffle partitions hold 0-1 tiles (the
       // straggler-tail knob), and keep AQE from coalescing by byte size

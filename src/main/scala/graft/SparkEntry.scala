@@ -676,6 +676,19 @@ object SparkEntry {
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // connected-components survivorship labels: hash-min label propagation
+    // over a synthetic multi-hop near-dup graph (chains of stride 7 inside
+    // 50-id blocks) — the transitive-closure option of
+    // dropDuplicatesByPairs; the oracle recomputes with a recursive CTE
+    "q59_dedup_closure" -> ((s, dir) => {
+      val ids = pq(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 2000)
+      val pairs = ids.filter(col("doc_id") % 50 < 43)
+        .select(col("doc_id").as("idA"), (col("doc_id") + 7).as("idB"))
+        .join(ids.select(col("doc_id").as("idB")), Seq("idB"))
+        .select("idA", "idB")
+      Dedup.connectedComponents(pairs).select(col("id"), col("label"))
+    }),
+
     // pandas-HDFStore-fixed roundtrip: the reference's actual store SHAPE
     // (df.to_hdf(path, key) -> /key/axis0 + blockN layout, read back via
     // the `table` key like pd.read_hdf(path, key), dataloader.py:563-624).
@@ -1324,6 +1337,22 @@ object SparkEntry {
          |   FROM ($ObsSql)
          |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          | GROUP BY 1, 2""".stripMargin,
+
+    // hash-min components via a recursive CTE: reach(id, label) saturates
+    // reachable labels over the symmetrized edge set; min per id = the
+    // component's smallest id (identical semantics to the Spark hash-min)
+    "q59_dedup_closure" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT d.doc_id AS idA, d.doc_id + 7 AS idB
+        |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 7
+        |  WHERE d.doc_id < 2000 AND e.doc_id < 2000 AND d.doc_id % 50 < 43),
+        |edges AS (SELECT idA AS src, idB AS dst FROM pairs
+        |          UNION SELECT idB, idA FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id, min(label) AS label FROM reach GROUP BY id""".stripMargin,
 
     // identical frame to q53, roundtripped through format='table' instead
     "q57_hdfstore_table" ->

@@ -72,10 +72,13 @@ object Hdf5Lite {
   }
 
   /** One member of a compound (record) datatype: `cls` is the HDF5
-    * datatype class (0 fixed-point, 1 float, 3 string), `size` its byte
-    * width, `offset` its position inside the record.
+    * datatype class (0 fixed-point, 1 float, 3 string), `size` the byte
+    * width of ONE element, `offset` its position inside the record, and
+    * `arity` the element count (> 1 = an ARRAY member — the PyTables
+    * `values_block_N` layout; total member bytes = size x arity).
     */
-  final case class H5Member(name: String, offset: Int, cls: Int, size: Int)
+  final case class H5Member(name: String, offset: Int, cls: Int, size: Int,
+                            arity: Int = 1)
 
   /** A 1-d compound-typed dataset (the PyTables `format='table'` record
     * layout): `data` holds nRecords x recordSize raw little-endian bytes.
@@ -206,11 +209,12 @@ object Hdf5Lite {
       buf.put(nameB); buf.put(0.toByte)
       buf.position(nameStart + pad8(nameB.length + 1))
       buf.putInt(m.offset)
-      buf.put(0.toByte)                                   // dimensionality 0 (scalar member)
+      buf.put((if (m.arity > 1) 1 else 0).toByte)         // dimensionality
       buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
       buf.putInt(0)                                       // dimension permutation
       buf.putInt(0)                                       // reserved
-      (0 until 4).foreach(_ => buf.putInt(0))             // dim sizes
+      buf.putInt(if (m.arity > 1) m.arity else 0)         // dim size 0
+      (0 until 3).foreach(_ => buf.putInt(0))             // dim sizes 1..3
       emitDtBody(buf, m.cls, m.size)
     }
   }
@@ -1013,16 +1017,18 @@ object Hdf5Lite {
               mo += pad8(e - mo + 1)
               val off = buf.getInt(mo); mo += 4
               val dimensionality = bytes(mo).toInt
-              require(dimensionality == 0,
-                s"$name/$nm: array compound members not supported (data_columns " +
-                  "stores are scalar-membered; values_block arrays are not)")
-              mo += 1 + 3 + 4 + 4 + 16
+              require(dimensionality <= 1,
+                s"$name/$nm: rank-$dimensionality compound members not supported " +
+                  "(scalar and 1-d values_block arrays only)")
+              mo += 1 + 3 + 4 + 4
+              val arity = if (dimensionality == 1) buf.getInt(mo) else 1
+              mo += 16
               val mcls = bytes(mo).toInt & 0x0f
               val msize = buf.getInt(mo + 4)
               require(mcls == 0 || mcls == 1 || mcls == 3,
                 s"$name/$nm: compound member class $mcls not supported")
               mo += dtBodySize(mcls)
-              H5Member(nm, off, mcls, msize)
+              H5Member(nm, off, mcls, msize, math.max(1, arity))
             }
           }
         case 0x000C => // attribute

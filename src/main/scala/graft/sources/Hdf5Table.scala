@@ -227,11 +227,11 @@ object Hdf5Table {
     * HDF5 attributes on the group and table.
     *
     * The row index comes back as an `index` column, remaining columns in
-    * member order — the same convention as [[readPandasFixed]]. Scope:
-    * scalar members (int/float/fixed-string); `values_block_N` ARRAY
-    * members (format='table' with data_columns=False) raise an error
-    * naming the member, since the reference's own stores are data-column
-    * tables. Driver-side single-file read — the honest cost for
+    * member order — the same convention as [[readPandasFixed]]. Scalar
+    * members (int/float/fixed-string) map 1:1; `values_block_N` ARRAY
+    * members (format='table' with data_columns=False) expand into their
+    * columns, named by the pickled `values_block_N_kind` table attribute.
+    * Driver-side single-file read — the honest cost for
     * result-store-sized frames.
     */
   def readPandasTable(spark: SparkSession, path: String, key: String = "df"): DataFrame = {
@@ -261,14 +261,35 @@ object Hdf5Table {
       case 1 => DoubleType
       case 3 => StringType
     }
-    val schema = StructType(members.map(m => StructField(
-      if (m.name == "index") "index" else m.name, typeOf(m), nullable = false)))
+    // column plan: scalar members map 1:1; ARRAY members (values_block_N,
+    // the data_columns=False layout) expand into their columns, named by
+    // the table's pickled `<member>_kind` attribute
+    val colPlan: Seq[(String, Hdf5Lite.H5Member, Int)] = members.flatMap { m =>
+      val isBlock = m.name.matches("values_block_\\d+")
+      if (!isBlock && m.arity == 1) Seq((if (m.name == "index") "index" else m.name, m, 0))
+      else {
+        val kind = table.attr(s"${m.name}_kind").getOrElse(
+          throw new IllegalArgumentException(
+            s"$path: array member '${m.name}' (arity ${m.arity}) has no " +
+              s"'${m.name}_kind' attribute naming its columns"))
+        val names = PickleLite.unpickle(kind.bytesVal) match {
+          case xs: Seq[_] => xs.map(String.valueOf(_))
+          case other => throw new IllegalArgumentException(
+            s"$path: ${m.name}_kind unpickled to $other, expected a list of names")
+        }
+        require(names.length == m.arity,
+          s"$path: ${m.name}_kind names ${names.length} columns, member arity is ${m.arity}")
+        names.zipWithIndex.map { case (c, j) => (c, m, j) }
+      }
+    }
+    val schema = StructType(colPlan.map { case (cn, m, _) =>
+      StructField(cn, typeOf(m), nullable = false) })
     val rows = new java.util.ArrayList[Row](n)
     var i = 0
     while (i < n) {
       val base = i * recordSize
-      val vals = members.map[Any] { m =>
-        val off = base + m.offset
+      val vals = colPlan.map[Any] { case (_, m, j) =>
+        val off = base + m.offset + j * m.size
         m.cls match {
           case 0 =>
             require(m.size == 8 || m.size == 4, s"${m.name}: int${m.size} member not supported")
@@ -301,45 +322,69 @@ object Hdf5Table {
     * 1-byte bool).
     */
   def writePandasTable(df: DataFrame, path: String, key: String = "df",
-                       chunkRows: Int = 512, deflate: Int = 0): Unit = {
+                       chunkRows: Int = 512, deflate: Int = 0,
+                       dataColumns: Boolean = true): Unit = {
     val rows = df.collect()
     require(rows.nonEmpty, "empty table")
     val n = rows.length
-    // member layout: index first, then schema order
-    var offset = 8
-    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      val (cls, size) = f.dataType match {
-        case DoubleType | FloatType => (1, 8)
-        case LongType | IntegerType | BooleanType => (0, 8)
-        case StringType =>
-          (3, math.max(1, rows.map(r => r.getString(i).getBytes("UTF-8").length).max))
-        case other => throw new IllegalArgumentException(
-          s"${f.name}: $other not supported in a format='table' frame " +
-            "(double/long/string/bool columns only)")
+    def clsOf(dt: org.apache.spark.sql.types.DataType, i: Int): (Int, Int) = dt match {
+      case DoubleType | FloatType => (1, 8)
+      case LongType | IntegerType | BooleanType => (0, 8)
+      case StringType =>
+        (3, math.max(1, rows.map(r => r.getString(i).getBytes("UTF-8").length).max))
+      case other => throw new IllegalArgumentException(
+        s"$other not supported in a format='table' frame " +
+          "(double/long/string/bool columns only)")
+    }
+    // one member per source-column group: data_columns=true -> each column
+    // its own scalar member (the layout the reference writes);
+    // data_columns=false -> typed values_block_N ARRAY members
+    final case class Spec(member: String, cls: Int, size: Int, cols: Seq[Int])
+    val specs: Seq[Spec] =
+      if (dataColumns)
+        df.schema.fields.zipWithIndex.map { case (f, i) =>
+          val (c, s) = clsOf(f.dataType, i); Spec(f.name, c, s, Seq(i))
+        }.toSeq
+      else {
+        val byClass = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          (clsOf(f.dataType, i), i)
+        }
+        val dbl = byClass.collect { case ((1, _), i) => i }.toSeq
+        val lng = byClass.collect { case ((0, _), i) => i }.toSeq
+        val str = byClass.collect { case ((3, _), i) => i }.toSeq
+        val strW = if (str.isEmpty) 1 else byClass.collect { case ((3, w), _) => w }.max
+        Seq((1, 8, dbl), (0, 8, lng), (3, strW, str)).filter(_._3.nonEmpty)
+          .zipWithIndex.map { case ((c, s, cols), bi) =>
+            Spec(s"values_block_$bi", c, s, cols) }
       }
-      val m = Hdf5Lite.H5Member(f.name, offset, cls, size)
-      offset += size
+    var offset = 8
+    val fields = specs.map { sp =>
+      val m = Hdf5Lite.H5Member(sp.member, offset, sp.cls, sp.size, sp.cols.length)
+      offset += sp.size * sp.cols.length
       m
     }
     val recordSize = offset
-    val members = Hdf5Lite.H5Member("index", 0, 0, 8) +: fields.toSeq
+    val members = Hdf5Lite.H5Member("index", 0, 0, 8) +: fields
     val data = java.nio.ByteBuffer.allocate(n * recordSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     rows.zipWithIndex.foreach { case (r, ri) =>
       val base = ri * recordSize
       data.putLong(base, ri.toLong) // RangeIndex
-      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
-        val m = fields(i)
-        f.dataType match {
-          case DoubleType => data.putDouble(base + m.offset, r.getDouble(i))
-          case FloatType => data.putDouble(base + m.offset, r.getFloat(i).toDouble)
-          case LongType => data.putLong(base + m.offset, r.getLong(i))
-          case IntegerType => data.putLong(base + m.offset, r.getInt(i).toLong)
-          case BooleanType => data.putLong(base + m.offset, if (r.getBoolean(i)) 1L else 0L)
-          case StringType =>
-            val b = r.getString(i).getBytes("UTF-8")
-            var k = 0
-            while (k < b.length) { data.put(base + m.offset + k, b(k)); k += 1 }
+      specs.zip(fields).foreach { case (sp, m) =>
+        sp.cols.zipWithIndex.foreach { case (i, j) =>
+          val off = base + m.offset + j * m.size
+          df.schema.fields(i).dataType match {
+            case DoubleType => data.putDouble(off, r.getDouble(i))
+            case FloatType => data.putDouble(off, r.getFloat(i).toDouble)
+            case LongType => data.putLong(off, r.getLong(i))
+            case IntegerType => data.putLong(off, r.getInt(i).toLong)
+            case BooleanType => data.putLong(off, if (r.getBoolean(i)) 1L else 0L)
+            case StringType =>
+              val b = r.getString(i).getBytes("UTF-8")
+              var k = 0
+              while (k < b.length) { data.put(off + k, b(k)); k += 1 }
+            case _ => ()
+          }
         }
       }
     }
@@ -350,11 +395,12 @@ object Hdf5Table {
         H5Attr.str("TITLE", ""), H5Attr.long("NROWS", n.toLong),
         H5Attr.str("index_kind", "integer")) ++
         members.zipWithIndex.map { case (m, i) => H5Attr.str(s"FIELD_${i}_NAME", m.name) } ++
-        colNames.flatMap { c =>
-          Seq(H5Attr.bytes(s"${c}_kind", PickleLite.pickle(List(c))),
-            H5Attr.str(s"${c}_dtype", df.schema(c).dataType match {
-              case DoubleType | FloatType => "float64"
-              case StringType => "object"
+        specs.flatMap { sp =>
+          Seq(H5Attr.bytes(s"${sp.member}_kind",
+            PickleLite.pickle(sp.cols.map(df.schema.fieldNames(_)).toList)),
+            H5Attr.str(s"${sp.member}_dtype", sp.cls match {
+              case 1 => "float64"
+              case 3 => "object"
               case _ => "int64"
             }))
         }
@@ -365,8 +411,9 @@ object Hdf5Table {
       H5Attr.str("encoding", "UTF-8"), H5Attr.str("errors", "strict"),
       H5Attr.str("nan_rep", "nan"),
       H5Attr.bytes("index_cols", PickleLite.pickle(List((0L, "index")))),
-      H5Attr.bytes("values_cols", PickleLite.pickle(colNames.toList)),
-      H5Attr.bytes("data_columns", PickleLite.pickle(colNames.toList)),
+      H5Attr.bytes("values_cols", PickleLite.pickle(specs.map(_.member).toList)),
+      H5Attr.bytes("data_columns",
+        PickleLite.pickle(if (dataColumns) colNames.toList else Nil)),
       H5Attr.bytes("non_index_axes", PickleLite.pickle(List((1L, colNames.toList)))),
       H5Attr.bytes("levels", PickleLite.pickle(None)))
     val comp = Hdf5Lite.H5CompoundVar(

@@ -248,6 +248,34 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
       Vector((1L, Vector("id", "z", "tag"))))
   }
 
+  test("pandas-table data_columns=false: values_block ARRAY members expand via pickled kind attrs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.5, 2.5, "aa", true),
+      (2L, -1.5, 3.5, "bbb", false)
+    ).toDF("id", "z", "w", "tag", "ok")
+    val path = Files.createTempDirectory("h5b_").resolve("b.h5").toString
+    Hdf5Table.writePandasTable(df, path, key = "df", chunkRows = 4, deflate = 3,
+      dataColumns = false)
+    // structural: blocks not per-column members
+    val t = Hdf5Lite.readAll(Files.readAllBytes(Paths.get(path)))._1
+      .find(_.name == "df/table").get
+    assert(t.members.map(m => (m.name, m.arity)) === Seq(
+      ("index", 1), ("values_block_0", 2), ("values_block_1", 2), ("values_block_2", 1)))
+    assert(PickleLite.unpickle(t.attr("values_block_0_kind").get.bytesVal) === Vector("z", "w"))
+    assert(PickleLite.unpickle(t.attr("values_block_1_kind").get.bytesVal) ===
+      Vector("id", "ok"), "long block carries id + bool")
+    // roundtrip: columns come back named from the kind attrs
+    val back = Hdf5Table.readPandasTable(spark, path, key = "df")
+    assert(back.columns.toSeq === Seq("index", "z", "w", "id", "ok", "tag"))
+    val got = back.orderBy("index").collect()
+    assert(got.map(_.getDouble(1)).toSeq === Seq(0.5, -1.5))
+    assert(got.map(_.getDouble(2)).toSeq === Seq(2.5, 3.5))
+    assert(got.map(_.getLong(3)).toSeq === Seq(1L, 2L))
+    assert(got.map(_.getLong(4)).toSeq === Seq(1L, 0L))
+    assert(got.map(_.getString(5)).toSeq === Seq("aa", "bbb"))
+  }
+
   test("readPandasKey dispatches fixed vs table stores; ConfigExpr.load reads both") {
     import spark.implicits._
     val df = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "z")

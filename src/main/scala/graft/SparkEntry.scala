@@ -676,6 +676,26 @@ object SparkEntry {
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
+    // array file (NEP-1 format via the pure-JVM NpyLite codec — the
+    // reference's legacy array store, dataloader.py:782-1007), read back
+    // through the .npy ConfigExpr dispatch with positional renames
+    "q60_npy_roundtrip" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("x", "y", "z_mean")
+      val rows = binned.orderBy("x", "y").collect()
+      val flat = rows.flatMap(r => Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q60_").resolve("binned.npy")
+      java.nio.file.Files.write(tmp,
+        graft.sources.NpyLite.write(Seq(rows.length, 3), doubles = flat))
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp.toString,
+        newColumnNames = Some(Seq("index", "x", "y", "z_mean")),
+        colSelect = Seq("x", "y", "z_mean")))
+    }),
+
     // connected-components survivorship labels: hash-min label propagation
     // over a synthetic multi-hop near-dup graph (chains of stride 7 inside
     // 50-id blocks) — the transitive-closure option of
@@ -1332,6 +1352,16 @@ object SparkEntry {
     "q53_hdfstore_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS n_obs FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    // same values as q54 — the .npy container must be lossless
+    "q60_npy_roundtrip" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
          |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
          |   FROM ($ObsSql)

@@ -214,6 +214,46 @@ object ConfigExpr {
       if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
       return df
     }
+    // legacy numpy array file (dataloader.py:782-1007 legacy route):
+    // 1-d -> (index, value); 2-d (n, m) -> (index, c0..c{m-1});
+    // `new_column_names` renames positionally as everywhere else
+    if (suffix == "npy") {
+      val p = new org.apache.hadoop.fs.Path(cfg.source)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      val a = graft.sources.NpyLite.read(bytes)
+      val isLong = a.longs != null
+      import org.apache.spark.sql.types._
+      val vt = if (isLong) LongType else DoubleType
+      val (schema, rows) = a.shape match {
+        case Seq(n) =>
+          (StructType(Seq(StructField("index", LongType, nullable = false),
+            StructField("value", vt, nullable = false))),
+            (0 until n).map(i => org.apache.spark.sql.Row(i.toLong,
+              if (isLong) a.longs(i) else a.doubles(i))))
+        case Seq(n, m) =>
+          (StructType(StructField("index", LongType, nullable = false) +:
+            (0 until m).map(j => StructField(s"c$j", vt, nullable = false))),
+            (0 until n).map(i => org.apache.spark.sql.Row.fromSeq(
+              i.toLong +: (0 until m).map[Any](j =>
+                if (isLong) a.longs(i * m + j) else a.doubles(i * m + j)))))
+        case s => throw new IllegalArgumentException(s"$p: .npy rank ${s.length}")
+      }
+      import scala.jdk.CollectionConverters._
+      var df = spark.createDataFrame(rows.asJava, schema)
+      cfg.sourceColumn.foreach { c =>
+        df = df.withColumn(c, regexp_extract(lit(cfg.source), "([^/]+)$", 1))
+      }
+      cfg.newColumnNames.foreach(ns => df = df.toDF(ns: _*))
+      if (cfg.where.nonEmpty) df = df.filter(combineWhere(cfg.where))
+      df = applyColFuncs(df, cfg.colFuncs)
+      if (cfg.rowSelect.nonEmpty) df = df.filter(rowSelectColumn(cfg.rowSelect))
+      if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
+      return df
+    }
     // zarr store directory (dataloader.py:28-35 `zarr` -> xr.open_zarr):
     // to_dataframe layout from the chunk-parallel scan
     if (suffix == "zarr") {

@@ -108,33 +108,69 @@ object Dedup {
       df.join(dropIds, Seq(idCol), "left_anti")
     }
 
-  /** Hash-min connected components over an (idA, idB) pair table: returns
+  /** Connected components over an (idA, idB) pair table: returns
     * (id, label) where label = the smallest id reachable from `id`.
-    * Each round joins current labels across edges and takes the min; stops
-    * at fixpoint (no label changed). Rounds = graph diameter — near-dup
-    * graphs are unions of tight cliques, so this converges in a few rounds.
-    * Frames are cached per round and localCheckpointed every few rounds to
-    * keep the lineage (and thus task re-execution cost) bounded.
+    *
+    * VERIFIED near-dup pair tables are orders of magnitude smaller than
+    * the corpus (they are the LSH join's survivors), so graphs up to
+    * `driverMaxEdges` undirected edges are solved exactly with driver-side
+    * union-find — O(E a(E)), one collect of bare id pairs (16 bytes/edge;
+    * the 5M default is ~80 MB), zero iterative Spark jobs. Larger graphs
+    * run the distributed hash-min loop: each round takes the min label
+    * over {self, edge neighbours, the label's OWN label (pointer
+    * jumping — label chains collapse doubly-exponentially, rounds ~
+    * log2(diameter))}; convergence is read from sum(label) in the same
+    * pass (labels only decrease, so an unchanged sum == fixpoint, no
+    * comparison join); frames are cached per round and localCheckpointed
+    * periodically to bound lineage.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, driverMaxEdges: Long = 5000000L): DataFrame = {
     val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
       .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .distinct().cache()
+    if (edges.count() <= driverMaxEdges) {
+      val spark = pairs.sparkSession
+      val es = pairs.select(col("idA").cast("long"), col("idB").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min: smaller root wins (the label semantics)
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
-    var changed = 1L
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var done = false
     var round = 0
-    while (changed > 0) {
-      // min label among self and neighbours
+    while (!done) {
       val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-      val next0 = labels.select("id", "label").union(viaEdges)
+      // pointer jump: follow my label to ITS label
+      val jump = labels.join(
+        labels.select(col("id").as("label"), col("label").as("label2")), Seq("label"))
+        .select(col("id"), col("label2").as("label"))
+      val next0 = labels.select("id", "label").union(viaEdges).union(jump)
         .groupBy("id").agg(min("label").as("label"))
       val next = (if (round % 4 == 3) next0.localCheckpoint(false) else next0).cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).count()
+      val s = next.agg(sum("label")).head.getLong(0)
       labels.unpersist()
       labels = next
+      done = s == prevSum
+      prevSum = s
       round += 1
     }
     edges.unpersist()

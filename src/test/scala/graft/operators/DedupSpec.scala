@@ -53,12 +53,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(closure === Set(1L, 9L))
   }
 
-  test("connected components: hash-min labels over a multi-hop chain") {
+  test("connected components: labels over a multi-hop chain, union-find AND distributed paths") {
     // chain 5-4, 4-2, 2-7 plus isolated pair 10-11: components {2,4,5,7}->2, {10,11}->10
     val pairs = Seq((4L, 5L), (2L, 4L), (2L, 7L), (10L, 11L)).toDF("idA", "idB")
-    val labels = Dedup.connectedComponents(pairs)
+    val want = Map(2L -> 2L, 4L -> 2L, 5L -> 2L, 7L -> 2L, 10L -> 10L, 11L -> 10L)
+    val uf = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels === Map(2L -> 2L, 4L -> 2L, 5L -> 2L, 7L -> 2L, 10L -> 10L, 11L -> 10L))
+    assert(uf === want)
+    // driverMaxEdges=0 forces the distributed pointer-jumping hash-min loop
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === want)
+  }
+
+  test("connected components: both paths agree on a larger random-ish graph") {
+    val rnd = Seq.tabulate(400) { i =>
+      val a = (i * 37L) % 211
+      val b = (i * 53L + 11) % 211
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val pairs = rnd.toDF("idA", "idB")
+    val uf = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf === dist)
+    // labels are component minima: every label maps to itself
+    uf.values.foreach(l => assert(uf(l) === l))
   }
 
   test("minhash pairs find the exact and near duplicate, not unrelated docs") {

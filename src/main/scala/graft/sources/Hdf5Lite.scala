@@ -33,7 +33,7 @@ import java.nio.{ByteBuffer, ByteOrder}
   * v2/v3 (root addressed by object header), v2 'OHDR' object headers with
   * 'OCHK' continuations, compact Link-message groups, v2/v3 attribute
   * messages, and layout v4 chunk indexes (single-chunk / implicit /
-  * unpaged fixed-array). Dense (fractal-heap) link storage, paged or
+  * fixed-array, paged or not). Dense (fractal-heap) link storage,
   * extensible-array/v2-btree chunk indexes, and bit-shuffle raise errors
   * naming the feature.
   */
@@ -1161,7 +1161,7 @@ object Hdf5Lite {
             require(filters.isEmpty, s"$name: implicit chunk index cannot carry filters")
             (0 until nChunksTotal).map(i =>
               (gridOffs(i), dataAddr + i.toLong * chunkByteSize, chunkByteSize))
-          case 3 => // v4 fixed array: FAHD header -> FADB data block
+          case 3 => // v4 fixed array: FAHD header -> FADB data block (paged or not)
             val p0 = dataAddr.toInt
             require(bytes(p0) == 'F' && bytes(p0 + 1) == 'A' && bytes(p0 + 2) == 'H' && bytes(p0 + 3) == 'D',
               s"$name: bad fixed-array header signature")
@@ -1170,14 +1170,25 @@ object Hdf5Lite {
             val pageBits = bytes(p0 + 7).toInt & 0xff
             val maxEntries = buf.getLong(p0 + 8)
             val dbAddr = buf.getLong(p0 + 16)
-            require(maxEntries <= (1L << pageBits),
-              s"$name: paged fixed-array chunk index not supported ($maxEntries entries)")
             val db = dbAddr.toInt
             require(bytes(db) == 'F' && bytes(db + 1) == 'A' && bytes(db + 2) == 'D' && bytes(db + 3) == 'B',
               s"$name: bad fixed-array data-block signature")
-            val entBase = db + 4 + 1 + 1 + 8 // sig, version, client id, header addr
+            val hdrEnd = db + 4 + 1 + 1 + 8 // sig, version, client id, header addr
+            val pageSize = 1L << pageBits
+            // entry i -> absolute file offset, paged or flat
+            val entryAt: Int => Int =
+              if (maxEntries <= pageSize) { i => hdrEnd + i * entrySize }
+              else {
+                // paged: page bitmap + data-block checksum, then pages of
+                // (pageSize entries + 4-byte checksum) back to back
+                val nPages = ((maxEntries + pageSize - 1) / pageSize).toInt
+                val bitmapBytes = (nPages + 7) / 8
+                val pagesBase = hdrEnd + bitmapBytes + 4
+                val pageBytes = pageSize.toInt * entrySize + 4
+                i => pagesBase + (i / pageSize.toInt) * pageBytes + (i % pageSize.toInt) * entrySize
+              }
             (0 until nChunksTotal).map { i =>
-              val e = entBase + i * entrySize
+              val e = entryAt(i)
               val addr = buf.getLong(e)
               val stored =
                 if (clientId == 0) chunkByteSize
@@ -1188,7 +1199,7 @@ object Hdf5Lite {
                   v.toInt
                 }
               (gridOffs(i), addr, stored)
-            }.filter(_._2 != Undef)
+            }.filter(e => e._2 != Undef && e._2 != 0L)
           case t => throw new IllegalArgumentException(s"$name: chunk index type $t")
         }
 

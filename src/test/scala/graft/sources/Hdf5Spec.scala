@@ -593,6 +593,40 @@ class Hdf5LatestSpec extends AnyFunSuite {
     assert(reads.head.doubles.toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
   }
 
+  test("layout v4 PAGED fixed-array chunk index (page bitmap + per-page checksums)") {
+    val img = new B(8192)
+    val rootOh = 48
+    val dsOh = 128
+    val fahd = 400
+    val fadb = 440
+    // 1-d shape 12, chunks of 2 -> 6 chunks; pageBits 1 -> pageSize 2,
+    // 3 pages of (2 entries + checksum) after the bitmap + checksum
+    val layout = new B(2 + 1 + 1 + 1 + 4 + 1 + 1 + 8)
+      .u8(4, 2, 0, 1, 4).u32(2).u8(3).u8(1).u64(fahd.toLong).bytes
+    sigV3(img, rootOh, 8192L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(12)),
+      0x03 -> dtypeF64,
+      0x08 -> layout))
+    // FAHD: client 0 (unfiltered), entry size 8, page bits 1, 6 entries
+    img.at(fahd).ascii("FAHD").u8(0, 0, 8, 1).u64(6L).u64(fadb.toLong).u32(0)
+    // FADB header + bitmap (1 byte: all 3 pages allocated) + checksum,
+    // then pages: [e0 e1 csum][e2 e3 csum][e4 e5 csum]
+    val chunkAt = Array.tabulate(6)(i => 600 + i * 16)
+    val b = img.at(fadb).ascii("FADB").u8(0, 0).u64(fahd.toLong)
+      .u8(0x07).u32(0) // page bitmap + data-block checksum
+    (0 until 3).foreach { p =>
+      b.u64(chunkAt(2 * p).toLong).u64(chunkAt(2 * p + 1).toLong).u32(0)
+    }
+    (0 until 6).foreach { i =>
+      img.at(chunkAt(i)).f64(i * 10.0).f64(i * 10.0 + 1)
+    }
+    val reads = Hdf5Lite.read(img.bytes)
+    assert(reads.head.shape === Seq(12))
+    assert(reads.head.doubles.toSeq === (0 until 6).flatMap(i => Seq(i * 10.0, i * 10.0 + 1)))
+  }
+
   test("layout v4 single-chunk index, filtered") {
     val img = new B(4096)
     val rootOh = 48

@@ -139,6 +139,29 @@ class SkiMaternSpec extends AnyFunSuite {
     }
   }
 
+  test("SKI analytic gradient matches finite differences (1-D and 2-D, every nu)") {
+    val c2d = DenseMatrix.tabulate[Double](24, 2) { (i, k) =>
+      if (k == 0) 0.05 + 0.9 * ((i * 29 % 83) / 83.0) else 0.05 + 0.9 * ((i * 41 % 79) / 79.0)
+    }
+    val y2d = DenseVector.tabulate[Double](24)(i => 0.4 * math.sin(3 * c2d(i, 0)) * math.cos(2 * c2d(i, 1)))
+    for ((gp, hyp) <- Seq(
+      (new SkiGpr(coords1, y1, Array(24)), Array(0.9, 1.3, 0.12)),
+      (new SkiGpr(coords1, y1, Array(24), nu = 0.5), Array(0.7, 0.8, 0.2)),
+      (new SkiGpr(coords1, y1, Array(24), nu = 2.5), Array(1.1, 0.6, 0.05)),
+      (new SkiGpr(c2d, y2d, Array(12, 12)), Array(0.8, 1.2, 0.9, 1.1, 0.15)))) {
+      val (v, g) = gp.nlmlWithGrad(hyp)
+      assert(math.abs(v - gp.nlml(hyp)) < 1e-9, "value must equal nlml")
+      val fd = 1e-6
+      hyp.indices.foreach { i =>
+        val up = hyp.clone(); up(i) += fd
+        val dn = hyp.clone(); dn(i) -= fd
+        val num = (gp.nlml(up) - gp.nlml(dn)) / (2 * fd)
+        assert(math.abs(g(i) - num) <= 1e-4 * math.max(1.0, math.abs(num)),
+          s"d=${gp.d} nu=${gp.nu} param $i: analytic ${g(i)} vs FD $num")
+      }
+    }
+  }
+
   test("SKI optimise improves the objective and is deterministic") {
     val gp = new SkiGpr(coords1, y1, Array(32))
     val init = Array(1.0, 1.0, 0.1)

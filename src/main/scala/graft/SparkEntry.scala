@@ -746,6 +746,23 @@ object SparkEntry {
         colSelect = Seq("x", "y", "z_mean", "n_obs")))
     }),
 
+    // the OTHER format='table' layout: data_columns=False packs typed
+    // values_block_N ARRAY members whose column names ride the pickled
+    // <member>_kind attrs — same frame, same oracle, block-member path
+    "q61_hdfstore_blocks" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean", "count")))
+        .select(col("x"), col("y"), col("z_mean"),
+          col("z_count").cast("long").as("n_obs"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q61_").toString + "/store.h5"
+      graft.sources.Hdf5Table.writePandasTable(binned, tmp, key = "binned",
+        chunkRows = 16, deflate = 6, dataColumns = false)
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, table = Some("binned"),
+        colSelect = Seq("x", "y", "z_mean", "n_obs")))
+    }),
+
     "q45_netcdf_roundtrip" -> ((s, dir) => {
       val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
         valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
@@ -1383,6 +1400,16 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id, min(label) AS label FROM reach GROUP BY id""".stripMargin,
+
+    // identical frame to q53/q57, through the values_block layout
+    "q61_hdfstore_blocks" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS n_obs FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
 
     // identical frame to q53, roundtripped through format='table' instead
     "q57_hdfstore_table" ->

@@ -44,6 +44,21 @@ object ObsDocStream {
       .withColumn("y", laea_y(col("lon"), col("lat")))
   }
 
+  /** Streaming exact dedup — the streaming half of `Dedup.exact`: drop
+    * documents whose CONTENT (the canonical-JSON spans payload) already
+    * arrived inside the watermark horizon. The state store keys on the
+    * same 8-byte `xxhash64` the batch operator shuffles on, so state is
+    * 8 bytes + timestamp per distinct document and is evicted by the
+    * watermark — bounded regardless of stream length. Collision class =
+    * the batch operator's (documented there).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__text_hash", xxhash64(to_json(col("spans"))))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
+
   /** Windowed tile aggregation: per (event-time window, tile cell, t,
     * source) partial sums. Append-mode-safe via the watermark; the
     * batch-side bin mean is sum/count, so partials merge exactly.

@@ -50,6 +50,30 @@ class ObsDocStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: same content within the watermark drops, batch-parity key") {
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new Timestamp(1700000000000L)
+    val base = ObsDocs.makeDoc(1L, 42)
+    val other = ObsDocs.makeDoc(2L, 42)
+    val input = MemoryStream[StreamDoc]
+    val deduped = ObsDocStream.dedupStream(input.toDF(), watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      input.addData(
+        StreamDoc("a", base.spans, ts),
+        StreamDoc("b", base.spans, new Timestamp(ts.getTime + 1000)), // same CONTENT -> dropped
+        StreamDoc("c", other.spans, new Timestamp(ts.getTime + 2000)))
+      q.processAllAvailable()
+      input.addData(
+        StreamDoc("d", base.spans, new Timestamp(ts.getTime + 3000))) // still in horizon -> dropped
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id").as[String].collect().sorted
+      assert(kept.toSeq === Seq("a", "c"), s"got ${kept.toSeq}")
+    } finally q.stop()
+  }
+
   case class EdgePoint(x: Double, y: Double, t: Double, z: Double,
                        source: String, event_time: Timestamp)
 

@@ -397,8 +397,11 @@ object Hdf5Lite {
       } else {
         val c0 = math.max(1, math.min(chunkRows, dim0))
         val nChunks = (dim0 + c0 - 1) / c0
-        require(nChunks <= 64,
-          s"$name: $nChunks chunks exceed one B-tree node (64) — raise chunkRows")
+        // > 64 chunks: leaf nodes of <= 64 entries under ONE level-1
+        // internal node (up to 64 x 64 = 4096 chunks per dataset)
+        val nLeaves = (nChunks + 63) / 64
+        require(nLeaves <= 64,
+          s"$name: $nChunks chunks exceed a 2-level chunk B-tree (4096) — raise chunkRows")
         val blobs = (0 until nChunks).map(ci => ChunkBlob(ci * c0,
           compress(d.fold(v => rawChunk(v, ci * c0, c0), c => rawCompChunk(c, ci * c0, c0)))))
         val layoutRaw = 2 + 8 + 1 + (rank + 1) * 4
@@ -409,10 +412,12 @@ object Hdf5Lite {
         val ohSize = 16 + (8 + dspaceSize) + (8 + dtypeSize) + (8 + 8) +
           (8 + pad8(layoutRaw)) + filterSize + attrsSize
         val ohAddr = cursor
-        val btreeAddr = ohAddr + ohSize // dataAddr doubles as the btree address
+        val btreeAddr = ohAddr + ohSize // dataAddr doubles as the ROOT btree address
         val keySize = 8 + (rank + 1) * 8
-        val btreeSize = pad8(24 + (nChunks + 1) * keySize + nChunks * 8)
-        var chunkCursor = btreeAddr + btreeSize
+        def nodeSize(entries: Int) = pad8(24 + (entries + 1) * keySize + entries * 8)
+        val internalSize = if (nLeaves == 1) 0 else nodeSize(nLeaves)
+        val leafCounts = (0 until nLeaves).map(li => math.min(64, nChunks - li * 64))
+        var chunkCursor = btreeAddr + internalSize + leafCounts.map(nodeSize).sum
         val placed = blobs.map { b =>
           val at = chunkCursor
           chunkCursor += pad8(b.bytes.length)
@@ -615,28 +620,59 @@ object Hdf5Lite {
           buf.putInt(0)            // odd client count -> 4 pad bytes
         }
         attrs.foreach(a => emitAttr(buf, a))
-        // chunk B-tree v1 (single level-0 node)
+        // chunk B-tree v1: one level-0 leaf for <= 64 chunks; above that,
+        // leaves of <= 64 entries chained with sibling pointers under one
+        // level-1 internal node (the reader's walk() recurses any level)
         val keySize = 8 + (rank + 1) * 8
-        buf.position(p.dataAddr.toInt)
-        buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
-        buf.put(1.toByte)  // node type: raw data chunk
-        buf.put(0.toByte)  // level
-        buf.putShort(p.placed.length.toShort)
-        buf.putLong(Undef); buf.putLong(Undef)
+        def nodeSize(entries: Int) = pad8(24 + (entries + 1) * keySize + entries * 8)
+        val nChunks = p.placed.length
+        val nLeaves = (nChunks + 63) / 64
+        val leafCounts = (0 until nLeaves).map(li => math.min(64, nChunks - li * 64))
+        val internalSize = if (nLeaves == 1) 0 else nodeSize(nLeaves)
+        val leafAddrs = leafCounts.scanLeft(p.dataAddr + internalSize)(
+          (a, c) => a + nodeSize(c)).init
         val rest = shape.drop(1)
-        p.placed.foreach { case (blob, at) =>
-          buf.putInt(blob.bytes.length)       // key: chunk size (stored bytes)
+        def putKey(storedSize: Int, offset0: Long): Unit = {
+          buf.putInt(storedSize)              // key: chunk size (stored bytes)
           buf.putInt(0)                       // filter mask: all applied
-          buf.putLong(blob.offset0.toLong)
+          buf.putLong(offset0)
           rest.foreach(_ => buf.putLong(0L))
           buf.putLong(0L)                     // element-dim offset
-          buf.putLong(at)                     // child: chunk address
         }
-        // final key: one past the last chunk (row-major successor offset)
-        buf.putInt(0); buf.putInt(0)
-        buf.putLong((p.placed.last._1.offset0 + p.chunkDim0).toLong)
-        rest.foreach(_ => buf.putLong(0L))
-        buf.putLong(0L)
+        val successor = (p.placed.last._1.offset0 + p.chunkDim0).toLong
+        leafCounts.indices.foreach { li =>
+          buf.position(leafAddrs(li).toInt)
+          buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
+          buf.put(1.toByte)                   // node type: raw data chunk
+          buf.put(0.toByte)                   // level
+          buf.putShort(leafCounts(li).toShort)
+          buf.putLong(if (li > 0) leafAddrs(li - 1) else Undef)
+          buf.putLong(if (li < nLeaves - 1) leafAddrs(li + 1) else Undef)
+          val slice = p.placed.slice(li * 64, li * 64 + leafCounts(li))
+          slice.foreach { case (blob, at) =>
+            putKey(blob.bytes.length, blob.offset0.toLong)
+            buf.putLong(at)                   // child: chunk address
+          }
+          // final key: the next leaf's first chunk, or the global successor
+          if (li < nLeaves - 1) {
+            val nxt = p.placed((li + 1) * 64)._1
+            putKey(nxt.bytes.length, nxt.offset0.toLong)
+          } else putKey(0, successor)
+        }
+        if (nLeaves > 1) {
+          buf.position(p.dataAddr.toInt)
+          buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
+          buf.put(1.toByte)                   // node type: raw data chunk
+          buf.put(1.toByte)                   // level 1
+          buf.putShort(nLeaves.toShort)
+          buf.putLong(Undef); buf.putLong(Undef)
+          leafCounts.indices.foreach { li =>
+            val first = p.placed(li * 64)._1
+            putKey(first.bytes.length, first.offset0.toLong)
+            buf.putLong(leafAddrs(li))        // child: leaf node address
+          }
+          putKey(0, successor)
+        }
         // chunk payloads
         p.placed.foreach { case (blob, at) =>
           buf.position(at.toInt)

@@ -69,6 +69,31 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     assert(gz.length < plain.length / 4, s"gzip ${gz.length} vs plain ${plain.length}")
   }
 
+  test("multi-node chunk B-tree: > 64 chunks roundtrip via a level-1 internal node") {
+    // 1000 rows at chunkRows 5 -> 200 chunks = 4 leaves under one internal
+    val vals = Array.tabulate(1000)(i => math.sin(i * 0.013) * (1 + i % 11))
+    val ids = Array.tabulate(1000)(i => i * 13L - 6500L)
+    for (deflate <- Seq(0, 6)) {
+      val img = Hdf5Lite.write(Seq(
+        H5Var("v", Seq(1000), doubles = vals),
+        H5Var("ids", Seq(1000), longs = ids)), chunkRows = 5, deflate = deflate)
+      val back = Hdf5Lite.read(img).map(v => v.name -> v).toMap
+      assert(back("v").doubles.map(java.lang.Double.doubleToRawLongBits) ===
+        vals.map(java.lang.Double.doubleToRawLongBits), s"deflate=$deflate")
+      assert(back("ids").longs === ids, s"deflate=$deflate")
+    }
+    // 2-d, ragged edge, 103 chunks -> 2 leaves
+    val grid = Array.tabulate(515 * 3)(i => i * 0.25 - 7.0)
+    val img2 = Hdf5Lite.write(Seq(H5Var("g", Seq(515, 3), doubles = grid)),
+      chunkRows = 5, deflate = 6)
+    assert(Hdf5Lite.read(img2).head.doubles === grid)
+    // the 4096-chunk ceiling still errors loudly
+    val e = intercept[IllegalArgumentException](
+      Hdf5Lite.write(Seq(H5Var("x", Seq(5000), doubles = new Array[Double](5000))),
+        chunkRows = 1))
+    assert(e.getMessage.contains("4096"))
+  }
+
   test("grouped write: datasets nest under one group, names come back path-qualified") {
     val img = Hdf5Lite.write(Seq(
       H5Var("vals", Seq(4), doubles = Array(1.0, 2.0, 3.0, 4.0)),

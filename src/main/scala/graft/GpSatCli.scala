@@ -43,7 +43,7 @@ object GpSatCli {
     JsonConfig.exportH5Path(json).foreach { p =>
       store.exportH5(p, Seq("run_details", "preds", "lengthscales", "kernel_variance",
         "likelihood_variance", "lengthscales_SMOOTHED", "kernel_variance_SMOOTHED",
-        "likelihood_variance_SMOOTHED"))
+        "likelihood_variance_SMOOTHED"), JsonConfig.exportH5Format(json))
       println(s"exported_h5=$p")
     }
     spark.stop()

@@ -113,6 +113,13 @@ object JsonConfig {
   def exportH5Path(json: String): Option[String] =
     (JsonMethods.parse(json) \ "export_h5").toOption.collect { case JString(s) => s }
 
+  /** Optional `"export_h5_format": "fixed" | "table"` — "table" writes the
+    * PyTables format='table' layout the reference's own stores use.
+    */
+  def exportH5Format(json: String): String =
+    (JsonMethods.parse(json) \ "export_h5_format").toOption
+      .collect { case JString(s) => s }.getOrElse("fixed")
+
   /** Canonical JSON for config identity: sorted keys, compact. */
   def canonical(json: String): String = {
     def sort(v: JValue): JValue = v match {

@@ -69,11 +69,23 @@ final class ResultStore(spark: SparkSession, root: String) {
     * Double/long/string columns; driver-side single-file write, the honest
     * cost for result-store-sized tables.
     */
-  def exportH5(outPath: String, tables: Seq[String]): Unit = {
+  /** Export store tables to ONE reference-shaped multi-key `.h5`.
+    * `format = "table"` writes the PyTables format='table' layout the
+    * reference itself uses for its result stores (`write_to_hdf`,
+    * GPSat/dataloader.py:644-704); "fixed" (default) writes the
+    * BlockManagerFixed layout.
+    */
+  def exportH5(outPath: String, tables: Seq[String], format: String = "fixed"): Unit = {
     val present = tables.filter(exists)
     require(present.nonEmpty, s"none of ${tables.mkString(",")} exist in $root")
-    graft.sources.Hdf5Table.writePandasFixedKeys(
-      present.map(t => t -> table(t)), outPath)
+    format match {
+      case "fixed" => graft.sources.Hdf5Table.writePandasFixedKeys(
+        present.map(t => t -> table(t)), outPath)
+      case "table" => graft.sources.Hdf5Table.writePandasTableKeys(
+        present.map(t => t -> table(t)), outPath, chunkRows = 512, deflate = 6)
+      case o => throw new IllegalArgumentException(
+        s"export format '$o' not supported (fixed/table)")
+    }
   }
 
   /** Import every key of a reference-shaped multi-key `.h5` store as
@@ -82,7 +94,8 @@ final class ResultStore(spark: SparkSession, root: String) {
   def importH5(spark: SparkSession, h5Path: String): Seq[String] = {
     val keys = graft.sources.Hdf5Table.pandasKeys(spark, h5Path)
     keys.foreach { k =>
-      overwrite(k, graft.sources.Hdf5Table.readPandasFixed(spark, h5Path, k).drop("index"),
+      // readPandasKey dispatches format='fixed' vs format='table' by shape
+      overwrite(k, graft.sources.Hdf5Table.readPandasKey(spark, h5Path, k).drop("index"),
         Map("imported_from" -> h5Path))
     }
     keys

@@ -324,6 +324,31 @@ object Hdf5Table {
   def writePandasTable(df: DataFrame, path: String, key: String = "df",
                        chunkRows: Int = 512, deflate: Int = 0,
                        dataColumns: Boolean = true): Unit = {
+    val (comp, groupAttrs) = pandasTableParts(df, dataColumns)
+    Files.write(Paths.get(path), Hdf5Lite.writeKeys(
+      Nil, chunkRows = chunkRows, deflate = deflate,
+      groupAttrs = Map(key -> groupAttrs), compounds = Seq(key -> comp)))
+  }
+
+  /** Several format='table' frames in ONE `.h5`, one HDFStore key each —
+    * the reference's result-store file in its OWN on-disk format
+    * (`write_to_hdf`, GPSat/dataloader.py:644-704 + local_experts.py:
+    * 499-550 keep run_details / preds / ... side by side, all
+    * format='table').
+    */
+  def writePandasTableKeys(keyed: Seq[(String, DataFrame)], path: String,
+                           chunkRows: Int = 512, deflate: Int = 0,
+                           dataColumns: Boolean = true): Unit = {
+    val built = keyed.map { case (k, df) => k -> pandasTableParts(df, dataColumns) }
+    Files.write(Paths.get(path), Hdf5Lite.writeKeys(
+      Nil, chunkRows = chunkRows, deflate = deflate,
+      groupAttrs = built.map { case (k, (_, ga)) => k -> ga }.toMap,
+      compounds = built.map { case (k, (comp, _)) => k -> comp }))
+  }
+
+  /** (compound dataset, group attrs) of one format='table' frame. */
+  private def pandasTableParts(df: DataFrame, dataColumns: Boolean)
+      : (Hdf5Lite.H5CompoundVar, Seq[Hdf5Lite.H5Attr]) = {
     val rows = df.collect()
     require(rows.nonEmpty, "empty table")
     val n = rows.length
@@ -416,11 +441,9 @@ object Hdf5Table {
         PickleLite.pickle(if (dataColumns) colNames.toList else Nil)),
       H5Attr.bytes("non_index_axes", PickleLite.pickle(List((1L, colNames.toList)))),
       H5Attr.bytes("levels", PickleLite.pickle(None)))
-    val comp = Hdf5Lite.H5CompoundVar(
-      "table", n, recordSize, members, data.array(), attrs = tableAttrs)
-    Files.write(Paths.get(path), Hdf5Lite.writeKeys(
-      Nil, chunkRows = chunkRows, deflate = deflate,
-      groupAttrs = Map(key -> groupAttrs), compounds = Seq(key -> comp)))
+    (Hdf5Lite.H5CompoundVar(
+      "table", n, recordSize, members, data.array(), attrs = tableAttrs),
+      groupAttrs)
   }
 
   /** Read ONE HDFStore frame under `key`, whichever layout it is stored in
@@ -450,8 +473,9 @@ object Hdf5Table {
         groupAttrs = built.map { case (k, (_, ga)) => k -> ga }.toMap))
   }
 
-  /** The HDFStore keys present in a `.h5` file (every group holding an
-    * axis0 dataset — the pandas frame marker).
+  /** The HDFStore keys present in a `.h5` file: every group holding an
+    * `axis0` dataset (format='fixed' frame marker) or a `table` dataset
+    * (format='table' marker).
     */
   def pandasKeys(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -462,7 +486,8 @@ object Hdf5Table {
     try in.readFully(0, bytes) finally in.close()
     Hdf5Lite.read(bytes).map(_.name).collect {
       case n if n.endsWith("/axis0") => n.stripSuffix("/axis0")
-    }.sorted
+      case n if n.endsWith("/table") => n.stripSuffix("/table")
+    }.distinct.sorted
   }
 
   /** (datasets with pandas attrs, group attrs) of one fixed-format frame. */

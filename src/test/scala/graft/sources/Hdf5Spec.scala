@@ -301,6 +301,32 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_.getString(5)).toSeq === Seq("aa", "bbb"))
   }
 
+  test("multi-key format='table' store: exportH5(table) writes the reference's own layout; importH5 reads it back") {
+    import spark.implicits._
+    val rd = Seq((0.0, 0.0, 5L, "GraftGPR"), (100.0, 0.0, 7L, "GraftSGPR"))
+      .toDF("x", "y", "num_obs", "model")
+    val preds = Seq((0.0, 0.0, 1.5), (100.0, 0.0, -0.5)).toDF("x", "y", "f_star")
+    val dir = Files.createTempDirectory("h5tk_").toString
+    val store = new graft.io.ResultStore(spark, s"$dir/store")
+    store.overwrite("run_details", rd)
+    store.overwrite("preds", preds)
+    val h5 = s"$dir/results_table.h5"
+    store.exportH5(h5, Seq("run_details", "preds"), format = "table")
+    // both keys discoverable; each group is a compound key/table dataset
+    assert(Hdf5Table.pandasKeys(spark, h5) === Seq("preds", "run_details"))
+    val (reads, gattrs) = Hdf5Lite.readAll(Files.readAllBytes(Paths.get(h5)))
+    assert(reads.count(r => r.name.endsWith("/table") && r.isCompound) === 2)
+    assert(gattrs("preds").find(_.name == "pandas_type").get.stringVal === "frame_table")
+    // import round-trips both frames through the shape dispatch
+    val store2 = new graft.io.ResultStore(spark, s"$dir/store2")
+    assert(store2.importH5(spark, h5) === Seq("preds", "run_details"))
+    assert(store2.table("preds").select("x", "y", "f_star").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet ===
+      Set((0.0, 0.0, 1.5), (100.0, 0.0, -0.5)))
+    assert(store2.table("run_details").select("model").collect().map(_.getString(0)).sorted ===
+      Array("GraftGPR", "GraftSGPR"))
+  }
+
   test("readPandasKey dispatches fixed vs table stores; ConfigExpr.load reads both") {
     import spark.implicits._
     val df = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "z")

@@ -37,6 +37,19 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .select(idCol, textCol, "dup_count")
 
+  /** Banding parameters for a target Jaccard threshold: among (bands,
+    * rows) factorizations of the signature length `k`, pick the pair
+    * whose S-curve midpoint (1/b)^(1/r) sits closest to `threshold` —
+    * the standard MMDS ch.3 heuristic (candidate probability for a pair
+    * at similarity s is 1 - (1 - s^r)^b, steepest near the midpoint).
+    * Returns (bands, rows).
+    */
+  def minhashParams(k: Int, threshold: Double): (Int, Int) = {
+    require(k > 0 && threshold > 0 && threshold < 1, "need k > 0, 0 < threshold < 1")
+    (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      .minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
+  }
+
   /** MinHash LSH candidate pairs: signatures banded; docs sharing any band
     * bucket become candidates; verified by estimated Jaccard (fraction of
     * equal signature positions) >= `threshold`. Returns (idA, idB, est_jaccard)

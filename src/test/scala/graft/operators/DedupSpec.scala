@@ -82,6 +82,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     uf.values.foreach(l => assert(uf(l) === l))
   }
 
+  test("minhashParams picks the S-curve midpoint closest to the threshold") {
+    // k=64: (1/8)^(1/8) = 0.771, (1/16)^(1/4) = 0.5, (1/4)^(1/16) = 0.917
+    assert(Dedup.minhashParams(64, 0.7) === ((8, 8)))
+    assert(Dedup.minhashParams(64, 0.5) === ((16, 4)))
+    assert(Dedup.minhashParams(64, 0.9) === ((4, 16)))
+    // midpoint property holds for the pick
+    val (b, r) = Dedup.minhashParams(128, 0.8)
+    assert(b * r === 128)
+    assert(math.abs(math.pow(1.0 / b, 1.0 / r) - 0.8) < 0.12)
+  }
+
   test("minhash pairs find the exact and near duplicate, not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

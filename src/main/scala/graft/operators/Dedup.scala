@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *    bucket; hot buckets (boilerplate shingles) are capped with a
   *    frequency filter before the self-join — the skew knob.
   *  - pairs are emitted once with idA < idB; "dedup" = drop the larger id
-  *    of every verified pair (greedy single-pass survivorship, not
-  *    transitive closure; closure would need iterative min-id propagation).
+  *    of every verified pair (greedy single-pass survivorship), or the
+  *    transitive-closure option: keep only each connected component's min
+  *    id ([[connectedComponents]] — union-find below `driverMaxEdges`,
+  *    distributed pointer-jumping hash-min above).
   */
 object Dedup {
 
@@ -166,7 +168,7 @@ object Dedup {
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var done = false
     var round = 0
     while (!done) {
@@ -179,7 +181,7 @@ object Dedup {
       val next0 = labels.select("id", "label").union(viaEdges).union(jump)
         .groupBy("id").agg(min("label").as("label"))
       val next = (if (round % 4 == 3) next0.localCheckpoint(false) else next0).cache()
-      val s = next.agg(sum("label")).head.getLong(0)
+      val s = next.agg(sum("label")).head().getLong(0)
       labels.unpersist()
       labels = next
       done = s == prevSum

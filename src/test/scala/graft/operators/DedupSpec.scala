@@ -28,7 +28,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }.toDF("doc_id", "text")
     val out = Dedup.exact(big, "doc_id", "text")
     assert(out.count() === 5)
-    assert(out.agg(sum("dup_count")).head.getLong(0) === 20L)
+    assert(out.agg(sum("dup_count")).head().getLong(0) === 20L)
     // the exchange must partition on the 64-bit text hash (Catalyst
     // aliases it _groupingexpression#NL, a LongType key), never on text
     val plan = out.queryExecution.executedPlan.toString

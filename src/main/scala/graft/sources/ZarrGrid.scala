@@ -455,7 +455,8 @@ object ZarrGrid extends Serializable {
     * (x, y) lattice exactly once (validated by count, not by collect).
     */
   def writeGrid2dDistributed(df: DataFrame, dir: String, xCol: String, yCol: String,
-                             varNames: Seq[String], chunkRows: Int): Unit = {
+                             varNames: Seq[String], chunkRows: Int,
+                             compressor: String = "zlib"): Unit = {
     require(chunkRows > 0, "chunkRows must be positive")
     val spark = df.sparkSession
     // axes: grid-axis-sized driver work (the only driver-side data)
@@ -469,13 +470,14 @@ object ZarrGrid extends Serializable {
 
     // metadata + coordinate arrays (tiny, driver-side, via the Hadoop FS
     // API so the sink targets local paths, HDFS, or object stores alike)
-    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr)
+    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr, compressor)
 
     val xIdx = xs.zipWithIndex.toMap
     val yIdx = ys.zipWithIndex.toMap
     val width = xs.length
     val dirB = dir
     val vars = varNames
+    val compB = compressor
     // tasks write with the SESSION's Hadoop conf (credentials, fs.* tuning)
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -503,7 +505,7 @@ object ZarrGrid extends Serializable {
               val p = new org.apache.hadoop.fs.Path(s"$dirB/${vars(v)}/$ci.0")
               val fs = rawFs(p.toString, conf)
               val out = fs.create(p, true)
-              try out.write(zlibBytes(doubleLeBytes(band(v)))) finally out.close()
+              try out.write(encodeChunk(doubleLeBytes(band(v)), compB)) finally out.close()
             }
           }
         }
@@ -513,6 +515,18 @@ object ZarrGrid extends Serializable {
   // row -> chunk-band index (used only to co-locate a band's rows)
   private def udfYchunk(yIdx: Map[Double, Int], cr: Int) =
     udf((y: Double) => yIdx(y) / cr)
+
+  /** Encode one chunk under the named compressor: "zlib" (this writer's
+    * historical default) or "blosc" (the zarr ecosystem default —
+    * shuffled blosc1-lz4 frames via BloscLite).
+    */
+  private def encodeChunk(raw: Array[Byte], compressor: String): Array[Byte] =
+    compressor match {
+      case "zlib" => zlibBytes(raw)
+      case "blosc" => BloscLite.compress(raw, typesize = 8, BloscLite.CodecLz4)
+      case o => throw new IllegalArgumentException(
+        s"writer compressor '$o' not supported (zlib/blosc)")
+    }
 
   private def zlibBytes(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(5)
@@ -536,22 +550,26 @@ object ZarrGrid extends Serializable {
     */
   private def writeMeta(spark: SparkSession, dir: String, xCol: String, yCol: String,
                         varNames: Seq[String], xs: Array[Double], ys: Array[Double],
-                        cr: Int): Unit = {
+                        cr: Int, compressor: String = "zlib"): Unit = {
     val fs = fsFor(spark, dir)
     def writeFile(rel: String, bytes: Array[Byte]): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir, rel)
       val out = fs.create(p, true) // create() makes parent dirs
       try out.write(bytes) finally out.close()
     }
+    val compJson =
+      if (compressor == "blosc")
+        """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
+      else """{"id":"zlib","level":5}"""
     def zarrayJson(shape: Seq[Int], chunks: Seq[Int]): String =
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],""" +
-        """"dtype":"<f8","compressor":{"id":"zlib","level":5},"fill_value":0.0,""" +
+        s""""dtype":"<f8","compressor":$compJson,"fill_value":0.0,""" +
         """"order":"C","filters":null}"""
     writeFile(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
     def writeCoord(name: String, vals: Array[Double]): Unit = {
       writeFile(s"$name/.zarray", zarrayJson(Seq(vals.length), Seq(vals.length)).getBytes("UTF-8"))
       writeFile(s"$name/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$name"]}""".getBytes("UTF-8"))
-      writeFile(s"$name/0", zlibBytes(doubleLeBytes(vals)))
+      writeFile(s"$name/0", encodeChunk(doubleLeBytes(vals), compressor))
     }
     writeCoord(xCol, xs)
     writeCoord(yCol, ys)
@@ -569,7 +587,8 @@ object ZarrGrid extends Serializable {
     * dims. Rows must cover the full (x, y) lattice exactly once.
     */
   def writeGrid2d(df: DataFrame, dir: String, xCol: String, yCol: String,
-                  varNames: Seq[String], chunkRows: Int = 0): Unit = {
+                  varNames: Seq[String], chunkRows: Int = 0,
+                  compressor: String = "zlib"): Unit = {
     val rows = df.select((Seq(xCol, yCol) ++ varNames).map(col): _*).collect()
     val xs = rows.map(_.getDouble(0)).distinct.sorted
     val ys = rows.map(_.getDouble(1)).distinct.sorted
@@ -582,7 +601,7 @@ object ZarrGrid extends Serializable {
     val yIdx = ys.zipWithIndex.toMap
     val cr = if (chunkRows > 0) math.min(chunkRows, ys.length) else ys.length
     val spark = df.sparkSession
-    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr)
+    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr, compressor)
 
     val fs = fsFor(spark, dir)
     varNames.zipWithIndex.foreach { case (v, vi) =>
@@ -600,7 +619,7 @@ object ZarrGrid extends Serializable {
           i += 1
         }
         val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$v/$ci.0"), true)
-        try out.write(zlibBytes(doubleLeBytes(chunk))) finally out.close()
+        try out.write(encodeChunk(doubleLeBytes(chunk), compressor)) finally out.close()
       }
     }
   }

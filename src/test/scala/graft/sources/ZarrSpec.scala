@@ -126,6 +126,31 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       s"got: ${e.getMessage}")
   }
 
+  test("writers emit the zarr-default blosc compressor natively (compressor knob)") {
+    val dirA = Files.createTempDirectory("zarr_").resolve("bw.zarr").toString
+    val dirB = Files.createTempDirectory("zarr_").resolve("bd.zarr").toString
+    val two = mkGrid(4.0).withColumn("w", col("z") - 1.5)
+    ZarrGrid.writeGrid2d(two, dirA, "x", "y", Seq("z", "w"), chunkRows = 2,
+      compressor = "blosc")
+    ZarrGrid.writeGrid2dDistributed(two.repartition(5), dirB, "x", "y", Seq("z", "w"),
+      chunkRows = 2, compressor = "blosc")
+    // chunk files are blosc1 frames; .zarray declares the numcodecs default
+    for (dir <- Seq(dirA, dirB)) {
+      val chunk = Files.readAllBytes(Paths.get(dir, "z", "0.0"))
+      assert(chunk(0) === 2.toByte && ((chunk(2) & 0xff) >>> 5) === BloscLite.CodecLz4, dir)
+      val za = new String(Files.readAllBytes(Paths.get(dir, "z", ".zarray")), "UTF-8")
+      assert(za.contains("\"id\":\"blosc\"") && za.contains("\"cname\":\"lz4\""), za)
+      val back = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w"))
+      assert(back.count() === 35, dir)
+      assert(back.filter(col("w") =!= col("z") - 1.5).count() === 0, dir)
+    }
+    // distributed and driver sinks stay byte-identical under blosc too
+    for (v <- Seq("z", "w"); ci <- 0 until 3)
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(dirA, v, s"$ci.0")),
+        Files.readAllBytes(Paths.get(dirB, v, s"$ci.0"))), s"$v/$ci.0 bytes")
+  }
+
   test("blosc-framed stores (the zarr default compressor) read chunk-parallel") {
     val dir = Files.createTempDirectory("zarr_").resolve("bl.zarr").toString
     val two = mkGrid(2.5).withColumn("w", col("z") * 3.0)

@@ -23,8 +23,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (broadcast with the task closure); every 2-d chunk decodes inside a
   * binaryFile scan task, emitting rows for its own grid slice.
   *
-  * Scope (checked, loud errors outside it): zarr v2, C-order, dtypes
-  * <f8/<f4/<i8/<i4, compressor null, zlib/gzip, or blosc with lz4/zlib
+  * Scope (checked, loud errors outside it): zarr v2, C-order, numeric
+  * dtypes f4/f8, i1-i8, u1-u4 in either byte order ('<', '>', '|'),
+  * compressor null, zlib/gzip, or blosc with lz4/zlib
   * inner codecs — the zarr DEFAULT (numcodecs Blosc) — via the pure-JVM
   * [[BloscLite]] frame codec (zstd/snappy/blosclz frames raise naming the
   * codec); 1-d coordinate + 2-d data arrays.
@@ -93,9 +94,10 @@ object ZarrGrid extends Serializable {
     }
 
   private def dtypeSize(dt: String, name: String): Int = {
-    require(dt.length == 3 && (dt(0) == '<' || dt(0) == '|'),
-      s"$name: dtype '$dt' not little-endian")
-    require(dt(1) == 'f' || dt(1) == 'i', s"$name: dtype '$dt' not supported (f/i only)")
+    require(dt.length == 3 && (dt(0) == '<' || dt(0) == '>' || dt(0) == '|'),
+      s"$name: dtype '$dt' has no byte-order marker")
+    require(dt(1) == 'f' || dt(1) == 'i' || dt(1) == 'u',
+      s"$name: dtype '$dt' not supported (f/i/u only)")
     dt(2) - '0'
   }
 
@@ -124,7 +126,8 @@ object ZarrGrid extends Serializable {
     val n = m.chunks.product
     require(bytes.length == n * es,
       s"$name: chunk has ${bytes.length} bytes, expected ${n * es}")
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (m.dtype(0) == '>') ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
     var i = 0
     (m.dtype(1), es) match {
@@ -132,6 +135,13 @@ object ZarrGrid extends Serializable {
       case ('f', 4) => while (i < n) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
       case ('i', 8) => while (i < n) { out(i) = buf.getLong(i * 8).toDouble; i += 1 }
       case ('i', 4) => while (i < n) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
+      case ('i', 2) => while (i < n) { out(i) = buf.getShort(i * 2).toDouble; i += 1 }
+      case ('i', 1) => while (i < n) { out(i) = bytes(i).toDouble; i += 1 }
+      case ('u', 8) => throw new IllegalArgumentException(
+        s"$name: u8 exceeds double precision — rewrite as i8/f8")
+      case ('u', 4) => while (i < n) { out(i) = (buf.getInt(i * 4).toLong & 0xffffffffL).toDouble; i += 1 }
+      case ('u', 2) => while (i < n) { out(i) = (buf.getShort(i * 2).toInt & 0xffff).toDouble; i += 1 }
+      case ('u', 1) => while (i < n) { out(i) = (bytes(i) & 0xff).toDouble; i += 1 }
       case _ => throw new IllegalArgumentException(s"$name: dtype ${m.dtype} not supported")
     }
     out

@@ -176,6 +176,46 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("zstd"))
   }
 
+  test("foreign dtypes: big-endian >f4 and byte |u1 arrays read correctly") {
+    // hand-build an uncompressed store: x(3) <f8, y(2) <f8, z (2,3) >f4, m (2,3) |u1
+    val dir = Files.createTempDirectory("zarr_").resolve("fx.zarr").toString
+    def za(shape: String, chunks: String, dtype: String): String =
+      s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"$dtype",""" +
+        """"compressor":null,"fill_value":0.0,"order":"C","filters":null}"""
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(dir, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    def le(ds: Double*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(ds.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ds.foreach(bb.putDouble); bb.array()
+    }
+    put(".zgroup", """{"zarr_format":2}""".getBytes)
+    put("x/.zarray", za("[3]", "[3]", "<f8").getBytes)
+    put("x/.zattrs", """{"_ARRAY_DIMENSIONS":["x"]}""".getBytes)
+    put("x/0", le(10.0, 20.0, 30.0))
+    put("y/.zarray", za("[2]", "[2]", "<f8").getBytes)
+    put("y/.zattrs", """{"_ARRAY_DIMENSIONS":["y"]}""".getBytes)
+    put("y/0", le(1.0, 2.0))
+    val zbb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.BIG_ENDIAN)
+    Seq(1.5f, -2.5f, 3.0f, 4.5f, 5.0f, -6.5f).foreach(zbb.putFloat)
+    put("z/.zarray", za("[2,3]", "[2,3]", ">f4").getBytes)
+    put("z/.zattrs", """{"_ARRAY_DIMENSIONS":["y","x"]}""".getBytes)
+    put("z/0.0", zbb.array())
+    put("m/.zarray", za("[2,3]", "[2,3]", "|u1").getBytes)
+    put("m/.zattrs", """{"_ARRAY_DIMENSIONS":["y","x"]}""".getBytes)
+    put("m/0.0", Array[Byte](0, 1, 2, 3, 200.toByte, 255.toByte))
+    val back = ZarrGrid.readStore(spark, dir)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) ->
+        (r.getAs[Double]("z"), r.getAs[Double]("m"))).toMap
+    assert(back((10.0, 1.0)) === ((1.5, 0.0)))
+    assert(back((30.0, 1.0)) === ((3.0, 2.0)))
+    assert(back((20.0, 2.0)) === ((5.0, 200.0)))
+    assert(back((30.0, 2.0)) === ((-6.5, 255.0)))
+  }
+
   test("unsupported stores raise errors naming the blocker") {
     val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))

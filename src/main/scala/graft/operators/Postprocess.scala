@@ -20,8 +20,11 @@ object Postprocess {
       // candidate cutoff in LENGTHSCALES: sources beyond cutoff normalized
       // distance are dropped before the pairwise aggregate (their weight is
       // < exp(-cutoff^2/2) ~ 2e-11 at the default 7 — below double display
-      // precision for any sane field). None = exact all-pairs (reference's
-      // own O(n^2) semantics, fine at 10^2..10^3 experts).
+      // precision for any sane field). Targets with NO source within the
+      // cutoff (e.g. an isolated NaN-valued expert) fall back to the exact
+      // all-pairs aggregate, so no row is dropped relative to the
+      // reference. None = exact all-pairs everywhere (reference's own
+      // O(n^2) semantics, fine at 10^2..10^3 experts).
       cutoff: Option[Double] = Some(7.0))
 
   /** Gaussian kernel smoothing of a hyperparameter field across expert
@@ -58,37 +61,56 @@ object Postprocess {
     val clamped = df.withColumn("__v",
       when(isnan(col(cfg.valCol)), col(cfg.valCol)).otherwise(clamp(col(cfg.valCol))))
 
-    val tgt = clamped.select(
-      (Seq(col(cfg.xCol).as("__x0"), col(cfg.yCol).as("__y0")) ++ cfg.otherDims.map(col)): _*)
+    val tgtAll = clamped.select(
+      (Seq(col(cfg.xCol).as("__x0"), col(cfg.yCol).as("__y0"), col("__v").as("__tv")) ++
+        cfg.otherDims.map(col)): _*)
+    val tgt = tgtAll.drop("__tv")
     val src = clamped.select(
       (Seq(col(cfg.xCol).as("__xs"), col(cfg.yCol).as("__ys"), col("__v")) ++ cfg.otherDims.map(col)): _*)
       .filter(!isnan(col("__v")))
 
-    val joined = cfg.cutoff match {
+    def allPairs(t: DataFrame): DataFrame =
+      if (cfg.otherDims.nonEmpty) t.join(src, cfg.otherDims, "inner")
+      else t.crossJoin(src)
+
+    def aggregate(joined: DataFrame): DataFrame = {
+      val d2 = pow((col("__xs") - col("__x0")) / cfg.lX, 2) + pow((col("__ys") - col("__y0")) / cfg.lY, 2)
+      val w = exp(-d2 / 2.0)
+      joined
+        .groupBy((Seq(col("__x0"), col("__y0")) ++ cfg.otherDims.map(col)): _*)
+        .agg((sum(w * col("__v")) / sum(w)).as("__sm"))
+    }
+
+    val smoothed = cfg.cutoff match {
       case Some(cut) =>
+        // Only a NaN-VALUED target can be starved by the cutoff: every
+        // finite target is its own source at distance 0. The reference
+        // still fills isolated NaN targets with the weighted mean of
+        // distant sources (postprocessing.py:305-311), so NaN targets —
+        // rare by construction (failed fits) — take the exact all-pairs
+        // aggregate, and only finite targets ride the radius join. No row
+        // is dropped relative to the reference, and the common path costs
+        // one cell-bucketed join.
+        val tgtFinite = tgtAll.filter(!isnan(col("__tv"))).drop("__tv")
+        val tgtNaN = tgtAll.filter(isnan(col("__tv"))).drop("__tv")
         // radius join on lengthscale-normalized coordinates: one isotropic
         // radius bounds both dims; exact refine is dist^2 <= cutoff^2 there
-        val tn = tgt.withColumn("__x0n", col("__x0") / cfg.lX)
+        val tn = tgtFinite.withColumn("__x0n", col("__x0") / cfg.lX)
           .withColumn("__y0n", col("__y0") / cfg.lY)
         val sn = src.withColumn("__xsn", col("__xs") / cfg.lX)
           .withColumn("__ysn", col("__ys") / cfg.lY)
-        SpatialJoin.radiusJoin(tn, sn, SpatialJoin.RadiusJoinConfig(
-          radius = cut, leftX = "__x0n", leftY = "__y0n",
-          rightX = "__xsn", rightY = "__ysn", matchCols = cfg.otherDims,
-          rightPrefix = "__s_"))
-          .withColumnRenamed("__s___xs", "__xs").withColumnRenamed("__s___ys", "__ys")
-          .withColumnRenamed("__s___v", "__v")
-      case None =>
-        if (cfg.otherDims.nonEmpty) tgt.join(src, cfg.otherDims, "inner")
-        else tgt.crossJoin(src)
+        val near = aggregate(
+          SpatialJoin.radiusJoin(tn, sn, SpatialJoin.RadiusJoinConfig(
+            radius = cut, leftX = "__x0n", leftY = "__y0n",
+            rightX = "__xsn", rightY = "__ysn", matchCols = cfg.otherDims,
+            rightPrefix = "__s_"))
+            .withColumnRenamed("__s___xs", "__xs").withColumnRenamed("__s___ys", "__ys")
+            .withColumnRenamed("__s___v", "__v"))
+        near.unionByName(aggregate(allPairs(tgtNaN)))
+      case None => aggregate(allPairs(tgt))
     }
 
-    val d2 = pow((col("__xs") - col("__x0")) / cfg.lX, 2) + pow((col("__ys") - col("__y0")) / cfg.lY, 2)
-    val w = exp(-d2 / 2.0)
-
-    joined
-      .groupBy((Seq(col("__x0"), col("__y0")) ++ cfg.otherDims.map(col)): _*)
-      .agg((sum(w * col("__v")) / sum(w)).as("__sm"))
+    smoothed
       .select((Seq(col("__x0").as(cfg.xCol), col("__y0").as(cfg.yCol)) ++
         cfg.otherDims.map(col) :+ clamp(col("__sm")).as(cfg.valCol)): _*)
   }

@@ -172,13 +172,18 @@ object SimilaritySearch {
     */
   def trainCentroids(items: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int = 5, sampleMod: Int = 1): DataFrame = {
-    val sample = items.filter(col(idCol) % sampleMod === 0)
+    // hash-based sampling: `pmod(xxhash64(id), mod)` keeps the sampled
+    // fraction ~ 1/mod for ANY id distribution (sparse, skewed, negative),
+    // where a raw `id % mod` filter biases toward dense aligned ranges
+    val sample = items.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
       .select(col(idCol).as("item_id"), transform(col(vecCol), x => x.cast("double")).as("ivec"))
       .cache()
-    val n = sample.count()
-    val stride = math.max(1L, n / nlist)
-    var cents = sample
-      .filter(col("item_id") % stride === 0).orderBy("item_id").limit(nlist)
+    sample.count() // materialize the cache before the Lloyd's iterations
+    // init: the nlist sample items with smallest id hash — a deterministic
+    // pseudo-random pick that fills all nlist seats for any id distribution
+    // (a dense-id stride leaves seats empty on sparse id spaces).
+    // TakeOrderedAndProject: no full sort materializes.
+    var cents = sample.orderBy(xxhash64(col("item_id")), col("item_id")).limit(nlist)
       .select(col("item_id").as("list_id"), col("ivec").as("cvec"))
     (0 until iters).foreach { _ =>
       val assigned = sample.crossJoin(broadcast(centroidArray(cents)))

@@ -98,6 +98,8 @@ object BloscLite {
     if ((flags & 0x4) != 0) throw new IllegalArgumentException(
       s"$name: blosc bit-shuffle not supported (byte-shuffle and unshuffled frames only)")
     if (memcpyed) {
+      require(frame.length >= 16 + nbytes,
+        s"$name: blosc memcpy frame holds ${frame.length - 16} of $nbytes payload bytes")
       val out = new Array[Byte](nbytes)
       System.arraycopy(frame, 16, out, 0, nbytes)
       return out
@@ -108,8 +110,17 @@ object BloscLite {
         s"$name: blosc codec id $c not supported (lz4=1 and zlib=3 only — " +
           "rewrite zstd/snappy/blosclz stores with cname='lz4' or 'zlib')")
     }
-    val nblocks = (nbytes + blocksize - 1) / blocksize
-    val bstarts = Array.tabulate(nblocks)(i => i32(frame, 16 + 4 * i))
+    require(blocksize > 0 || nbytes == 0,
+      s"$name: blosc header claims blocksize $blocksize for $nbytes bytes")
+    val nblocks = if (nbytes == 0) 0 else (nbytes + blocksize - 1) / blocksize
+    require(frame.length >= 16 + 4 * nblocks,
+      s"$name: blosc frame too short for its $nblocks block offsets")
+    val bstarts = Array.tabulate(nblocks) { i =>
+      val s = i32(frame, 16 + 4 * i)
+      require(s >= 16 + 4 * nblocks && s < frame.length,
+        s"$name: blosc block $i start $s outside frame")
+      s
+    }
 
     def decodeStream(off: Int, cb: Int, outLen: Int): Array[Byte] =
       if (cb == outLen) { // stored raw

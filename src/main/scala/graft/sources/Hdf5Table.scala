@@ -132,14 +132,12 @@ object Hdf5Table {
     * file read — the honest cost for result-store-sized frames; big tables
     * belong in parquet or `.h5` granule directories.
     */
-  def readPandasFixed(spark: SparkSession, path: String, key: String = "df"): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    val byName = Hdf5Lite.read(bytes).map(v => v.name -> v).toMap
+  def readPandasFixed(spark: SparkSession, path: String, key: String = "df"): DataFrame =
+    pandasFixedFromReads(spark, Hdf5Lite.read(readFileBytes(spark, path)), path, key)
+
+  private def pandasFixedFromReads(spark: SparkSession, reads: Seq[Hdf5Lite.H5Read],
+                                   path: String, key: String): DataFrame = {
+    val byName = reads.map(v => v.name -> v).toMap
     def get(n: String): Hdf5Lite.H5Read = byName.getOrElse(s"$key/$n",
       throw new IllegalArgumentException(
         s"$path: no dataset '$key/$n' — present: ${byName.keys.toSeq.sorted.mkString(", ")}" +
@@ -234,14 +232,11 @@ object Hdf5Table {
     * Driver-side single-file read — the honest cost for
     * result-store-sized frames.
     */
-  def readPandasTable(spark: SparkSession, path: String, key: String = "df"): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    val (reads, _) = Hdf5Lite.readAll(bytes)
+  def readPandasTable(spark: SparkSession, path: String, key: String = "df"): DataFrame =
+    pandasTableFromReads(spark, Hdf5Lite.read(readFileBytes(spark, path)), path, key)
+
+  private def pandasTableFromReads(spark: SparkSession, reads: Seq[Hdf5Lite.H5Read],
+                                   path: String, key: String): DataFrame = {
     val byName = reads.map(v => v.name -> v).toMap
     val table = byName.getOrElse(s"$key/table",
       throw new IllegalArgumentException(
@@ -451,15 +446,23 @@ object Hdf5Table {
     * [[readPandasFixed]]) — the `pd.read_hdf(path, key)` dispatch.
     */
   def readPandasKey(spark: SparkSession, path: String, key: String = "df"): DataFrame = {
+    // one file read + one HDF5 parse, shared with the layout-specific reader
+    val reads = Hdf5Lite.read(readFileBytes(spark, path))
+    if (reads.exists(_.name == s"$key/table")) pandasTableFromReads(spark, reads, path, key)
+    else pandasFixedFromReads(spark, reads, path, key)
+  }
+
+  /** Whole-file bytes via the session Hadoop filesystem (works for any
+    * scheme the session can reach, not just local paths).
+    */
+  private def readFileBytes(spark: SparkSession, path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val len = fs.getFileStatus(p).getLen.toInt
     val bytes = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
-    val names = Hdf5Lite.read(bytes).map(_.name).toSet
-    if (names.contains(s"$key/table")) readPandasTable(spark, path, key)
-    else readPandasFixed(spark, path, key)
+    bytes
   }
 
   /** Several frames in ONE `.h5`, one HDFStore key each — the reference's
@@ -478,13 +481,7 @@ object Hdf5Table {
     * (format='table' marker).
     */
   def pandasKeys(spark: SparkSession, path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    Hdf5Lite.read(bytes).map(_.name).collect {
+    Hdf5Lite.read(readFileBytes(spark, path)).map(_.name).collect {
       case n if n.endsWith("/axis0") => n.stripSuffix("/axis0")
       case n if n.endsWith("/table") => n.stripSuffix("/table")
     }.distinct.sorted

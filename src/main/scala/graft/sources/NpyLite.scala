@@ -83,6 +83,10 @@ object NpyLite {
       val raw = 10 + dict.length + 1 // magic+ver+len + dict + newline
       ((raw + 63) / 64) * 64 - 10    // pad total preamble to 64-multiple
     }
+    // loud errors instead of Int overflow / u16 wrap for out-of-scope sizes
+    require(headerLen <= 0xFFFF, s".npy header of $headerLen bytes exceeds the format-1.0 u16 limit")
+    require(n <= (Int.MaxValue - 10 - headerLen) / 8,
+      s".npy write of $n elements exceeds the 2 GB single-buffer limit")
     val out = ByteBuffer.allocate(10 + headerLen + n * 8).order(ByteOrder.LITTLE_ENDIAN)
     out.put(Magic).put(1.toByte).put(0.toByte)
     out.putShort(headerLen.toShort)

@@ -32,10 +32,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * READ additionally covers the `libver='latest'` profile: superblock
   * v2/v3 (root addressed by object header), v2 'OHDR' object headers with
   * 'OCHK' continuations, compact Link-message groups, v2/v3 attribute
-  * messages, and layout v4 chunk indexes (single-chunk / implicit /
-  * fixed-array, paged or not). Dense (fractal-heap) link storage,
-  * extensible-array/v2-btree chunk indexes, and bit-shuffle raise errors
-  * naming the feature.
+  * messages, and ALL five layout v4 chunk indexes: single-chunk /
+  * implicit / fixed-array (paged or not) / extensible-array (resizable
+  * datasets — `maxshape=(None, ...)` appendable stores) / version-2
+  * B-tree (multiple unlimited dims). Dense (fractal-heap) link storage
+  * and bit-shuffle raise errors naming the feature.
   */
 object Hdf5Lite {
 
@@ -162,6 +163,10 @@ object Hdf5Lite {
   private def emitAttr(buf: ByteBuffer, a: H5Attr): Unit = {
     require(!a.scalar || attrNElems(a) == 1, s"attr ${a.name}: scalar with ${attrNElems(a)} values")
     val body = attrBodySize(a)
+    // the v1 message size is a u16: an oversized attribute (e.g. a pickled
+    // non_index_axes for a very wide frame) must fail loudly, not wrap
+    require(pad8(body) <= 0xFFFF,
+      s"attr ${a.name}: ${pad8(body)} bytes exceeds the 64 KB v1 attribute message limit")
     buf.putShort(0x000C.toShort); buf.putShort(pad8(body).toShort); buf.putInt(0)
     val start = buf.position()
     val nameB = a.name.getBytes("UTF-8")
@@ -253,6 +258,225 @@ object Hdf5Lite {
                 deflate: Int = 0, groupAttrs: Map[String, Seq[H5Attr]] = Map.empty,
                 compounds: Seq[(String, H5CompoundVar)] = Nil): Array[Byte] =
     writeImage(Nil, keyed, chunkRows, deflate, groupAttrs, compounds)
+
+  /** Jenkins lookup3 `hashlittle` (public domain, lookup3.c) — the
+    * checksum HDF5 stores on every `libver='latest'` metadata block
+    * (H5_checksum_metadata = hashlittle(data, len, 0)). Needed so
+    * [[writeExtensible]] images validate under checksum-checking readers.
+    */
+  private def lookup3(data: Array[Byte], off: Int, len: Int): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + len; var b = a; var c = a
+    var p = off; var rem = len
+    def k(i: Int): Int =
+      (data(p + 4 * i) & 0xff) | ((data(p + 4 * i + 1) & 0xff) << 8) |
+        ((data(p + 4 * i + 2) & 0xff) << 16) | ((data(p + 4 * i + 3) & 0xff) << 24)
+    while (rem > 12) {
+      a += k(0); b += k(1); c += k(2)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      p += 12; rem -= 12
+    }
+    if (rem == 0) return c
+    // tail: accumulate remaining bytes little-endian into a/b/c
+    def tail(i: Int): Int = if (i < rem) (data(p + i) & 0xff) else 0
+    a += tail(0) | (tail(1) << 8) | (tail(2) << 16) | (tail(3) << 24)
+    if (rem > 4) b += tail(4) | (tail(5) << 8) | (tail(6) << 16) | (tail(7) << 24)
+    if (rem > 8) c += tail(8) | (tail(9) << 8) | (tail(10) << 16) | (tail(11) << 24)
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
+  /** Write ONE resizable (appendable) float64 dataset the way an
+    * `h5py libver='latest'` writer with `maxshape=(None,)` lays it out:
+    * superblock v3, v2 'OHDR' object headers, a v2 dataspace with an
+    * unlimited max dimension, and a layout-v4 EXTENSIBLE-ARRAY chunk
+    * index ("EAHD" / "EAIB" / "EASB" / "EADB", geometry per the public
+    * HDF5 File Format Specification III.A.3) — the shape of every
+    * appendable user store the reference's `read_hdf` accepts
+    * (GPSat/dataloader.py:563-624). All metadata blocks carry real
+    * Jenkins-lookup3 checksums. Creation parameters mirror the library
+    * defaults (idxElmts=4, minElmts=16, minPtrs=4, pageBits=10); paged
+    * data blocks are out of write scope, bounding one dataset at 65,524
+    * chunks — a self-imposed write-side cap raised loudly.
+    * [[read]] round-trips the image through [[eaElementReader]].
+    */
+  def writeExtensible(name: String, values: Array[Double], chunkElems: Int): Array[Byte] = {
+    require(chunkElems > 0 && values.nonEmpty, "chunkElems > 0 and non-empty values")
+    val nChunks = (values.length + chunkElems - 1) / chunkElems
+    val chunkBytes = chunkElems * 8
+    // creation geometry (library defaults)
+    val idxElmts = 4; val minElmts = 16; val minPtrs = 4; val pageBits = 10; val maxBits = 32
+    val nsblksHdr = 2 + maxBits - log2of2(minElmts)
+    final case class SB(u: Int, ndblks: Int, dblkNelmts: Int, startIdx: Long, startDblk: Long)
+    val sblk = {
+      var si = 0L; var sd = 0L
+      (0 until nsblksHdr).map { u =>
+        val nd = 1 << (u / 2); val ne = (1 << ((u + 1) / 2)) * minElmts
+        val r = SB(u, nd, ne, si, sd); si += nd.toLong * ne; sd += nd; r
+      }
+    }
+    val iblkNsblks = 2 * log2of2(minPtrs)
+    val ndblkAddrs = 2 * (minPtrs - 1)
+    val nsblkAddrs = nsblksHdr - iblkNsblks
+    val pageNelmts = 1 << pageBits
+    val offBytes = (maxBits + 7) / 8
+
+    // container of element (chunk) index i: -1 = index-block inline, else
+    // (superblock u, data block index within it, slot within the block)
+    def container(i: Long): (Int, Int, Int) = {
+      val idx = i - idxElmts
+      val u = sblk.lastIndexWhere(_.startIdx <= idx)
+      val s = sblk(u)
+      ((s.u, ((idx - s.startIdx) / s.dblkNelmts).toInt, ((idx - s.startIdx) % s.dblkNelmts).toInt))
+    }
+    if (nChunks > idxElmts) {
+      val (uLast, _, _) = container(nChunks - 1L)
+      require(sblk(uLast).dblkNelmts <= pageNelmts,
+        s"$name: $nChunks chunks needs paged extensible-array data blocks — " +
+          "out of write scope (raise chunkElems; the READER handles paged blocks)")
+    }
+    // data blocks needed, as (superblock u, dblkIdx) in element order
+    val dblocks: Seq[(Int, Int)] =
+      if (nChunks <= idxElmts) Nil
+      else {
+        val (uLast, dLast, _) = container(nChunks - 1L)
+        for (u <- 0 to uLast; d <- 0 until sblk(u).ndblks
+             if u < uLast || d <= dLast) yield (u, d)
+      }
+    val sblksNeeded: Seq[Int] = dblocks.map(_._1).distinct.filter(_ >= iblkNsblks)
+
+    // ---- layout: fixed header sizes
+    val nameB = name.getBytes("UTF-8")
+    val rootMsg = 4 + (3 + nameB.length + 8)      // link message
+    val rootLen = 7 + rootMsg + 4
+    val dsMsgs = (4 + 20) + (4 + 20) + (4 + 23)   // dspace v2+max, f64 dtype, layout v4
+    val dsLen = 7 + dsMsgs + 4
+    val eahdLen = 72
+    val eaibLen = 14 + (idxElmts + ndblkAddrs + nsblkAddrs) * 8 + 4
+    def easbLen(u: Int) = 14 + offBytes + sblk(u).ndblks * 8 + 4
+    def eadbLen(u: Int) = 14 + offBytes + sblk(u).dblkNelmts * 8 + 4
+
+    var pos = 48L
+    val rootOh = pos; pos += rootLen
+    val dsOh = pos; pos += dsLen
+    val eahd = pos; pos += eahdLen
+    val eaib = pos; pos += eaibLen
+    val easbAt = sblksNeeded.map { u => val p = pos; pos += easbLen(u); u -> p }.toMap
+    val eadbAt = dblocks.map { case (u, d) => val p = pos; pos += eadbLen(u); (u, d) -> p }.toMap
+    val chunkAt = (0 until nChunks).map { i => val p = pos; pos += chunkBytes; p }
+    val total = pos
+
+    val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    def checksumAt(start: Long): Unit = // checksum over [start, position)
+      buf.putInt(lookup3(buf.array(), start.toInt, (buf.position() - start).toInt))
+
+    // superblock v3
+    buf.put(Signature)
+    buf.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    buf.putLong(0L).putLong(Undef).putLong(total).putLong(rootOh)
+    checksumAt(0L)
+
+    // root OHDR: one hard link to the dataset
+    buf.position(rootOh.toInt)
+    buf.put('O'.toByte).put('H'.toByte).put('D'.toByte).put('R'.toByte)
+    buf.put(2.toByte).put(0.toByte).put(rootMsg.toByte)
+    buf.put(0x06.toByte).putShort((3 + nameB.length + 8).toShort).put(0.toByte)
+    buf.put(1.toByte).put(0.toByte).put(nameB.length.toByte).put(nameB).putLong(dsOh)
+    checksumAt(rootOh)
+
+    // dataset OHDR: dataspace (max dim unlimited) + datatype + layout v4
+    buf.position(dsOh.toInt)
+    buf.put('O'.toByte).put('H'.toByte).put('D'.toByte).put('R'.toByte)
+    buf.put(2.toByte).put(0.toByte).put(dsMsgs.toByte)
+    buf.put(0x01.toByte).putShort(20.toShort).put(0.toByte)
+    buf.put(2.toByte).put(1.toByte).put(1.toByte).put(1.toByte) // v2, rank 1, max dims, simple
+    buf.putLong(values.length.toLong).putLong(Undef)            // dims; max = H5S_UNLIMITED
+    buf.put(0x03.toByte).putShort(20.toShort).put(0.toByte)
+    buf.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte)
+    buf.putInt(8).putShort(0.toShort).putShort(64.toShort)
+    buf.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+    buf.put(0x08.toByte).putShort(23.toShort).put(0.toByte)
+    buf.put(4.toByte).put(2.toByte).put(0.toByte)               // layout v4 chunked, no flags
+    buf.put(1.toByte).put(4.toByte).putInt(chunkElems)          // ndims 1, 4-byte dims
+    buf.put(4.toByte)                                           // index: extensible array
+    buf.put(maxBits.toByte).put(idxElmts.toByte).put(minPtrs.toByte)
+    buf.put(minElmts.toByte).put(pageBits.toByte)
+    buf.putLong(eahd)
+    checksumAt(dsOh)
+
+    // EAHD
+    buf.position(eahd.toInt)
+    buf.put('E'.toByte).put('A'.toByte).put('H'.toByte).put('D'.toByte)
+    buf.put(0.toByte).put(0.toByte)                             // version, client 0
+    buf.put(8.toByte).put(maxBits.toByte).put(idxElmts.toByte)
+    buf.put(minElmts.toByte).put(minPtrs.toByte).put(pageBits.toByte)
+    buf.putLong(sblksNeeded.length.toLong)
+    buf.putLong(sblksNeeded.map(easbLen(_).toLong).sum)         // secondary blks: count, bytes
+    buf.putLong(dblocks.length.toLong)
+    buf.putLong(dblocks.map { case (u, _) => eadbLen(u).toLong }.sum) // data blks: count, bytes
+    buf.putLong(nChunks.toLong).putLong(nChunks.toLong)         // max index set, num elements
+    buf.putLong(eaib)
+    checksumAt(eahd)
+
+    // EAIB: inline elements, direct data-block addrs, super-block addrs
+    buf.position(eaib.toInt)
+    buf.put('E'.toByte).put('A'.toByte).put('I'.toByte).put('B'.toByte)
+    buf.put(0.toByte).put(0.toByte).putLong(eahd)
+    (0 until idxElmts).foreach(i => buf.putLong(if (i < nChunks) chunkAt(i) else Undef))
+    (0 until ndblkAddrs).foreach { g => // global data-block number g
+      val ud = dblocks.find { case (u, d) => sblk(u).startDblk + d == g }
+      buf.putLong(ud.map(eadbAt).getOrElse(Undef))
+    }
+    sblk.drop(iblkNsblks).foreach(s => buf.putLong(easbAt.getOrElse(s.u, Undef)))
+    checksumAt(eaib)
+
+    // EASBs: block offset + data-block addresses (never paged here)
+    sblksNeeded.foreach { u =>
+      val s = sblk(u)
+      buf.position(easbAt(u).toInt)
+      buf.put('E'.toByte).put('A'.toByte).put('S'.toByte).put('B'.toByte)
+      buf.put(0.toByte).put(0.toByte).putLong(eahd)
+      (0 until offBytes).foreach(k => buf.put(((idxElmts + s.startIdx) >> (8 * k)).toByte))
+      (0 until s.ndblks).foreach(d => buf.putLong(eadbAt.getOrElse((u, d), Undef)))
+      checksumAt(easbAt(u))
+    }
+
+    // EADBs: element slots = chunk addresses (Undef past the last chunk)
+    dblocks.foreach { case (u, d) =>
+      val s = sblk(u)
+      val first = idxElmts + s.startIdx + d.toLong * s.dblkNelmts
+      buf.position(eadbAt((u, d)).toInt)
+      buf.put('E'.toByte).put('A'.toByte).put('D'.toByte).put('B'.toByte)
+      buf.put(0.toByte).put(0.toByte).putLong(eahd)
+      (0 until offBytes).foreach(k => buf.put((first >> (8 * k)).toByte))
+      (0 until s.dblkNelmts).foreach { j =>
+        val i = first + j
+        buf.putLong(if (i < nChunks) chunkAt(i.toInt) else Undef)
+      }
+      checksumAt(eadbAt((u, d)))
+    }
+
+    // chunk payloads (edge chunk zero-padded, as the library allocates)
+    (0 until nChunks).foreach { i =>
+      buf.position(chunkAt(i).toInt)
+      (0 until chunkElems).foreach { j =>
+        val k = i * chunkElems + j
+        buf.putDouble(if (k < values.length) values(k) else 0.0)
+      }
+    }
+    buf.array()
+  }
 
   private def writeImage(rootVars: Seq[H5Var], keyed0: Seq[(String, Seq[H5Var])],
                          chunkRows: Int, deflate: Int,
@@ -1017,16 +1241,228 @@ object Hdf5Lite {
     found
   }
 
+  private def checkSig(bytes: Array[Byte], p: Int, sig: String, name: String, what: String): Unit =
+    require((0 until 4).forall(i => bytes(p + i) == sig.charAt(i).toByte),
+      s"$name: bad $what signature at $p (expected '$sig')")
+
+  private def log2of2(v: Int): Int = {
+    require(v > 0 && (v & (v - 1)) == 0, s"extensible array: $v not a power of two")
+    Integer.numberOfTrailingZeros(v)
+  }
+
+  /** Extensible-array chunk index (layout v4 type 4) — what h5py's
+    * `libver='latest'` emits for ANY dataset with one unlimited dimension
+    * (`maxshape=(None, ...)`), i.e. every appendable store. Implemented
+    * from the public HDF5 File Format Specification III.A.3 ("Disk Format:
+    * Level 1A3 - Extensible Array") + the H5EA design notes: the header
+    * ("EAHD") carries the creation geometry; the index block ("EAIB")
+    * stores the first `idxBlkElmts` elements inline, then direct
+    * data-block addresses covering the first `2*log2(minPtrs)` super
+    * blocks, then super-block addresses; super block u ("EASB") holds
+    * `2^(u/2)` data blocks of `2^((u+1)/2) * minElmts` elements each; data
+    * blocks ("EADB") page once they exceed `2^pageBits` elements. Element
+    * i is chunk i's address (client 0) or address + stored size + filter
+    * mask (client 1). Returns an element-index -> (address, storedSize)
+    * accessor; unallocated elements come back as (Undef, 0).
+    */
+  private def eaElementReader(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                              hdrAddr: Long, chunkByteSize: Int): Long => (Long, Int) = {
+    val h = hdrAddr.toInt
+    checkSig(bytes, h, "EAHD", name, "extensible-array header")
+    val clientId = bytes(h + 5) & 0xff
+    val elemSize = bytes(h + 6) & 0xff
+    val maxBits = bytes(h + 7) & 0xff
+    val idxElmts = bytes(h + 8) & 0xff
+    val minElmts = bytes(h + 9) & 0xff
+    val minPtrs = bytes(h + 10) & 0xff
+    val pageBits = bytes(h + 11) & 0xff
+    // 6 length fields (num sblks, sblk size, num dblks, dblk size, max
+    // index set, num elements) sit at h+12..h+59; geometry below derives
+    // everything from the creation parameters, as the library does
+    val iblkAddr = buf.getLong(h + 60)
+    require(clientId == 0 || clientId == 1,
+      s"$name: extensible-array client $clientId not supported (chunk indexes only)")
+
+    final case class SB(ndblks: Int, dblkNelmts: Int, startIdx: Long, startDblk: Long)
+    val nsblksHdr = 2 + maxBits - log2of2(minElmts)
+    val sblk = {
+      var si = 0L; var sd = 0L
+      (0 until nsblksHdr).map { u =>
+        val nd = 1 << (u / 2)
+        val ne = (1 << ((u + 1) / 2)) * minElmts
+        val r = SB(nd, ne, si, sd)
+        si += nd.toLong * ne; sd += nd
+        r
+      }
+    }
+    val iblkNsblks = 2 * log2of2(minPtrs)   // super blocks whose data blocks
+    val ndblkAddrs = 2 * (minPtrs - 1)      //   live directly in the index block
+    val offBytes = (maxBits + 7) / 8        // EADB/EASB block-offset field width
+    val pageNelmts = 1 << pageBits
+
+    def readElemAt(p: Int): (Long, Int) =
+      if (clientId == 0) (buf.getLong(p), chunkByteSize)
+      else {
+        val szLen = elemSize - 12 // addr(8) + size + filter mask(4)
+        var v = 0L
+        (0 until szLen).foreach(k => v |= (bytes(p + 8 + k).toLong & 0xff) << (8 * k))
+        (buf.getLong(p), v.toInt)
+      }
+
+    // element j of the data block at dbAddr holding nelmts elements;
+    // paged blocks carry header + checksum, then (page, checksum) runs
+    def dblkElem(dbAddr: Long, nelmts: Int, j: Int): (Long, Int) = {
+      val db = dbAddr.toInt
+      checkSig(bytes, db, "EADB", name, "extensible-array data block")
+      val hdrEnd = db + 6 + 8 + offBytes // sig+ver+client, header addr, block offset
+      val p =
+        if (nelmts <= pageNelmts) hdrEnd + j * elemSize
+        else {
+          val pagesBase = hdrEnd + 4 // data-block checksum
+          val pageBytes = pageNelmts * elemSize + 4
+          pagesBase + (j / pageNelmts) * pageBytes + (j % pageNelmts) * elemSize
+        }
+      readElemAt(p)
+    }
+
+    val ib = iblkAddr.toInt
+    checkSig(bytes, ib, "EAIB", name, "extensible-array index block")
+    val ibElemsAt = ib + 6 + 8
+    val ibDblkAt = ibElemsAt + idxElmts * elemSize
+    val ibSblkAt = ibDblkAt + ndblkAddrs * 8
+
+    (i: Long) =>
+      if (i < idxElmts) readElemAt(ibElemsAt + i.toInt * elemSize)
+      else {
+        val idx = i - idxElmts
+        val u = sblk.lastIndexWhere(_.startIdx <= idx)
+        val s = sblk(u)
+        val within = idx - s.startIdx
+        val dblkIdx = (within / s.dblkNelmts).toInt
+        val j = (within % s.dblkNelmts).toInt
+        val dbAddr =
+          if (u < iblkNsblks) buf.getLong(ibDblkAt + (s.startDblk + dblkIdx).toInt * 8)
+          else {
+            val sbAddr = buf.getLong(ibSblkAt + (u - iblkNsblks) * 8)
+            if (sbAddr == Undef || sbAddr == 0L) Undef
+            else {
+              val sp = sbAddr.toInt
+              checkSig(bytes, sp, "EASB", name, "extensible-array super block")
+              var p = sp + 6 + 8 + offBytes
+              if (s.dblkNelmts > pageNelmts) // page-init bitmap precedes addresses
+                p += (s.ndblks * (s.dblkNelmts / pageNelmts) + 7) / 8
+              buf.getLong(p + dblkIdx * 8)
+            }
+          }
+        if (dbAddr == Undef || dbAddr == 0L) (Undef, 0)
+        else dblkElem(dbAddr, s.dblkNelmts, j)
+      }
+  }
+
+  /** Version-2 B-tree chunk index (layout v4 type 5) — what h5py's
+    * `libver='latest'` emits for datasets with MORE than one unlimited
+    * dimension. Implemented from the public HDF5 File Format Specification
+    * III.A.2 ("Disk Format: Level 1A2 - Version 2 B-trees") with record
+    * types 10 (non-filtered chunks: address + scaled offsets) and 11
+    * (filtered: address + stored size + filter mask + scaled offsets).
+    * Internal-node child-pointer field widths follow the library's
+    * geometry: a leaf holds `(nodeSize-10)/recSize` records; the
+    * byte width of every "number of records" field is
+    * `(floor(log2(maxLeafRecs)) + 7) / 8`, and each depth-u node's
+    * cumulative-count field width derives from
+    * `cum(u) = (max(u)+1)*cum(u-1) + max(u)`. Walks every node and
+    * returns (scaled chunk offsets, address, storedSize) per record.
+    */
+  private def btree2ChunkEntries(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                                 hdrAddr: Long, rank: Int,
+                                 chunkByteSize: Int): Seq[(Seq[Long], Long, Int)] = {
+    val h = hdrAddr.toInt
+    checkSig(bytes, h, "BTHD", name, "v2 B-tree header")
+    val btype = bytes(h + 5) & 0xff
+    val nodeSize = buf.getInt(h + 6)
+    val recSize = buf.getShort(h + 10) & 0xffff
+    val depth = buf.getShort(h + 12) & 0xffff
+    val rootAddr = buf.getLong(h + 16)
+    val rootNrec = buf.getShort(h + 24) & 0xffff
+    require(btype == 10 || btype == 11,
+      s"$name: v2 B-tree record type $btype is not a chunk index (10/11 only)")
+
+    // record geometry: offsets may be encoded for rank or rank+1 dims
+    // (with the element-size dim); derive from the stored record size
+    val (szLen, ndimsEnc) =
+      if (btype == 10) (0, (recSize - 8) / 8)
+      else {
+        val nd = Seq(rank, rank + 1).find { d =>
+          val s = recSize - 12 - 8 * d; s >= 1 && s <= 8
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$name: cannot solve v2 B-tree record size $recSize for rank $rank"))
+        (recSize - 12 - 8 * nd, nd)
+      }
+    require(ndimsEnc >= rank, s"$name: v2 B-tree records carry $ndimsEnc dims, dataset has $rank")
+
+    def record(p: Int): (Seq[Long], Long, Int) = {
+      val addr = buf.getLong(p)
+      var q = p + 8
+      val stored =
+        if (btype == 10) chunkByteSize
+        else {
+          var v = 0L
+          (0 until szLen).foreach(k => v |= (bytes(q + k).toLong & 0xff) << (8 * k))
+          q += szLen + 4 // stored size + filter mask
+          v.toInt
+        }
+      val scaled = (0 until ndimsEnc).map(i => buf.getLong(q + i * 8))
+      (scaled, addr, stored)
+    }
+
+    def log2gen(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))
+    val maxNrecLeaf = (nodeSize - 10) / recSize
+    val maxNrecSize = (log2gen(maxNrecLeaf) + 7) / 8
+    // per-depth cumulative-record-count field widths (0 at the leaves)
+    val cumSize = new Array[Int](depth + 1)
+    var cumMax = maxNrecLeaf.toLong
+    (1 to depth).foreach { u =>
+      val ptr = 8 + maxNrecSize + cumSize(u - 1)
+      val maxN = (nodeSize - (10 + ptr)) / (recSize + ptr)
+      cumMax = (maxN + 1).toLong * cumMax + maxN
+      cumSize(u) = (log2gen(cumMax) + 7) / 8
+    }
+
+    val acc = Seq.newBuilder[(Seq[Long], Long, Int)]
+    def walk(addr: Long, nrec: Int, level: Int): Unit = {
+      val q = addr.toInt
+      if (level == 0) {
+        checkSig(bytes, q, "BTLF", name, "v2 B-tree leaf")
+        (0 until nrec).foreach(i => acc += record(q + 6 + i * recSize))
+      } else {
+        checkSig(bytes, q, "BTIN", name, "v2 B-tree internal node")
+        (0 until nrec).foreach(i => acc += record(q + 6 + i * recSize))
+        val ptrBytes = 8 + maxNrecSize + cumSize(level - 1)
+        var p = q + 6 + nrec * recSize
+        (0 to nrec).foreach { _ =>
+          val cAddr = buf.getLong(p)
+          var cNrec = 0L
+          (0 until maxNrecSize).foreach(k => cNrec |= (bytes(p + 8 + k).toLong & 0xff) << (8 * k))
+          walk(cAddr, cNrec.toInt, level - 1)
+          p += ptrBytes
+        }
+      }
+    }
+    if (rootAddr != Undef && rootNrec >= 0) walk(rootAddr, rootNrec, depth)
+    acc.result()
+  }
+
   /** Parse one v1 object header and its data. */
   private def readDataset(bytes: Array[Byte], buf: ByteBuffer, name: String,
                           ohAddr: Long): H5Read = {
     var shape: Seq[Int] = null
+    var unlimDim = -1              // dataspace dim with unlimited max extent
     var dtClass = -1
     var dtSize = -1
     var dataAddr = -1L
     var dataSize = -1L
     var chunkDims: Seq[Int] = null // set for chunked layout (class 2)
-    var chunkIndexType = 0         // 0 = v1 B-tree (layout v3); 1/2/3 = v4 indexes
+    var chunkIndexType = 0         // 0 = v1 B-tree (layout v3); 1-5 = v4 indexes
     var v4SingleSize = -1L         // filtered single-chunk stored size
     var filters: Seq[Int] = Nil
     var attrs = Vector.empty[H5Attr]
@@ -1036,8 +1472,13 @@ object Hdf5Lite {
         case 0x0001 => // dataspace
           val ver = bytes(body).toInt
           val rank = bytes(body + 1).toInt
+          val flags = bytes(body + 2).toInt
           val dimsOff = if (ver == 1) body + 8 else body + 4 // v2: ver,rank,flags,type
           shape = (0 until rank).map(i => buf.getLong(dimsOff + i * 8).toInt)
+          if ((flags & 0x1) != 0) { // max dims present; H5S_UNLIMITED = all-ones
+            val maxOff = dimsOff + rank * 8
+            unlimDim = (0 until rank).indexWhere(i => buf.getLong(maxOff + i * 8) == -1L)
+          }
         case 0x0003 => // datatype
           dtClass = bytes(body).toInt & 0x0f
           dtSize = buf.getInt(body + 4)
@@ -1104,10 +1545,11 @@ object Hdf5Lite {
                   if ((cflags & 0x02) != 0) { v4SingleSize = buf.getLong(q); q += 8 + 4 }
                 case 2 => () // implicit: consecutive unfiltered chunks
                 case 3 => q += 1 // fixed array: page bits byte
+                case 4 => q += 5 // extensible array: creation params (also in EAHD)
+                case 5 => q += 6 // v2 B-tree: node size(4) + split/merge %
                 case t => throw new IllegalArgumentException(
-                  s"$name: v4 chunk index type $t not supported (single-chunk/implicit/" +
-                    "fixed-array only — extensible-array/v2-btree indexes come from " +
-                    "unlimited-dimension datasets)")
+                  s"$name: v4 chunk index type $t not supported (1-5 = single-chunk/" +
+                    "implicit/fixed-array/extensible-array/v2-btree)")
               }
               dataAddr = buf.getLong(q)
             } else throw new IllegalArgumentException(
@@ -1236,6 +1678,28 @@ object Hdf5Lite {
                 }
               (gridOffs(i), addr, stored)
             }.filter(e => e._2 != Undef && e._2 != 0L)
+          case 4 => // v4 extensible array (resizable datasets, one unlimited dim)
+            val element = eaElementReader(bytes, buf, name, dataAddr, chunkByteSize)
+            // chunks linearize in SWIZZLED order: the unlimited dimension
+            // varies slowest (H5Dearray swizzles it to the front); with
+            // the default maxshape=(None, fixed...) this is plain
+            // row-major over the current chunk grid
+            val swiz =
+              if (unlimDim <= 0) shape.indices
+              else unlimDim +: shape.indices.filterNot(_ == unlimDim)
+            (0 until nChunksTotal).map { i =>
+              val offs = gridOffs(i)
+              var idx = 0L
+              swiz.foreach(d => idx = idx * nPerDim(d) + offs(d) / chunkDims(d))
+              val (addr, stored) = element(idx)
+              (offs, addr, stored)
+            }.filter(e => e._2 != Undef && e._2 != 0L)
+          case 5 => // v4 version-2 B-tree (multiple unlimited dims)
+            btree2ChunkEntries(bytes, buf, name, dataAddr, shape.length, chunkByteSize)
+              .map { case (scaled, addr, stored) =>
+                (shape.indices.map(d => (scaled(d) * chunkDims(d)).toInt), addr, stored)
+              }
+              .filter(e => e._2 != Undef && e._2 != 0L)
           case t => throw new IllegalArgumentException(s"$name: chunk index type $t")
         }
 

@@ -701,6 +701,196 @@ class Hdf5LatestSpec extends AnyFunSuite {
     assert(Hdf5Lite.read(img.bytes).head.doubles.toSeq === Seq(9.0, 8.0, 7.0))
   }
 
+  // ---- extensible-array chunk index (resizable datasets) ----
+
+  test("writeExtensible roundtrip: inline index-block elements only") {
+    val vals = Array.tabulate(7)(i => i * 1.5)
+    val img = Hdf5Lite.writeExtensible("v", vals, chunkElems = 2)
+    val r = Hdf5Lite.read(img).head
+    assert(r.shape === Seq(7))
+    assert(r.doubles.toSeq === vals.toSeq)
+  }
+
+  test("writeExtensible roundtrip: direct data blocks (chunks past the index block)") {
+    val vals = Array.tabulate(401)(i => math.sin(i.toDouble))
+    val img = Hdf5Lite.writeExtensible("v", vals, chunkElems = 2) // 201 chunks: 4 inline + dblocks
+    val r = Hdf5Lite.read(img).head
+    assert(r.shape === Seq(401))
+    assert(r.doubles.toSeq === vals.toSeq)
+  }
+
+  test("writeExtensible roundtrip: super blocks engaged (1000+ chunks)") {
+    val vals = Array.tabulate(2501)(i => (i * 7 % 101).toDouble)
+    val img = Hdf5Lite.writeExtensible("v", vals, chunkElems = 2) // 1251 chunks -> EASBs
+    val r = Hdf5Lite.read(img).head
+    assert(r.shape === Seq(2501))
+    assert(r.doubles.toSeq === vals.toSeq)
+    assert(new String(img.slice(0, 8), "ISO-8859-1").contains("HDF"))
+  }
+
+  test("extensible array with FILTERED client: per-chunk stored size honored") {
+    // hand-built: idxElmts 2 covers both chunks inline; client 1 elements
+    // are (addr 8, size 4, mask 4). minElmts/minPtrs small but unused.
+    val img = new B(8192)
+    val rootOh = 48
+    val dsOh = 128
+    val eahd = 400
+    val eaib = 480
+    val c0raw = new B(32).f64(1.0).f64(2.0).f64(3.0).f64(4.0).bytes
+    val c1raw = new B(32).f64(5.0).f64(6.0).f64(0.0).f64(0.0).bytes
+    val c0 = gzip(c0raw); val c1 = gzip(c1raw)
+    val chunk0At = 600; val chunk1At = 760
+    val filters = new B(12).u8(2, 1).u16(1).u16(1).u16(1).u32(6).bytes
+    // layout v4 class 2, index 4 (EA): 5 param bytes then header address
+    val layout = new B(2 + 1 + 1 + 1 + 4 + 1 + 5 + 8)
+      .u8(4, 2, 0, 1, 4).u32(4).u8(4).u8(32, 2, 4, 4, 10).u64(eahd.toLong).bytes
+    sigV3(img, rootOh, 8192L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(6)),
+      0x03 -> dtypeF64,
+      0x0B -> filters,
+      0x08 -> layout))
+    // EAHD: client 1, elem size 16, maxBits 32, idxElmts 2, minElmts 4, minPtrs 4, pageBits 10
+    img.at(eahd).ascii("EAHD").u8(0, 1, 16, 32, 2, 4, 4, 10)
+      .u64(0L).u64(0L).u64(0L).u64(0L).u64(2L).u64(2L)
+      .u64(eaib.toLong).u32(0)
+    // EAIB: 2 inline (addr,size,mask) elements, 6 direct dblk addrs, sblk addrs
+    val nsblkAddrs = (2 + 32 - 2) - 4 // nsblksHdr - iblkNsblks for minElmts=4, minPtrs=4
+    val b = img.at(eaib).ascii("EAIB").u8(0, 1).u64(eahd.toLong)
+      .u64(chunk0At.toLong).u32(c0.length).u32(0)
+      .u64(chunk1At.toLong).u32(c1.length).u32(0)
+    (0 until 6 + nsblkAddrs).foreach(_ => b.u64(UNDEF))
+    b.u32(0)
+    img.at(chunk0At).raw(c0)
+    img.at(chunk1At).raw(c1)
+    val r = Hdf5Lite.read(img.bytes).head
+    assert(r.shape === Seq(6))
+    assert(r.doubles.toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("extensible array PAGED data block (per-page element runs + checksums)") {
+    // idxElmts 1, minElmts 4, minPtrs 2, pageBits 1 -> pageNelmts 2: the
+    // first data block holds 4 elements as 2 pages of (2 elems + csum)
+    val img = new B(8192)
+    val rootOh = 48
+    val dsOh = 128
+    val eahd = 400
+    val eaib = 480
+    val eadb = 560
+    val layout = new B(2 + 1 + 1 + 1 + 4 + 1 + 5 + 8)
+      .u8(4, 2, 0, 1, 4).u32(2).u8(4).u8(32, 1, 2, 4, 1).u64(eahd.toLong).bytes
+    sigV3(img, rootOh, 8192L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(10)),
+      0x03 -> dtypeF64,
+      0x08 -> layout))
+    // EAHD: client 0, elem size 8, maxBits 32, idxElmts 1, minElmts 4, minPtrs 2, pageBits 1
+    img.at(eahd).ascii("EAHD").u8(0, 0, 8, 32, 1, 4, 2, 1)
+      .u64(0L).u64(0L).u64(1L).u64(0L).u64(5L).u64(5L)
+      .u64(eaib.toLong).u32(0)
+    // iblkNsblks = 2*log2(2) = 2; ndblkAddrs = 2; nsblkAddrs = (2+32-2)-2 = 30
+    val chunkAt = Array.tabulate(5)(i => 800 + i * 16)
+    val b = img.at(eaib).ascii("EAIB").u8(0, 0).u64(eahd.toLong)
+      .u64(chunkAt(0).toLong)          // 1 inline element
+      .u64(eadb.toLong).u64(UNDEF)     // direct dblk addrs (sblk0 dblk, sblk1 dblk)
+    (0 until 30).foreach(_ => b.u64(UNDEF))
+    b.u32(0)
+    // EADB paged: sig, ver, client, hdr addr, block offset (4 bytes for
+    // maxBits 32), dblock checksum, then [e1 e2 csum][e3 e4 csum]
+    img.at(eadb).ascii("EADB").u8(0, 0).u64(eahd.toLong)
+      .u8(1, 0, 0, 0) // block offset = element index 1
+      .u32(0)
+      .u64(chunkAt(1).toLong).u64(chunkAt(2).toLong).u32(0)
+      .u64(chunkAt(3).toLong).u64(chunkAt(4).toLong).u32(0)
+    (0 until 5).foreach(i => img.at(chunkAt(i)).f64(i * 10.0).f64(i * 10.0 + 1))
+    val r = Hdf5Lite.read(img.bytes).head
+    assert(r.shape === Seq(10))
+    assert(r.doubles.toSeq === (0 until 5).flatMap(i => Seq(i * 10.0, i * 10.0 + 1)))
+  }
+
+  // ---- version-2 B-tree chunk index (multiple unlimited dims) ----
+
+  test("v2 B-tree chunk index, depth 0: records in the root leaf") {
+    val img = new B(8192)
+    val rootOh = 48
+    val dsOh = 128
+    val bthd = 400
+    val btlf = 448
+    // 2-d 4x4, chunks 2x2 -> 4 chunks; type-10 records: addr + 2 scaled offsets
+    val layout = new B(2 + 1 + 1 + 1 + 8 + 1 + 6 + 8)
+      .u8(4, 2, 0, 2, 4).u32(2).u32(2).u8(5).u32(512).u8(85, 40).u64(bthd.toLong).bytes
+    sigV3(img, rootOh, 8192L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(4, 4)),
+      0x03 -> dtypeF64,
+      0x08 -> layout))
+    val chunkAt = Array.tabulate(4)(i => 600 + i * 32)
+    // BTHD: type 10, node size 512, record size 24, depth 0
+    img.at(bthd).ascii("BTHD").u8(0, 10).u32(512).u16(24).u16(0).u8(85, 40)
+      .u64(btlf.toLong).u16(4).u64(4L).u32(0)
+    val b = img.at(btlf).ascii("BTLF").u8(0, 10)
+    // records in chunk order (order is irrelevant to the reader)
+    Seq((0, 0), (0, 1), (1, 0), (1, 1)).zipWithIndex.foreach { case ((r0, c0), i) =>
+      b.u64(chunkAt(i).toLong).u64(r0.toLong).u64(c0.toLong)
+    }
+    b.u32(0)
+    // chunk i holds doubles 100*i + {0..3}, laid out row-major within chunk
+    (0 until 4).foreach(i =>
+      img.at(chunkAt(i)).f64(100.0 * i).f64(100.0 * i + 1).f64(100.0 * i + 2).f64(100.0 * i + 3))
+    val r = Hdf5Lite.read(img.bytes).head
+    assert(r.shape === Seq(4, 4))
+    // chunk (0,0) -> rows 0-1 cols 0-1, etc.
+    assert(r.doubles.toSeq === Seq(
+      0.0, 1.0, 100.0, 101.0,
+      2.0, 3.0, 102.0, 103.0,
+      200.0, 201.0, 300.0, 301.0,
+      202.0, 203.0, 302.0, 303.0))
+  }
+
+  test("v2 B-tree chunk index, depth 1: internal node + two leaves, filtered records") {
+    val img = new B(8192)
+    val rootOh = 48
+    val dsOh = 128
+    val bthd = 400
+    val btin = 448
+    val leaf0 = 520
+    val leaf1 = 640
+    // 1-d shape 6, chunks of 2 -> 3 chunks, gzip filtered
+    // type-11 record: addr(8) + size(szLen) + mask(4) + 1 scaled offset(8)
+    // record size 24 -> szLen = 24-12-8 = 4
+    val c = (0 until 3).map(i => gzip(new B(16).f64(10.0 * i).f64(10.0 * i + 1).bytes))
+    val chunkAt = Array.tabulate(3)(i => 800 + i * 48)
+    val filters = new B(12).u8(2, 1).u16(1).u16(1).u16(1).u32(6).bytes
+    val layout = new B(2 + 1 + 1 + 1 + 4 + 1 + 6 + 8)
+      .u8(4, 2, 0, 1, 4).u32(2).u8(5).u32(512).u8(85, 40).u64(bthd.toLong).bytes
+    sigV3(img, rootOh, 8192L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(6)),
+      0x03 -> dtypeF64,
+      0x0B -> filters,
+      0x08 -> layout))
+    // BTHD: type 11, node size 512, record size 24, depth 1, root = BTIN with 1 record
+    img.at(bthd).ascii("BTHD").u8(0, 11).u32(512).u16(24).u16(1).u8(85, 40)
+      .u64(btin.toLong).u16(1).u64(3L).u32(0)
+    def rec(b: B, i: Int): B =
+      b.u64(chunkAt(i).toLong).u32(c(i).length).u32(0).u64(i.toLong)
+    // BTIN: 1 record (chunk 1), then 2 child pointers:
+    // addr(8) + nrec(1 byte: maxNrecSize for (512-10)/24=20 leaf recs)
+    val bIn = img.at(btin).ascii("BTIN").u8(0, 11)
+    rec(bIn, 1)
+    bIn.u64(leaf0.toLong).u8(1).u64(leaf1.toLong).u8(1).u32(0)
+    rec(img.at(leaf0).ascii("BTLF").u8(0, 11), 0).u32(0)
+    rec(img.at(leaf1).ascii("BTLF").u8(0, 11), 2).u32(0)
+    (0 until 3).foreach(i => img.at(chunkAt(i)).raw(c(i)))
+    val r = Hdf5Lite.read(img.bytes).head
+    assert(r.shape === Seq(6))
+    assert(r.doubles.toSeq === Seq(0.0, 1.0, 10.0, 11.0, 20.0, 21.0))
+  }
+
   test("dense link storage and unsupported v4 indexes raise named errors") {
     val img = new B(1024)
     val rootOh = 48

@@ -763,6 +763,25 @@ object SparkEntry {
         colSelect = Seq("x", "y", "z_mean", "n_obs")))
     }),
 
+    // resizable (appendable) store roundtrip: the binned series written as
+    // three maxshape=(None,) datasets behind a layout-v4 EXTENSIBLE-ARRAY
+    // chunk index (what h5py libver='latest' gives any appendable user
+    // store, dataloader.py:563-624), read back through the .h5 ConfigExpr
+    // dispatch; the oracle recomputes from parquet, pinning writer+reader
+    "q62_hdf5_extensible" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("x", "y", "z_mean")
+      val rows = binned.orderBy("x", "y").collect()
+      def series(i: Int) = rows.map(_.getDouble(i))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q62_").resolve("appendable.h5")
+      java.nio.file.Files.write(tmp, graft.sources.Hdf5Lite.writeExtensibleAll(
+        Seq("x" -> series(0), "y" -> series(1), "z_mean" -> series(2)), chunkElems = 3))
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp.toString, colSelect = Seq("x", "y", "z_mean")))
+    }),
+
     "q45_netcdf_roundtrip" -> ((s, dir) => {
       val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
         valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
@@ -1405,6 +1424,17 @@ object SparkEntry {
     "q61_hdfstore_blocks" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS n_obs FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    // same binned values as q49 — the extensible-array container must be
+    // lossless
+    "q62_hdf5_extensible" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
          |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
          |   FROM ($ObsSql)

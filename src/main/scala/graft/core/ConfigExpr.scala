@@ -194,7 +194,17 @@ object ConfigExpr {
       // table layout); unset -> columnar granule scan (directory/glob)
       var df = cfg.table match {
         case Some(key) =>
-          var d = graft.sources.Hdf5Table.readPandasKey(spark, cfg.source, key).drop("index")
+          // `where` pushdown (the reference's server-side store.select
+          // where, dataloader.py:1161-1192): safe only while the triples
+          // still name STORE columns — i.e. no positional rename pending;
+          // table layouts prune chunk-wise, fixed layouts read fully.
+          // The Spark-side filter below still applies (no-op on the
+          // surviving rows), keeping both layouts semantically identical.
+          val pushable = cfg.where.nonEmpty && cfg.newColumnNames.isEmpty
+          var d = (if (pushable)
+            graft.sources.Hdf5Table.readPandasKeyWhere(spark, cfg.source, key,
+              cfg.where.map(w => graft.sources.Hdf5Table.TableWhere(w.col, w.comp, w.value)))
+          else graft.sources.Hdf5Table.readPandasKey(spark, cfg.source, key)).drop("index")
           cfg.sourceColumn.foreach { c =>
             d = d.withColumn(c, regexp_extract(lit(cfg.source), "([^/]+)$", 1))
           }

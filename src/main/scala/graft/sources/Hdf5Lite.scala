@@ -297,13 +297,13 @@ object Hdf5Lite {
     c
   }
 
-  /** Write ONE resizable (appendable) float64 dataset the way an
-    * `h5py libver='latest'` writer with `maxshape=(None,)` lays it out:
-    * superblock v3, v2 'OHDR' object headers, a v2 dataspace with an
+  /** Write resizable (appendable) float64 datasets the way an
+    * `h5py libver='latest'` writer with `maxshape=(None,)` lays them out:
+    * superblock v3, v2 'OHDR' object headers, v2 dataspaces with an
     * unlimited max dimension, and a layout-v4 EXTENSIBLE-ARRAY chunk
-    * index ("EAHD" / "EAIB" / "EASB" / "EADB", geometry per the public
-    * HDF5 File Format Specification III.A.3) — the shape of every
-    * appendable user store the reference's `read_hdf` accepts
+    * index per dataset ("EAHD" / "EAIB" / "EASB" / "EADB", geometry per
+    * the public HDF5 File Format Specification III.A.3) — the shape of
+    * every appendable user store the reference's `read_hdf` accepts
     * (GPSat/dataloader.py:563-624). All metadata blocks carry real
     * Jenkins-lookup3 checksums. Creation parameters mirror the library
     * defaults (idxElmts=4, minElmts=16, minPtrs=4, pageBits=10); paged
@@ -311,12 +311,19 @@ object Hdf5Lite {
     * chunks — a self-imposed write-side cap raised loudly.
     * [[read]] round-trips the image through [[eaElementReader]].
     */
-  def writeExtensible(name: String, values: Array[Double], chunkElems: Int): Array[Byte] = {
-    require(chunkElems > 0 && values.nonEmpty, "chunkElems > 0 and non-empty values")
-    val nChunks = (values.length + chunkElems - 1) / chunkElems
-    val chunkBytes = chunkElems * 8
+  def writeExtensible(name: String, values: Array[Double], chunkElems: Int): Array[Byte] =
+    writeExtensibleAll(Seq(name -> values), chunkElems)
+
+  /** Multi-series form of [[writeExtensible]]: each (name, values) pair
+    * becomes one root-level appendable dataset — the multi-column series
+    * store [[Hdf5Table.read]] maps to a DataFrame.
+    */
+  def writeExtensibleAll(series: Seq[(String, Array[Double])], chunkElems: Int): Array[Byte] = {
+    require(chunkElems > 0 && series.nonEmpty && series.forall(_._2.nonEmpty),
+      "chunkElems > 0 and non-empty series")
     // creation geometry (library defaults)
     val idxElmts = 4; val minElmts = 16; val minPtrs = 4; val pageBits = 10; val maxBits = 32
+    val chunkBytes = chunkElems * 8
     val nsblksHdr = 2 + maxBits - log2of2(minElmts)
     final case class SB(u: Int, ndblks: Int, dblkNelmts: Int, startIdx: Long, startDblk: Long)
     val sblk = {
@@ -332,33 +339,44 @@ object Hdf5Lite {
     val pageNelmts = 1 << pageBits
     val offBytes = (maxBits + 7) / 8
 
-    // container of element (chunk) index i: -1 = index-block inline, else
-    // (superblock u, data block index within it, slot within the block)
-    def container(i: Long): (Int, Int, Int) = {
+    // container of element (chunk) index i: (superblock u, data block
+    // index within it); only valid for i >= idxElmts
+    def container(i: Long): (Int, Int) = {
       val idx = i - idxElmts
       val u = sblk.lastIndexWhere(_.startIdx <= idx)
-      val s = sblk(u)
-      ((s.u, ((idx - s.startIdx) / s.dblkNelmts).toInt, ((idx - s.startIdx) % s.dblkNelmts).toInt))
+      (u, ((idx - sblk(u).startIdx) / sblk(u).dblkNelmts).toInt)
     }
-    if (nChunks > idxElmts) {
-      val (uLast, _, _) = container(nChunks - 1L)
-      require(sblk(uLast).dblkNelmts <= pageNelmts,
-        s"$name: $nChunks chunks needs paged extensible-array data blocks — " +
-          "out of write scope (raise chunkElems; the READER handles paged blocks)")
+
+    // per-series plan: name bytes, chunk count, needed blocks
+    final case class Plan(nameB: Array[Byte], values: Array[Double], nChunks: Int,
+                          dblocks: Seq[(Int, Int)], sblksNeeded: Seq[Int]) {
+      var dsOh = 0L; var eahd = 0L; var eaib = 0L
+      var easbAt: Map[Int, Long] = Map.empty
+      var eadbAt: Map[(Int, Int), Long] = Map.empty
+      var chunkAt: IndexedSeq[Long] = IndexedSeq.empty
     }
-    // data blocks needed, as (superblock u, dblkIdx) in element order
-    val dblocks: Seq[(Int, Int)] =
-      if (nChunks <= idxElmts) Nil
-      else {
-        val (uLast, dLast, _) = container(nChunks - 1L)
-        for (u <- 0 to uLast; d <- 0 until sblk(u).ndblks
-             if u < uLast || d <= dLast) yield (u, d)
+    val plans = series.map { case (name, values) =>
+      val nChunks = (values.length + chunkElems - 1) / chunkElems
+      if (nChunks > idxElmts) {
+        val (uLast, _) = container(nChunks - 1L)
+        require(sblk(uLast).dblkNelmts <= pageNelmts,
+          s"$name: $nChunks chunks needs paged extensible-array data blocks — " +
+            "out of write scope (raise chunkElems; the READER handles paged blocks)")
       }
-    val sblksNeeded: Seq[Int] = dblocks.map(_._1).distinct.filter(_ >= iblkNsblks)
+      val dblocks: Seq[(Int, Int)] =
+        if (nChunks <= idxElmts) Nil
+        else {
+          val (uLast, dLast) = container(nChunks - 1L)
+          for (u <- 0 to uLast; d <- 0 until sblk(u).ndblks
+               if u < uLast || d <= dLast) yield (u, d)
+        }
+      Plan(name.getBytes("UTF-8"), values, nChunks,
+        dblocks, dblocks.map(_._1).distinct.filter(_ >= iblkNsblks))
+    }
 
     // ---- layout: fixed header sizes
-    val nameB = name.getBytes("UTF-8")
-    val rootMsg = 4 + (3 + nameB.length + 8)      // link message
+    val rootMsg = plans.map(p => 4 + (3 + p.nameB.length + 8)).sum // link messages
+    require(rootMsg < 256, s"${series.length} series names exceed the root header budget")
     val rootLen = 7 + rootMsg + 4
     val dsMsgs = (4 + 20) + (4 + 20) + (4 + 23)   // dspace v2+max, f64 dtype, layout v4
     val dsLen = 7 + dsMsgs + 4
@@ -369,12 +387,14 @@ object Hdf5Lite {
 
     var pos = 48L
     val rootOh = pos; pos += rootLen
-    val dsOh = pos; pos += dsLen
-    val eahd = pos; pos += eahdLen
-    val eaib = pos; pos += eaibLen
-    val easbAt = sblksNeeded.map { u => val p = pos; pos += easbLen(u); u -> p }.toMap
-    val eadbAt = dblocks.map { case (u, d) => val p = pos; pos += eadbLen(u); (u, d) -> p }.toMap
-    val chunkAt = (0 until nChunks).map { i => val p = pos; pos += chunkBytes; p }
+    plans.foreach { p =>
+      p.dsOh = pos; pos += dsLen
+      p.eahd = pos; pos += eahdLen
+      p.eaib = pos; pos += eaibLen
+      p.easbAt = p.sblksNeeded.map { u => val q = pos; pos += easbLen(u); u -> q }.toMap
+      p.eadbAt = p.dblocks.map { case (u, d) => val q = pos; pos += eadbLen(u); (u, d) -> q }.toMap
+      p.chunkAt = (0 until p.nChunks).map { _ => val q = pos; pos += chunkBytes; q }
+    }
     val total = pos
 
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
@@ -387,92 +407,96 @@ object Hdf5Lite {
     buf.putLong(0L).putLong(Undef).putLong(total).putLong(rootOh)
     checksumAt(0L)
 
-    // root OHDR: one hard link to the dataset
+    // root OHDR: one hard link per series
     buf.position(rootOh.toInt)
     buf.put('O'.toByte).put('H'.toByte).put('D'.toByte).put('R'.toByte)
     buf.put(2.toByte).put(0.toByte).put(rootMsg.toByte)
-    buf.put(0x06.toByte).putShort((3 + nameB.length + 8).toShort).put(0.toByte)
-    buf.put(1.toByte).put(0.toByte).put(nameB.length.toByte).put(nameB).putLong(dsOh)
+    plans.foreach { p =>
+      buf.put(0x06.toByte).putShort((3 + p.nameB.length + 8).toShort).put(0.toByte)
+      buf.put(1.toByte).put(0.toByte).put(p.nameB.length.toByte).put(p.nameB).putLong(p.dsOh)
+    }
     checksumAt(rootOh)
 
-    // dataset OHDR: dataspace (max dim unlimited) + datatype + layout v4
-    buf.position(dsOh.toInt)
-    buf.put('O'.toByte).put('H'.toByte).put('D'.toByte).put('R'.toByte)
-    buf.put(2.toByte).put(0.toByte).put(dsMsgs.toByte)
-    buf.put(0x01.toByte).putShort(20.toShort).put(0.toByte)
-    buf.put(2.toByte).put(1.toByte).put(1.toByte).put(1.toByte) // v2, rank 1, max dims, simple
-    buf.putLong(values.length.toLong).putLong(Undef)            // dims; max = H5S_UNLIMITED
-    buf.put(0x03.toByte).putShort(20.toShort).put(0.toByte)
-    buf.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte)
-    buf.putInt(8).putShort(0.toShort).putShort(64.toShort)
-    buf.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
-    buf.put(0x08.toByte).putShort(23.toShort).put(0.toByte)
-    buf.put(4.toByte).put(2.toByte).put(0.toByte)               // layout v4 chunked, no flags
-    buf.put(1.toByte).put(4.toByte).putInt(chunkElems)          // ndims 1, 4-byte dims
-    buf.put(4.toByte)                                           // index: extensible array
-    buf.put(maxBits.toByte).put(idxElmts.toByte).put(minPtrs.toByte)
-    buf.put(minElmts.toByte).put(pageBits.toByte)
-    buf.putLong(eahd)
-    checksumAt(dsOh)
+    plans.foreach { p =>
+      // dataset OHDR: dataspace (max dim unlimited) + datatype + layout v4
+      buf.position(p.dsOh.toInt)
+      buf.put('O'.toByte).put('H'.toByte).put('D'.toByte).put('R'.toByte)
+      buf.put(2.toByte).put(0.toByte).put(dsMsgs.toByte)
+      buf.put(0x01.toByte).putShort(20.toShort).put(0.toByte)
+      buf.put(2.toByte).put(1.toByte).put(1.toByte).put(1.toByte) // v2, rank 1, max dims, simple
+      buf.putLong(p.values.length.toLong).putLong(Undef)          // dims; max = H5S_UNLIMITED
+      buf.put(0x03.toByte).putShort(20.toShort).put(0.toByte)
+      buf.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte)
+      buf.putInt(8).putShort(0.toShort).putShort(64.toShort)
+      buf.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+      buf.put(0x08.toByte).putShort(23.toShort).put(0.toByte)
+      buf.put(4.toByte).put(2.toByte).put(0.toByte)               // layout v4 chunked, no flags
+      buf.put(1.toByte).put(4.toByte).putInt(chunkElems)          // ndims 1, 4-byte dims
+      buf.put(4.toByte)                                           // index: extensible array
+      buf.put(maxBits.toByte).put(idxElmts.toByte).put(minPtrs.toByte)
+      buf.put(minElmts.toByte).put(pageBits.toByte)
+      buf.putLong(p.eahd)
+      checksumAt(p.dsOh)
 
-    // EAHD
-    buf.position(eahd.toInt)
-    buf.put('E'.toByte).put('A'.toByte).put('H'.toByte).put('D'.toByte)
-    buf.put(0.toByte).put(0.toByte)                             // version, client 0
-    buf.put(8.toByte).put(maxBits.toByte).put(idxElmts.toByte)
-    buf.put(minElmts.toByte).put(minPtrs.toByte).put(pageBits.toByte)
-    buf.putLong(sblksNeeded.length.toLong)
-    buf.putLong(sblksNeeded.map(easbLen(_).toLong).sum)         // secondary blks: count, bytes
-    buf.putLong(dblocks.length.toLong)
-    buf.putLong(dblocks.map { case (u, _) => eadbLen(u).toLong }.sum) // data blks: count, bytes
-    buf.putLong(nChunks.toLong).putLong(nChunks.toLong)         // max index set, num elements
-    buf.putLong(eaib)
-    checksumAt(eahd)
+      // EAHD
+      buf.position(p.eahd.toInt)
+      buf.put('E'.toByte).put('A'.toByte).put('H'.toByte).put('D'.toByte)
+      buf.put(0.toByte).put(0.toByte)                             // version, client 0
+      buf.put(8.toByte).put(maxBits.toByte).put(idxElmts.toByte)
+      buf.put(minElmts.toByte).put(minPtrs.toByte).put(pageBits.toByte)
+      buf.putLong(p.sblksNeeded.length.toLong)
+      buf.putLong(p.sblksNeeded.map(easbLen(_).toLong).sum)       // secondary blks: count, bytes
+      buf.putLong(p.dblocks.length.toLong)
+      buf.putLong(p.dblocks.map { case (u, _) => eadbLen(u).toLong }.sum) // data blks: count, bytes
+      buf.putLong(p.nChunks.toLong).putLong(p.nChunks.toLong)     // max index set, num elements
+      buf.putLong(p.eaib)
+      checksumAt(p.eahd)
 
-    // EAIB: inline elements, direct data-block addrs, super-block addrs
-    buf.position(eaib.toInt)
-    buf.put('E'.toByte).put('A'.toByte).put('I'.toByte).put('B'.toByte)
-    buf.put(0.toByte).put(0.toByte).putLong(eahd)
-    (0 until idxElmts).foreach(i => buf.putLong(if (i < nChunks) chunkAt(i) else Undef))
-    (0 until ndblkAddrs).foreach { g => // global data-block number g
-      val ud = dblocks.find { case (u, d) => sblk(u).startDblk + d == g }
-      buf.putLong(ud.map(eadbAt).getOrElse(Undef))
-    }
-    sblk.drop(iblkNsblks).foreach(s => buf.putLong(easbAt.getOrElse(s.u, Undef)))
-    checksumAt(eaib)
-
-    // EASBs: block offset + data-block addresses (never paged here)
-    sblksNeeded.foreach { u =>
-      val s = sblk(u)
-      buf.position(easbAt(u).toInt)
-      buf.put('E'.toByte).put('A'.toByte).put('S'.toByte).put('B'.toByte)
-      buf.put(0.toByte).put(0.toByte).putLong(eahd)
-      (0 until offBytes).foreach(k => buf.put(((idxElmts + s.startIdx) >> (8 * k)).toByte))
-      (0 until s.ndblks).foreach(d => buf.putLong(eadbAt.getOrElse((u, d), Undef)))
-      checksumAt(easbAt(u))
-    }
-
-    // EADBs: element slots = chunk addresses (Undef past the last chunk)
-    dblocks.foreach { case (u, d) =>
-      val s = sblk(u)
-      val first = idxElmts + s.startIdx + d.toLong * s.dblkNelmts
-      buf.position(eadbAt((u, d)).toInt)
-      buf.put('E'.toByte).put('A'.toByte).put('D'.toByte).put('B'.toByte)
-      buf.put(0.toByte).put(0.toByte).putLong(eahd)
-      (0 until offBytes).foreach(k => buf.put((first >> (8 * k)).toByte))
-      (0 until s.dblkNelmts).foreach { j =>
-        val i = first + j
-        buf.putLong(if (i < nChunks) chunkAt(i.toInt) else Undef)
+      // EAIB: inline elements, direct data-block addrs, super-block addrs
+      buf.position(p.eaib.toInt)
+      buf.put('E'.toByte).put('A'.toByte).put('I'.toByte).put('B'.toByte)
+      buf.put(0.toByte).put(0.toByte).putLong(p.eahd)
+      (0 until idxElmts).foreach(i => buf.putLong(if (i < p.nChunks) p.chunkAt(i) else Undef))
+      (0 until ndblkAddrs).foreach { g => // global data-block number g
+        val ud = p.dblocks.find { case (u, d) => sblk(u).startDblk + d == g }
+        buf.putLong(ud.map(p.eadbAt).getOrElse(Undef))
       }
-      checksumAt(eadbAt((u, d)))
-    }
+      sblk.drop(iblkNsblks).foreach(s => buf.putLong(p.easbAt.getOrElse(s.u, Undef)))
+      checksumAt(p.eaib)
 
-    // chunk payloads (edge chunk zero-padded, as the library allocates)
-    (0 until nChunks).foreach { i =>
-      buf.position(chunkAt(i).toInt)
-      (0 until chunkElems).foreach { j =>
-        val k = i * chunkElems + j
-        buf.putDouble(if (k < values.length) values(k) else 0.0)
+      // EASBs: block offset + data-block addresses (never paged here)
+      p.sblksNeeded.foreach { u =>
+        val s = sblk(u)
+        buf.position(p.easbAt(u).toInt)
+        buf.put('E'.toByte).put('A'.toByte).put('S'.toByte).put('B'.toByte)
+        buf.put(0.toByte).put(0.toByte).putLong(p.eahd)
+        (0 until offBytes).foreach(k => buf.put(((idxElmts + s.startIdx) >> (8 * k)).toByte))
+        (0 until s.ndblks).foreach(d => buf.putLong(p.eadbAt.getOrElse((u, d), Undef)))
+        checksumAt(p.easbAt(u))
+      }
+
+      // EADBs: element slots = chunk addresses (Undef past the last chunk)
+      p.dblocks.foreach { case (u, d) =>
+        val s = sblk(u)
+        val first = idxElmts + s.startIdx + d.toLong * s.dblkNelmts
+        buf.position(p.eadbAt((u, d)).toInt)
+        buf.put('E'.toByte).put('A'.toByte).put('D'.toByte).put('B'.toByte)
+        buf.put(0.toByte).put(0.toByte).putLong(p.eahd)
+        (0 until offBytes).foreach(k => buf.put((first >> (8 * k)).toByte))
+        (0 until s.dblkNelmts).foreach { j =>
+          val i = first + j
+          buf.putLong(if (i < p.nChunks) p.chunkAt(i.toInt) else Undef)
+        }
+        checksumAt(p.eadbAt((u, d)))
+      }
+
+      // chunk payloads (edge chunk zero-padded, as the library allocates)
+      (0 until p.nChunks).foreach { i =>
+        buf.position(p.chunkAt(i).toInt)
+        (0 until chunkElems).foreach { j =>
+          val k = i * chunkElems + j
+          buf.putDouble(if (k < p.values.length) p.values(k) else 0.0)
+        }
       }
     }
     buf.array()
@@ -912,7 +936,11 @@ object Hdf5Lite {
   final case class H5Read(name: String, shape: Seq[Int], doubles: Array[Double],
                           longs: Array[Long], strings: Array[String] = null,
                           attrs: Seq[H5Attr] = Nil, members: Seq[H5Member] = null,
-                          raw: Array[Byte] = null) {
+                          raw: Array[Byte] = null,
+                          // record-index start of each storage chunk (1-d
+                          // chunked datasets) — lets table readers evaluate
+                          // predicates chunk-wise (PyTables-where analog)
+                          chunkStarts: Seq[Int] = Nil) {
     def asDoubles: Array[Double] = if (doubles != null) doubles else longs.map(_.toDouble)
     def isCompound: Boolean = members != null
     def attr(n: String): Option[H5Attr] = attrs.find(_.name == n)
@@ -1588,6 +1616,7 @@ object Hdf5Lite {
     // v3) or a v4 single-chunk / implicit / fixed-array index
     // (libver='latest') — undo filters, assemble the row-major element
     // buffer, then fall through to the typed copy below
+    var chunkStarts: Seq[Int] = Nil
     val chunkedRaw: Array[Byte] =
       if (chunkDims == null) null
       else {
@@ -1703,6 +1732,7 @@ object Hdf5Lite {
           case t => throw new IllegalArgumentException(s"$name: chunk index type $t")
         }
 
+        if (shape.length == 1) chunkStarts = entries.map(_._1.head).sorted
         entries.foreach { case (offs, addr, storedSize) =>
           var chunk = new Array[Byte](storedSize)
           System.arraycopy(bytes, addr.toInt, chunk, 0, storedSize)
@@ -1801,7 +1831,8 @@ object Hdf5Lite {
             System.arraycopy(bytes, dataAddr.toInt, out, 0, out.length)
             out
           }
-        H5Read(name, shape, null, null, attrs = attrs, members = members, raw = raw)
+        H5Read(name, shape, null, null, attrs = attrs, members = members, raw = raw,
+          chunkStarts = chunkStarts)
       case c => throw new IllegalArgumentException(
         s"$name: datatype class $c not supported (numeric and fixed-string datasets only)")
     }

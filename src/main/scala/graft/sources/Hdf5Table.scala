@@ -235,8 +235,50 @@ object Hdf5Table {
   def readPandasTable(spark: SparkSession, path: String, key: String = "df"): DataFrame =
     pandasTableFromReads(spark, Hdf5Lite.read(readFileBytes(spark, path)), path, key)
 
+  /** One `where` triple for [[readPandasTableWhere]] — the reference's
+    * `store.select(key, where=...)` predicate shape
+    * (GPSat/dataloader.py:1161-1192). Triples AND together.
+    */
+  final case class TableWhere(col: String, comp: String, value: Any)
+
+  /** Pruning evidence for specs: how many storage chunks were scanned vs
+    * how many had a matching row (and therefore materialized Rows).
+    */
+  final class WhereStats {
+    var chunksTotal = 0
+    var chunksMaterialized = 0
+  }
+
+  /** [[readPandasTable]] with server-side `where` semantics: predicates
+    * evaluate chunk-by-chunk against the member bytes (only the
+    * predicate columns' fields are decoded for non-matching records), and
+    * a chunk with no matching record materializes NO rows — the pandas
+    * `store.select(key, where=...)` analog
+    * (GPSat/dataloader.py:1161-1192). Identical row set to
+    * `readPandasTable(...).filter(where)`.
+    */
+  def readPandasTableWhere(spark: SparkSession, path: String, key: String = "df",
+                           where: Seq[TableWhere] = Nil,
+                           stats: WhereStats = null): DataFrame =
+    pandasTableFromReads(spark, Hdf5Lite.read(readFileBytes(spark, path)), path, key,
+      where, stats)
+
+  /** [[readPandasKey]] with `where` pushdown: table layouts prune
+    * chunk-wise; fixed layouts read fully (the caller's Spark filter
+    * applies the predicate there).
+    */
+  def readPandasKeyWhere(spark: SparkSession, path: String, key: String = "df",
+                         where: Seq[TableWhere] = Nil): DataFrame = {
+    val reads = Hdf5Lite.read(readFileBytes(spark, path))
+    if (reads.exists(_.name == s"$key/table"))
+      pandasTableFromReads(spark, reads, path, key, where, null)
+    else pandasFixedFromReads(spark, reads, path, key)
+  }
+
   private def pandasTableFromReads(spark: SparkSession, reads: Seq[Hdf5Lite.H5Read],
-                                   path: String, key: String): DataFrame = {
+                                   path: String, key: String,
+                                   where: Seq[TableWhere] = Nil,
+                                   stats: WhereStats = null): DataFrame = {
     val byName = reads.map(v => v.name -> v).toMap
     val table = byName.getOrElse(s"$key/table",
       throw new IllegalArgumentException(
@@ -279,27 +321,78 @@ object Hdf5Table {
     }
     val schema = StructType(colPlan.map { case (cn, m, _) =>
       StructField(cn, typeOf(m), nullable = false) })
-    val rows = new java.util.ArrayList[Row](n)
-    var i = 0
-    while (i < n) {
-      val base = i * recordSize
-      val vals = colPlan.map[Any] { case (_, m, j) =>
-        val off = base + m.offset + j * m.size
-        m.cls match {
-          case 0 =>
-            require(m.size == 8 || m.size == 4, s"${m.name}: int${m.size} member not supported")
-            if (m.size == 8) bb.getLong(off) else bb.getInt(off).toLong
-          case 1 =>
-            require(m.size == 8 || m.size == 4, s"${m.name}: float${m.size} member not supported")
-            if (m.size == 8) bb.getDouble(off) else bb.getFloat(off).toDouble
-          case 3 =>
-            var l = 0
-            while (l < m.size && table.raw(off + l) != 0) l += 1
-            new String(table.raw, off, l, "UTF-8")
+
+    def memberValue(i: Int, m: Hdf5Lite.H5Member, j: Int): Any = {
+      val off = i * recordSize + m.offset + j * m.size
+      m.cls match {
+        case 0 =>
+          require(m.size == 8 || m.size == 4, s"${m.name}: int${m.size} member not supported")
+          if (m.size == 8) bb.getLong(off) else bb.getInt(off).toLong
+        case 1 =>
+          require(m.size == 8 || m.size == 4, s"${m.name}: float${m.size} member not supported")
+          if (m.size == 8) bb.getDouble(off) else bb.getFloat(off).toDouble
+        case 3 =>
+          var l = 0
+          while (l < m.size && table.raw(off + l) != 0) l += 1
+          new String(table.raw, off, l, "UTF-8")
+      }
+    }
+
+    // where plan: (member, array slot, comparator) per triple, ANDed
+    val wherePlan = where.map { w =>
+      val (_, m, j) = colPlan.find(_._1 == w.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: where column '${w.col}' not in ${colPlan.map(_._1).mkString(", ")}"))
+      def cmpNum(x: Double): Boolean = {
+        val t = w.value match {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+          case other => throw new IllegalArgumentException(
+            s"$path: where value $other for numeric column '${w.col}'")
+        }
+        w.comp match {
+          case ">=" => x >= t; case ">" => x > t; case "==" => x == t
+          case "!=" => x != t; case "<=" => x <= t; case "<" => x < t
+          case c => throw new IllegalArgumentException(s"comp: $c is not valid")
         }
       }
-      rows.add(Row.fromSeq(vals))
-      i += 1
+      def cmpStr(x: String): Boolean = {
+        val t = String.valueOf(w.value)
+        w.comp match {
+          case ">=" => x >= t; case ">" => x > t; case "==" => x == t
+          case "!=" => x != t; case "<=" => x <= t; case "<" => x < t
+          case c => throw new IllegalArgumentException(s"comp: $c is not valid")
+        }
+      }
+      (i: Int) => memberValue(i, m, j) match {
+        case d: Double => cmpNum(d)
+        case l: Long => cmpNum(l.toDouble)
+        case s: String => cmpStr(s)
+      }
+    }
+    def passes(i: Int): Boolean = wherePlan.forall(_(i))
+
+    // storage-chunk spans: predicates evaluate span-by-span so a chunk
+    // with no matching record materializes no Rows (PyTables-where shape)
+    val spans: Seq[(Int, Int)] =
+      if (table.chunkStarts.nonEmpty)
+        (table.chunkStarts :+ n).sliding(2).map(p => (p(0), math.min(p(1), n))).toSeq
+      else Seq((0, n))
+    val rows = new java.util.ArrayList[Row](if (where.isEmpty) n else 64)
+    spans.foreach { case (s0, s1) =>
+      if (stats != null) stats.chunksTotal += 1
+      var any = false
+      var i = s0
+      while (i < s1) {
+        if (where.isEmpty || passes(i)) {
+          rows.add(Row.fromSeq(colPlan.map[Any] { case (_, m, j) => memberValue(i, m, j) }))
+          any = true
+        }
+        i += 1
+      }
+      if (any && stats != null) stats.chunksMaterialized += 1
     }
     spark.createDataFrame(rows, schema)
   }

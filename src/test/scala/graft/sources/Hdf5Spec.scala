@@ -247,6 +247,41 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pandas-table where: chunk-wise pruning matches full-read + filter") {
+    import spark.implicits._
+    // 64 sorted rows in chunks of 8: a selective range predicate touches
+    // few chunks; an unsorted column predicate still returns exact rows
+    val df = (0 until 64).map(i => (i.toLong, i * 0.5, (i * 37 % 64).toLong))
+      .toDF("id", "z", "scattered")
+    val path = Files.createTempDirectory("h5t_").resolve("w.h5").toString
+    Hdf5Table.writePandasTable(df, path, key = "obs", chunkRows = 8, deflate = 1)
+
+    val stats = new Hdf5Table.WhereStats
+    val got = Hdf5Table.readPandasTableWhere(spark, path, key = "obs",
+      where = Seq(Hdf5Table.TableWhere("z", ">=", 10.0), Hdf5Table.TableWhere("z", "<", 14.0)),
+      stats = stats)
+    val full = Hdf5Table.readPandasTable(spark, path, key = "obs")
+      .filter(col("z") >= 10.0 && col("z") < 14.0)
+    assert(got.orderBy("index").collect().toSeq === full.orderBy("index").collect().toSeq)
+    assert(stats.chunksTotal === 8)
+    // rows 20..27 span exactly two 8-row chunks
+    assert(stats.chunksMaterialized === 2, s"materialized ${stats.chunksMaterialized} of 8")
+
+    // equality on a long column + string-free AND combine
+    val s2 = new Hdf5Table.WhereStats
+    val got2 = Hdf5Table.readPandasTableWhere(spark, path, key = "obs",
+      where = Seq(Hdf5Table.TableWhere("scattered", "==", 0L)), stats = s2)
+    assert(got2.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(0L))
+    assert(s2.chunksMaterialized === 1)
+
+    // where column absent -> loud error
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Table.readPandasTableWhere(spark, path, key = "obs",
+        where = Seq(Hdf5Table.TableWhere("nope", ">", 1.0))).count()
+    }
+    assert(e.getMessage.contains("where column"))
+  }
+
   test("pandas-table structural goldens: compound members, FIELD names, storer attrs") {
     import spark.implicits._
     val df = Seq((10L, 1.5, "xyz")).toDF("id", "z", "tag")

@@ -782,6 +782,33 @@ object SparkEntry {
         source = tmp.toString, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // legacy pickled dict-of-arrays roundtrip (read_from_pkl_dict,
+    // dataloader.py:782-932): the binned mean grid as ONE dict key's 2-d
+    // numpy array (empty bins = NaN), pickled with numpy's own reduce
+    // opcodes, read back through the .pkl ConfigExpr dispatch — NaN cells
+    // drop, so the oracle's GROUP BY rows come back exactly
+    "q63_pkl_dict" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean")
+      val grid = Array.fill(64)(Double.NaN)
+      binned.collect().foreach { r =>
+        val ix = ((r.getDouble(0) + 800000.0) / 200000.0 - 0.5).round.toInt
+        val iy = ((r.getDouble(1) + 800000.0) / 200000.0 - 0.5).round.toInt
+        grid(ix * 8 + iy) = r.getDouble(2)
+      }
+      val bb = java.nio.ByteBuffer.allocate(64 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      grid.foreach(bb.putDouble)
+      val pkl = graft.sources.PickleLite.pickle(scala.collection.mutable.LinkedHashMap[Any, Any](
+        "20200301" -> graft.sources.PickleLite.NdArray(Seq(8, 8), "<f8", fortran = false,
+          data = bb.array())))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q63_").resolve("legacy.pkl")
+      java.nio.file.Files.write(tmp, pkl)
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp.toString, colSelect = Seq("idx0", "idx1", "obs")))
+    }),
+
     "q45_netcdf_roundtrip" -> ((s, dir) => {
       val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
         valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
@@ -1435,6 +1462,16 @@ object SparkEntry {
     "q62_hdf5_extensible" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    // same binned means keyed by cell index — the .pkl container must drop
+    // exactly the NaN (empty-bin) cells and keep the rest losslessly
+    "q63_pkl_dict" ->
+      s"""SELECT CAST(ix AS BIGINT) AS idx0, CAST(iy AS BIGINT) AS idx1, avg(z) AS obs FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
          |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
          |   FROM ($ObsSql)

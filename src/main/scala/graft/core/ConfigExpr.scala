@@ -264,6 +264,21 @@ object ConfigExpr {
       if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
       return df
     }
+    // legacy pickled dict-of-2d-arrays store (read_from_pkl_dict,
+    // dataloader.py:782-932): (idx0, idx1, date, obs, source) rows,
+    // NaN cells dropped at the source
+    if (suffix == "pkl") {
+      var df = graft.sources.PklLegacy.readPklDict(spark, Seq(cfg.source))
+      cfg.sourceColumn.foreach { c =>
+        df = df.withColumn(c, regexp_extract(lit(cfg.source), "([^/]+)$", 1))
+      }
+      cfg.newColumnNames.foreach(ns => df = df.toDF(ns: _*))
+      if (cfg.where.nonEmpty) df = df.filter(combineWhere(cfg.where))
+      df = applyColFuncs(df, cfg.colFuncs)
+      if (cfg.rowSelect.nonEmpty) df = df.filter(rowSelectColumn(cfg.rowSelect))
+      if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
+      return df
+    }
     // zarr store directory (dataloader.py:28-35 `zarr` -> xr.open_zarr):
     // to_dataframe layout from the chunk-parallel scan
     if (suffix == "zarr") {

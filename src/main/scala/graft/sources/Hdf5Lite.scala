@@ -502,6 +502,30 @@ object Hdf5Lite {
     buf.array()
   }
 
+  /** v1 chunk-B-tree level structure: per level (0 = leaves over chunk
+    * entries), the child count of each node; level k nodes hold up to 64
+    * children of level k-1, recursively, until one root remains — the
+    * general tree the READER's walk() already recurses.
+    */
+  private def btreeLevels(nChunks: Int): Seq[IndexedSeq[Int]] = {
+    var counts = IndexedSeq.tabulate((nChunks + 63) / 64)(i => math.min(64, nChunks - i * 64))
+    val out = Seq.newBuilder[IndexedSeq[Int]]
+    out += counts
+    while (counts.length > 1) {
+      val n = counts.length
+      counts = IndexedSeq.tabulate((n + 63) / 64)(i => math.min(64, n - i * 64))
+      out += counts
+    }
+    out.result() // level 0 first
+  }
+
+  /** Chunks spanned by one level-k subtree: 64^(k+1). */
+  private def btreeSpan(k: Int): Long = {
+    var s = 1L
+    (0 to k).foreach(_ => s *= 64)
+    s
+  }
+
   private def writeImage(rootVars: Seq[H5Var], keyed0: Seq[(String, Seq[H5Var])],
                          chunkRows: Int, deflate: Int,
                          groupAttrs: Map[String, Seq[H5Attr]] = Map.empty,
@@ -645,11 +669,6 @@ object Hdf5Lite {
       } else {
         val c0 = math.max(1, math.min(chunkRows, dim0))
         val nChunks = (dim0 + c0 - 1) / c0
-        // > 64 chunks: leaf nodes of <= 64 entries under ONE level-1
-        // internal node (up to 64 x 64 = 4096 chunks per dataset)
-        val nLeaves = (nChunks + 63) / 64
-        require(nLeaves <= 64,
-          s"$name: $nChunks chunks exceed a 2-level chunk B-tree (4096) — raise chunkRows")
         val blobs = (0 until nChunks).map(ci => ChunkBlob(ci * c0,
           compress(d.fold(v => rawChunk(v, ci * c0, c0), c => rawCompChunk(c, ci * c0, c0)))))
         val layoutRaw = 2 + 8 + 1 + (rank + 1) * 4
@@ -663,9 +682,9 @@ object Hdf5Lite {
         val btreeAddr = ohAddr + ohSize // dataAddr doubles as the ROOT btree address
         val keySize = 8 + (rank + 1) * 8
         def nodeSize(entries: Int) = pad8(24 + (entries + 1) * keySize + entries * 8)
-        val internalSize = if (nLeaves == 1) 0 else nodeSize(nLeaves)
-        val leafCounts = (0 until nLeaves).map(li => math.min(64, nChunks - li * 64))
-        var chunkCursor = btreeAddr + internalSize + leafCounts.map(nodeSize).sum
+        // recursive B-tree: leaves of <= 64 entries grouped 64-ways per
+        // level until one root — any chunk count fits
+        var chunkCursor = btreeAddr + btreeLevels(nChunks).flatMap(_.map(nodeSize)).sum
         val placed = blobs.map { b =>
           val at = chunkCursor
           chunkCursor += pad8(b.bytes.length)
@@ -868,17 +887,24 @@ object Hdf5Lite {
           buf.putInt(0)            // odd client count -> 4 pad bytes
         }
         attrs.foreach(a => emitAttr(buf, a))
-        // chunk B-tree v1: one level-0 leaf for <= 64 chunks; above that,
-        // leaves of <= 64 entries chained with sibling pointers under one
-        // level-1 internal node (the reader's walk() recurses any level)
+        // chunk B-tree v1, recursive: leaves of <= 64 chunk entries,
+        // grouped 64-ways per level until a single root (the node at
+        // p.dataAddr); siblings chained per level; every node's final key
+        // is the first chunk of the NEXT subtree at its level, or the
+        // global successor. The reader's walk() recurses any depth.
         val keySize = 8 + (rank + 1) * 8
         def nodeSize(entries: Int) = pad8(24 + (entries + 1) * keySize + entries * 8)
         val nChunks = p.placed.length
-        val nLeaves = (nChunks + 63) / 64
-        val leafCounts = (0 until nLeaves).map(li => math.min(64, nChunks - li * 64))
-        val internalSize = if (nLeaves == 1) 0 else nodeSize(nLeaves)
-        val leafAddrs = leafCounts.scanLeft(p.dataAddr + internalSize)(
-          (a, c) => a + nodeSize(c)).init
+        val levels = btreeLevels(nChunks)
+        // root first, then each level top-down, nodes in index order
+        val nodeAddr: Map[(Int, Int), Long] = {
+          var a = p.dataAddr
+          val m = Map.newBuilder[(Int, Int), Long]
+          for (k <- levels.indices.reverse; i <- levels(k).indices) {
+            m += ((k, i) -> a); a += nodeSize(levels(k)(i))
+          }
+          m.result()
+        }
         val rest = shape.drop(1)
         def putKey(storedSize: Int, offset0: Long): Unit = {
           buf.putInt(storedSize)              // key: chunk size (stored bytes)
@@ -887,39 +913,34 @@ object Hdf5Lite {
           rest.foreach(_ => buf.putLong(0L))
           buf.putLong(0L)                     // element-dim offset
         }
-        val successor = (p.placed.last._1.offset0 + p.chunkDim0).toLong
-        leafCounts.indices.foreach { li =>
-          buf.position(leafAddrs(li).toInt)
-          buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
-          buf.put(1.toByte)                   // node type: raw data chunk
-          buf.put(0.toByte)                   // level
-          buf.putShort(leafCounts(li).toShort)
-          buf.putLong(if (li > 0) leafAddrs(li - 1) else Undef)
-          buf.putLong(if (li < nLeaves - 1) leafAddrs(li + 1) else Undef)
-          val slice = p.placed.slice(li * 64, li * 64 + leafCounts(li))
-          slice.foreach { case (blob, at) =>
-            putKey(blob.bytes.length, blob.offset0.toLong)
-            buf.putLong(at)                   // child: chunk address
-          }
-          // final key: the next leaf's first chunk, or the global successor
-          if (li < nLeaves - 1) {
-            val nxt = p.placed((li + 1) * 64)._1
-            putKey(nxt.bytes.length, nxt.offset0.toLong)
-          } else putKey(0, successor)
+        def putChunkKey(ci: Int): Unit = {
+          val blob = p.placed(ci)._1
+          putKey(blob.bytes.length, blob.offset0.toLong)
         }
-        if (nLeaves > 1) {
-          buf.position(p.dataAddr.toInt)
+        val successor = (p.placed.last._1.offset0 + p.chunkDim0).toLong
+        for (k <- levels.indices; i <- levels(k).indices) {
+          val entries = levels(k)(i)
+          buf.position(nodeAddr((k, i)).toInt)
           buf.put('T'.toByte); buf.put('R'.toByte); buf.put('E'.toByte); buf.put('E'.toByte)
           buf.put(1.toByte)                   // node type: raw data chunk
-          buf.put(1.toByte)                   // level 1
-          buf.putShort(nLeaves.toShort)
-          buf.putLong(Undef); buf.putLong(Undef)
-          leafCounts.indices.foreach { li =>
-            val first = p.placed(li * 64)._1
-            putKey(first.bytes.length, first.offset0.toLong)
-            buf.putLong(leafAddrs(li))        // child: leaf node address
+          buf.put(k.toByte)                   // level
+          buf.putShort(entries.toShort)
+          buf.putLong(if (i > 0) nodeAddr((k, i - 1)) else Undef)
+          buf.putLong(if (i < levels(k).length - 1) nodeAddr((k, i + 1)) else Undef)
+          if (k == 0) {
+            p.placed.slice(i * 64, i * 64 + entries).foreach { case (blob, at) =>
+              putKey(blob.bytes.length, blob.offset0.toLong)
+              buf.putLong(at)                 // child: chunk address
+            }
+          } else {
+            (0 until entries).foreach { c =>
+              val child = i * 64 + c
+              putChunkKey((child * btreeSpan(k - 1)).toInt) // subtree's first chunk
+              buf.putLong(nodeAddr((k - 1, child)))
+            }
           }
-          putKey(0, successor)
+          val nextFirst = (i + 1) * btreeSpan(k)
+          if (nextFirst < nChunks) putChunkKey(nextFirst.toInt) else putKey(0, successor)
         }
         // chunk payloads
         p.placed.foreach { case (blob, at) =>

@@ -2,23 +2,60 @@ package graft.sources
 
 import java.io.ByteArrayOutputStream
 
-/** Minimal Python-pickle codec for the object attributes PyTables stores on
-  * HDFStore groups/tables (reference result stores are written with
-  * `pd.to_hdf(format='table')`, GPSat/dataloader.py:644-704, whose storer
-  * metadata — `data_columns`, `non_index_axes`, `values_cols`, ... — is
-  * pickled into HDF5 attributes).
+/** Minimal Python-pickle codec for (a) the object attributes PyTables
+  * stores on HDFStore groups/tables (reference result stores are written
+  * with `pd.to_hdf(format='table')`, GPSat/dataloader.py:644-704, whose
+  * storer metadata — `data_columns`, `non_index_axes`, `values_cols`, ...
+  * — is pickled into HDF5 attributes), and (b) the legacy
+  * dict-of-2d-numpy-arrays stores `read_from_pkl_dict` loads
+  * (GPSat/dataloader.py:782-932).
   *
   * Implemented from the public pickle protocol documentation (PEP 307 /
-  * CPython `pickletools`): the ENCODER emits protocol 2 for the value
-  * shapes pandas metadata uses (str, int, list, 2-tuple, None, bool); the
-  * DECODER additionally accepts the protocol-0/1 opcodes those same shapes
-  * serialize to, so attributes from either pickler family parse. Anything
-  * outside that scope raises naming the opcode.
+  * PEP 3154 / CPython `pickletools`): the ENCODER emits protocol 2 for
+  * the value shapes pandas metadata uses (str, int, list, 2-tuple, None,
+  * bool) plus dicts and [[NdArray]] values — the latter byte-compatible
+  * with numpy's own reduce (`_reconstruct` + `ndarray.__setstate__`, data
+  * framed through the `_codecs.encode(..., 'latin1')` protocol-2 idiom).
+  * The DECODER additionally accepts protocol 0/1/4/5 opcodes (memo,
+  * frames, STACK_GLOBAL, BINBYTES) so pickles from any CPython protocol
+  * parse. Object construction is allow-listed: `_reconstruct`,
+  * `numpy.dtype`, `_codecs.encode`, and `numpy` scalar wrappers;
+  * anything else raises naming the callable.
   */
 object PickleLite {
 
+  /** A decoded (or to-encode) numpy ndarray: little-endian `descr` like
+    * "&lt;f8"/"&lt;i8", C or Fortran element order, raw data bytes.
+    */
+  final case class NdArray(shape: Seq[Int], descr: String, fortran: Boolean,
+                           data: Array[Byte]) {
+    private def le = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    private def n = shape.product
+    /** Row-major (C-order) doubles, whatever the stored order/dtype. */
+    def doubles: Array[Double] = {
+      val bb = le
+      val flat = descr.replaceAll("^[<|=]", "") match {
+        case "f8" => Array.tabulate(n)(i => bb.getDouble(i * 8))
+        case "f4" => Array.tabulate(n)(i => bb.getFloat(i * 4).toDouble)
+        case "i8" => Array.tabulate(n)(i => bb.getLong(i * 8).toDouble)
+        case "i4" => Array.tabulate(n)(i => bb.getInt(i * 4).toDouble)
+        case d => throw new IllegalArgumentException(s"ndarray dtype '$descr' not supported")
+      }
+      if (!fortran || shape.length < 2) flat
+      else { // transpose Fortran storage back to C order
+        require(shape.length == 2, "fortran order beyond 2-d not supported")
+        val Seq(r, c) = shape
+        Array.tabulate(n)(i => flat((i % c) * r + i / c))
+      }
+    }
+  }
+
+  private final case class GlobalRef(module: String, name: String)
+  private final class NdStub { var value: NdArray = _ }
+  private final class DtypeStub(val descr: String) { var byteorder = "<" }
+
   /** Pickle (protocol 2) a value tree of String / Int / Long / Boolean /
-    * None / Seq[Any] / (Any, Any).
+    * None / Seq[Any] / (Any, Any) / Map[String, Any] / [[NdArray]].
     */
   def pickle(v: Any): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -26,6 +63,20 @@ object PickleLite {
     enc(out, v)
     out.write('.')
     out.toByteArray
+  }
+
+  private def global(out: ByteArrayOutputStream, module: String, name: String): Unit = {
+    out.write('c')
+    out.write(s"$module\n$name\n".getBytes("US-ASCII"), 0, module.length + name.length + 2)
+  }
+
+  // bytes as protocol-2 does it: _codecs.encode(<latin1 str>, 'latin1')
+  private def encBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    global(out, "_codecs", "encode")
+    enc(out, new String(b, "ISO-8859-1"))
+    enc(out, "latin1")
+    out.write(0x86) // TUPLE2
+    out.write('R')  // REDUCE
   }
 
   private def enc(out: ByteArrayOutputStream, v: Any): Unit = v match {
@@ -41,6 +92,38 @@ object PickleLite {
       require(i >= Int.MinValue && i <= Int.MaxValue, s"int $i out of BININT range")
       if (i >= 0 && i < 256) { out.write('K'); out.write(i.toInt) } // BININT1
       else { out.write('J'); writeIntLe(out, i.toInt) }            // BININT
+    case a: NdArray =>
+      // numpy's own __reduce__: _reconstruct(ndarray, (0,), b'b'), then
+      // __setstate__((1, shape, dtype, fortran, data))
+      global(out, "numpy.core.multiarray", "_reconstruct")
+      global(out, "numpy", "ndarray")
+      out.write('K'); out.write(0); out.write(0x85) // (0,)
+      encBytes(out, Array('b'.toByte))
+      out.write(0x87) // TUPLE3
+      out.write('R')  // REDUCE -> bare ndarray
+      out.write('(')  // MARK: the 5-tuple state
+      enc(out, 1L)
+      out.write('(')
+      a.shape.foreach(d => enc(out, d.toLong))
+      out.write('t')
+      global(out, "numpy", "dtype")
+      enc(out, a.descr.replaceAll("^[<|=]", ""))
+      out.write(0x89); out.write(0x88) // align=False, copy=True
+      out.write(0x87); out.write('R')  // dtype(...)
+      out.write('(')                   // dtype state (3, '<', None, None, None, -1, -1, 0)
+      enc(out, 3L); enc(out, "<"); enc(out, None); enc(out, None); enc(out, None)
+      enc(out, -1L); enc(out, -1L); enc(out, 0L)
+      out.write('t'); out.write('b')
+      enc(out, a.fortran)
+      encBytes(out, a.data)
+      out.write('t'); out.write('b')   // ndarray.__setstate__
+    case m: scala.collection.Map[_, _] =>
+      out.write('}') // EMPTY_DICT
+      if (m.nonEmpty) {
+        out.write('(')
+        m.foreach { case (k, x) => enc(out, k); enc(out, x) }
+        out.write('u') // SETITEMS
+      }
     case (a, b) =>
       enc(out, a); enc(out, b)
       out.write(0x86) // TUPLE2
@@ -60,12 +143,16 @@ object PickleLite {
     out.write((i >> 16) & 0xff); out.write((i >> 24) & 0xff)
   }
 
-  /** Unpickle one value (the scope above). */
+  /** Unpickle one value (the scope above). Dicts come back as
+    * LinkedHashMap (insertion order = pickle order), ndarrays as
+    * [[NdArray]], bytes as Array[Byte].
+    */
   def unpickle(data: Array[Byte]): Any = {
     var p = 0
     def u1: Int = { val v = data(p) & 0xff; p += 1; v }
     def i4: Int = { val v = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8) |
       ((data(p + 2) & 0xff) << 16) | ((data(p + 3) & 0xff) << 24); p += 4; v }
+    def i8: Long = { var v = 0L; (0 until 8).foreach(k => v |= (data(p + k).toLong & 0xff) << (8 * k)); p += 8; v }
     def line(): String = { // protocol-0 newline-terminated argument
       val start = p
       while (data(p) != '\n') p += 1
@@ -73,18 +160,95 @@ object PickleLite {
       p += 1
       s
     }
+    def takeBytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(data, p, p + n); p += n; b
+    }
     val stack = scala.collection.mutable.ArrayBuffer.empty[Any]
     val marks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val memo = scala.collection.mutable.Map.empty[Int, Any]
     def popToMark(): Seq[Any] = {
       val m = marks.remove(marks.length - 1)
       val items = stack.slice(m, stack.length).toSeq
       stack.remove(m, stack.length - m)
       items
     }
+    def pop(): Any = stack.remove(stack.length - 1)
+
+    def asBytes(v: Any): Array[Byte] = v match {
+      case b: Array[Byte] => b
+      case s: String => s.getBytes("ISO-8859-1") // latin1 chars round-trip
+      case other => throw new IllegalArgumentException(s"expected bytes, got $other")
+    }
+    def asInt(v: Any): Int = v match { case l: Long => l.toInt; case i: Int => i }
+
+    // allow-listed constructor calls (REDUCE / NEWOBJ)
+    def reduce(callable: Any, args: Seq[Any]): Any = callable match {
+      case GlobalRef("numpy.core.multiarray" | "numpy._core.multiarray", "_reconstruct") =>
+        new NdStub // filled by the BUILD state
+      case GlobalRef("_codecs", "encode") =>
+        require(args.length == 2 && args(1) == "latin1", s"_codecs.encode $args")
+        args.head.asInstanceOf[String].getBytes("ISO-8859-1")
+      case GlobalRef("numpy", "dtype") =>
+        new DtypeStub(String.valueOf(args.head))
+      case GlobalRef("numpy.core.numeric" | "numpy._core.numeric", "_frombuffer") =>
+        // protocol-5 ndarray reduce: (buffer, dtype, shape, order)
+        require(args.length == 4, s"_frombuffer arity ${args.length}")
+        val dt = args(1).asInstanceOf[DtypeStub]
+        require(dt.byteorder == "<" || dt.byteorder == "|" || dt.byteorder == "=",
+          s"big-endian ndarray not supported")
+        val shape = tupleSeq(args(2)).asInstanceOf[Seq[Any]].map(asInt)
+        NdArray(shape, s"<${dt.descr}", args(3) == "F", asBytes(args.head))
+      case GlobalRef("numpy.core.multiarray" | "numpy._core.multiarray", "scalar") =>
+        // numpy scalar: (dtype, bytes) -> a plain Double/Long
+        val d = args.head.asInstanceOf[DtypeStub]
+        val bb = java.nio.ByteBuffer.wrap(asBytes(args(1)))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        d.descr.replaceAll("^[<|=]", "") match {
+          case "f8" => bb.getDouble
+          case "f4" => bb.getFloat.toDouble
+          case "i8" => bb.getLong
+          case "i4" => bb.getInt.toLong
+          case o => throw new IllegalArgumentException(s"numpy scalar dtype '$o' not supported")
+        }
+      case GlobalRef(m, n) => throw new IllegalArgumentException(
+        s"pickle REDUCE of $m.$n not supported (numpy ndarray/dtype/scalar and " +
+          "_codecs.encode only)")
+      case other => throw new IllegalArgumentException(s"pickle REDUCE of $other")
+    }
+
+    def build(obj: Any, state: Any): Any = obj match {
+      case s: NdStub =>
+        // ndarray.__setstate__((version, shape, dtype, fortran, data))
+        val st = state.asInstanceOf[Seq[Any]]
+        require(st.length == 5, s"ndarray state arity ${st.length}")
+        val shape = tupleSeq(st(1)).asInstanceOf[Seq[Any]].map(asInt)
+        val dt = st(2).asInstanceOf[DtypeStub]
+        require(dt.byteorder == "<" || dt.byteorder == "|" || dt.byteorder == "=",
+          s"big-endian ndarray ('${dt.byteorder}${dt.descr}') not supported")
+        s.value = NdArray(shape, s"<${dt.descr}", st(3) == true, asBytes(st(4)))
+        s.value
+      case d: DtypeStub =>
+        // dtype.__setstate__((ver, byteorder, subdescr, names, fields, ...))
+        state.asInstanceOf[Seq[Any]].lift(1).foreach(bo => d.byteorder = String.valueOf(bo))
+        d
+      case other => throw new IllegalArgumentException(
+        s"pickle BUILD on ${other.getClass.getName} not supported")
+    }
+
+    // tuples are modeled as Seq (TUPLE/TUPLE1) or Product (TUPLE2/3); give
+    // BUILD a uniform Seq view
+    def tupleSeq(v: Any): Any = v match {
+      case p2: (_, _) => Seq(p2._1, p2._2)
+      case p3: (_, _, _) => Seq(p3._1, p3._2, p3._3)
+      case s: Seq[_] => s
+      case other => other
+    }
+
     while (true) {
       val op = u1
       op match {
         case 0x80 => u1 // PROTO n
+        case 0x95 => p += 8 // FRAME (protocol 4): length hint, ignored
         case '.' => require(stack.length == 1, s"pickle stack ${stack.length} at STOP")
           return stack.head
         case 'N' => stack += None
@@ -95,36 +259,82 @@ object PickleLite {
         case 'J' => stack += i4.toLong // BININT (signed)
         case 'I' => stack += line().toLong // protocol-0 INT
         case 'L' => stack += line().stripSuffix("L").toLong // protocol-0 LONG
+        case 0x8a => // LONG1: n-byte little-endian signed
+          val n = u1
+          var v = 0L
+          (0 until n).foreach(k => v |= (data(p + k).toLong & 0xff) << (8 * k))
+          if (n > 0 && n < 8 && (data(p + n - 1) & 0x80) != 0) v -= (1L << (8 * n))
+          p += n
+          stack += v
+        case 'G' => // BINFLOAT: big-endian double
+          var bits = 0L
+          (0 until 8).foreach(_ => bits = (bits << 8) | (u1 & 0xffL))
+          stack += java.lang.Double.longBitsToDouble(bits)
         case 'X' => val n = i4; stack += new String(data, p, n, "UTF-8"); p += n
-        case 'U' => val n = u1; stack += new String(data, p, n, "UTF-8"); p += n // SHORT_BINSTRING
-        case 'T' => val n = i4; stack += new String(data, p, n, "UTF-8"); p += n // BINSTRING
-        case 0x8c => val n = u1; stack += new String(data, p, n, "UTF-8"); p += n // SHORT_BINUNICODE (p4)
+        case 0x8c => val n = u1; stack += new String(data, p, n, "UTF-8"); p += n // SHORT_BINUNICODE
+        case 0x8d => val n = i8.toInt; stack += new String(data, p, n, "UTF-8"); p += n // BINUNICODE8
+        // protocol-1 "strings" are python-2 bytes: latin1 preserves them
+        case 'U' => stack += new String(takeBytes(u1), "ISO-8859-1") // SHORT_BINSTRING
+        case 'T' => stack += new String(takeBytes(i4), "ISO-8859-1") // BINSTRING
+        case 'B' => stack += takeBytes(i4) // BINBYTES
+        case 'C' => stack += takeBytes(u1) // SHORT_BINBYTES
+        case 0x8e => stack += takeBytes(i8.toInt) // BINBYTES8
+        case 0x96 => stack += takeBytes(i8.toInt) // BYTEARRAY8 (protocol 5)
         case 'S' => // protocol-0 quoted STRING
           val s = line()
           stack += s.substring(1, s.length - 1)
         case 'V' => stack += line() // protocol-0 UNICODE
         case ']' => stack += Vector.empty[Any] // EMPTY_LIST
         case ')' => stack += Vector.empty[Any] // EMPTY_TUPLE (as a Seq)
+        case '}' => stack += scala.collection.mutable.LinkedHashMap.empty[Any, Any]
         case '(' => marks += stack.length // MARK
         case 'l' => stack += popToMark().toVector // protocol-0 LIST
         case 't' => stack += popToMark().toVector // TUPLE (as a Seq)
-        case 0x85 => val a = stack.remove(stack.length - 1); stack += Vector(a) // TUPLE1
+        case 0x85 => val a = pop(); stack += Vector(a) // TUPLE1
         case 0x86 => // TUPLE2
-          val b = stack.remove(stack.length - 1); val a = stack.remove(stack.length - 1)
+          val b = pop(); val a = pop()
           stack += ((a, b))
+        case 0x87 => // TUPLE3
+          val c = pop(); val b = pop(); val a = pop()
+          stack += ((a, b, c))
         case 'e' => // APPENDS
           val items = popToMark()
-          val xs = stack.remove(stack.length - 1).asInstanceOf[Seq[Any]]
+          val xs = pop().asInstanceOf[Seq[Any]]
           stack += (xs ++ items)
         case 'a' => // APPEND
-          val item = stack.remove(stack.length - 1)
-          val xs = stack.remove(stack.length - 1).asInstanceOf[Seq[Any]]
+          val item = pop()
+          val xs = pop().asInstanceOf[Seq[Any]]
           stack += (xs :+ item)
-        case 'q' => u1 // BINPUT (memo: ignored)
-        case 'r' => i4 // LONG_BINPUT
-        case 'p' => line() // protocol-0 PUT
-        case 'g' => throw new IllegalArgumentException(
-          "pickle GET (memo reference) not supported")
+        case 's' => // SETITEM
+          val v = pop(); val k = pop()
+          stack.last.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]].put(k, v)
+        case 'u' => // SETITEMS
+          val items = popToMark()
+          val d = stack.last.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
+          items.grouped(2).foreach(kv => d.put(kv(0), kv(1)))
+        case 'c' => stack += GlobalRef(line(), line()) // GLOBAL
+        case 0x93 => // STACK_GLOBAL
+          val n = pop(); val m = pop()
+          stack += GlobalRef(String.valueOf(m), String.valueOf(n))
+        case 'R' => // REDUCE
+          val args = tupleSeq(pop()).asInstanceOf[Seq[Any]]
+          val callable = pop()
+          stack += reduce(callable, args)
+        case 0x81 => // NEWOBJ: cls.__new__(cls, *args) — same allow-list
+          val args = tupleSeq(pop()).asInstanceOf[Seq[Any]]
+          val cls = pop()
+          stack += reduce(cls, args)
+        case 'b' => // BUILD
+          val state = tupleSeq(pop())
+          val obj = pop()
+          stack += build(obj, state)
+        case 'q' => memo(u1) = stack.last // BINPUT
+        case 'r' => memo(i4) = stack.last // LONG_BINPUT
+        case 0x94 => memo(memo.size) = stack.last // MEMOIZE
+        case 'h' => stack += memo(u1) // BINGET
+        case 'j' => stack += memo(i4) // LONG_BINGET
+        case 'p' => memo(line().toInt) = stack.last // protocol-0 PUT
+        case 'g' => stack += memo(line().toInt) // protocol-0 GET
         case o => throw new IllegalArgumentException(
           f"pickle opcode 0x$o%02x ('${o.toChar}') not supported")
       }

@@ -87,11 +87,15 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
     val img2 = Hdf5Lite.write(Seq(H5Var("g", Seq(515, 3), doubles = grid)),
       chunkRows = 5, deflate = 6)
     assert(Hdf5Lite.read(img2).head.doubles === grid)
-    // the 4096-chunk ceiling still errors loudly
-    val e = intercept[IllegalArgumentException](
-      Hdf5Lite.write(Seq(H5Var("x", Seq(5000), doubles = new Array[Double](5000))),
-        chunkRows = 1))
-    assert(e.getMessage.contains("4096"))
+    // > 4096 chunks: a LEVEL-2 internal node appears and roundtrips
+    val big = Array.tabulate(5000)(i => i * 0.5 - 1250.0)
+    val img3 = Hdf5Lite.write(Seq(H5Var("x", Seq(5000), doubles = big)), chunkRows = 1)
+    assert(Hdf5Lite.read(img3).head.doubles === big)
+    // structural: a node with level byte 2 exists (sig TREE, type 1)
+    val hasL2 = (0 until img3.length - 6).exists(i =>
+      img3(i) == 'T' && img3(i + 1) == 'R' && img3(i + 2) == 'E' && img3(i + 3) == 'E' &&
+        img3(i + 4) == 1 && img3(i + 5) == 2)
+    assert(hasL2, "expected a level-2 chunk B-tree node")
   }
 
   test("grouped write: datasets nest under one group, names come back path-qualified") {

@@ -171,11 +171,41 @@ object ZarrGrid extends Serializable {
     out
   }
 
+  /** Consolidated metadata (`.zmetadata`, zarr_consolidated_format 1 —
+    * what xarray writes by default): path ("x/.zarray") -> raw JSON
+    * string. One read replaces every per-array metadata fetch, the
+    * object-store round-trip killer on stores with many arrays.
+    */
+  private def consolidated(spark: SparkSession, dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/.zmetadata")
+    if (!fsFor(spark, dir).exists(p)) Map.empty
+    else {
+      val root = JsonMethods.parse(new String(readSmall(spark, s"$dir/.zmetadata"), "UTF-8"))
+      val fmt = (root \ "zarr_consolidated_format").extractOpt[Int]
+      require(fmt.contains(1), s"$dir/.zmetadata: consolidated format $fmt not supported (1 only)")
+      (root \ "metadata") match {
+        case JObject(fields) =>
+          fields.map { case (k, v) => k -> JsonMethods.compact(JsonMethods.render(v)) }.toMap
+        case other => throw new IllegalArgumentException(
+          s"$dir/.zmetadata: 'metadata' is ${other.getClass.getSimpleName}, expected an object")
+      }
+    }
+  }
+
+  /** Metadata JSON for `rel` ("x/.zarray"): the consolidated entry when
+    * present, else the individual file.
+    */
+  private def metaJson(spark: SparkSession, dir: String, rel: String,
+                       cons: Map[String, String]): String =
+    cons.getOrElse(rel, new String(readSmall(spark, s"$dir/$rel"), "UTF-8"))
+
   /** Driver-side full read of a small (coordinate) array; absent chunk
     * files resolve to fill_value (or raise if none declared).
     */
-  private def readArrayLocal(spark: SparkSession, arrDir: String, name: String): Array[Double] = {
-    val m = parseZarray(new String(readSmall(spark, s"$arrDir/.zarray"), "UTF-8"), name)
+  private def readArrayLocal(spark: SparkSession, dir: String, name: String,
+                             cons: Map[String, String]): Array[Double] = {
+    val arrDir = s"$dir/$name"
+    val m = parseZarray(metaJson(spark, dir, s"$name/.zarray", cons), name)
     require(m.shape.length == 1, s"$name: expected 1-d coordinate array, got ${m.shape}")
     val fs = fsFor(spark, arrDir)
     val out = new Array[Double](m.shape.head)
@@ -239,10 +269,11 @@ object ZarrGrid extends Serializable {
   def readGrid2d(spark: SparkSession, dir: String, xDim: String, yDim: String,
                  varNames: Seq[String]): DataFrame = {
     require(varNames.nonEmpty, "no variables requested")
-    val xs = readArrayLocal(spark, s"$dir/$xDim", xDim)
-    val ys = readArrayLocal(spark, s"$dir/$yDim", yDim)
+    val cons = consolidated(spark, dir)
+    val xs = readArrayLocal(spark, dir, xDim, cons)
+    val ys = readArrayLocal(spark, dir, yDim, cons)
     val metas = varNames.map { v =>
-      val m = parseZarray(new String(readSmall(spark, s"$dir/$v/.zarray"), "UTF-8"), v)
+      val m = parseZarray(metaJson(spark, dir, s"$v/.zarray", cons), v)
       require(m.shape == Seq(ys.length, xs.length),
         s"$v shape ${m.shape} != (${ys.length}, ${xs.length}) = ($yDim, $xDim)")
       require(m.chunks.length == 2, s"$v: chunk rank ${m.chunks.length} != 2")
@@ -374,16 +405,28 @@ object ZarrGrid extends Serializable {
     */
   def readStore(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsFor(spark, dir)
-    val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.isDirectory).map(_.getPath.getName).sorted
-    val arrays = subdirs.filter(d =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d/.zarray")))
+    val cons = consolidated(spark, dir)
+    // array discovery: ONE .zmetadata read when consolidated (no listing,
+    // no per-array existence probes), else the directory listing
+    val arrays =
+      if (cons.nonEmpty)
+        cons.keys.collect { case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray") }
+          .toArray.sorted
+      else {
+        val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(_.isDirectory).map(_.getPath.getName).sorted
+        subdirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d/.zarray")))
+      }
     require(arrays.nonEmpty, s"$dir: no zarr arrays found")
     def dimsOf(a: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$a/.zattrs")
-      if (!fs.exists(p)) Seq.empty
-      else (JsonMethods.parse(new String(readSmall(spark, s"$dir/$a/.zattrs"), "UTF-8")) \
-        "_ARRAY_DIMENSIONS").extractOpt[Seq[String]].getOrElse(Seq.empty)
+      val rel = s"$a/.zattrs"
+      val json =
+        if (cons.contains(rel)) Some(cons(rel))
+        else if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
+          Some(new String(readSmall(spark, s"$dir/$rel"), "UTF-8"))
+        else None
+      json.map(j => (JsonMethods.parse(j) \ "_ARRAY_DIMENSIONS")
+        .extractOpt[Seq[String]].getOrElse(Seq.empty)).getOrElse(Seq.empty)
     }
     val withDims = arrays.map(a => a -> dimsOf(a)).toMap
     val dataVars = arrays.filter(a => withDims(a).length == 2).toSeq
@@ -451,9 +494,20 @@ object ZarrGrid extends Serializable {
         ("compressor", JsonMethods.parse(
           s"""{"id":"blosc","cname":"$cname","clevel":5,"shuffle":${if (byteShuffle) 1 else 0},"blocksize":0}"""))
       }
+    val patchedJson = JsonMethods.compact(JsonMethods.render(patched))
     val out = fs.create(new org.apache.hadoop.fs.Path(zaPath), true)
-    try out.write(JsonMethods.compact(JsonMethods.render(patched)).getBytes("UTF-8"))
+    try out.write(patchedJson.getBytes("UTF-8"))
     finally out.close()
+    // keep the store's consolidated metadata in sync (a stale .zmetadata
+    // would make consolidated readers decode with the OLD compressor)
+    val slash = arrDir.stripSuffix("/").lastIndexOf('/')
+    val (storeDir, arrName) = (arrDir.substring(0, slash), arrDir.substring(slash + 1))
+    val zmPath = new org.apache.hadoop.fs.Path(s"$storeDir/.zmetadata")
+    if (fs.exists(zmPath)) {
+      val entries = consolidated(spark, storeDir) + (s"$arrName/.zarray" -> patchedJson)
+      val o2 = fs.create(zmPath, true)
+      try o2.write(consolidatedJson(entries.toSeq).getBytes("UTF-8")) finally o2.close()
+    }
   }
 
   /** Write a gridded table as one xarray-shaped zarr group with the CHUNK
@@ -575,21 +629,36 @@ object ZarrGrid extends Serializable {
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],""" +
         s""""dtype":"<f8","compressor":$compJson,"fill_value":0.0,""" +
         """"order":"C","filters":null}"""
-    writeFile(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
+    // every metadata doc also lands in ".zmetadata" (consolidated
+    // format 1, what xarray writes by default) so readers make ONE
+    // metadata fetch instead of 3 per array
+    val consEntries = Seq.newBuilder[(String, String)]
+    def writeMetaFile(rel: String, json: String): Unit = {
+      consEntries += (rel -> json)
+      writeFile(rel, json.getBytes("UTF-8"))
+    }
+    writeMetaFile(".zgroup", """{"zarr_format":2}""")
     def writeCoord(name: String, vals: Array[Double]): Unit = {
-      writeFile(s"$name/.zarray", zarrayJson(Seq(vals.length), Seq(vals.length)).getBytes("UTF-8"))
-      writeFile(s"$name/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$name"]}""".getBytes("UTF-8"))
+      writeMetaFile(s"$name/.zarray", zarrayJson(Seq(vals.length), Seq(vals.length)))
+      writeMetaFile(s"$name/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$name"]}""")
       writeFile(s"$name/0", encodeChunk(doubleLeBytes(vals), compressor))
     }
     writeCoord(xCol, xs)
     writeCoord(yCol, ys)
     varNames.foreach { v =>
-      writeFile(s"$v/.zarray",
-        zarrayJson(Seq(ys.length, xs.length), Seq(cr, xs.length)).getBytes("UTF-8"))
-      writeFile(s"$v/.zattrs",
-        s"""{"_ARRAY_DIMENSIONS":["$yCol","$xCol"]}""".getBytes("UTF-8"))
+      writeMetaFile(s"$v/.zarray", zarrayJson(Seq(ys.length, xs.length), Seq(cr, xs.length)))
+      writeMetaFile(s"$v/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$yCol","$xCol"]}""")
     }
+    // MERGE with any existing consolidated doc: appending a variable to a
+    // store must not drop the entries of the arrays already there
+    val merged = consolidated(spark, dir) ++ consEntries.result().toMap
+    writeFile(".zmetadata", consolidatedJson(merged.toSeq).getBytes("UTF-8"))
   }
+
+  /** zarr_consolidated_format-1 document from (path, raw JSON) entries. */
+  private def consolidatedJson(entries: Seq[(String, String)]): String =
+    entries.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+      .mkString("""{"metadata":{""", ",", """},"zarr_consolidated_format":1}""")
 
   /** Write a gridded table as ONE xarray-shaped zarr group (driver-side,
     * the result-grid-sized sink, like NetCdfGrid.writeGrid2d): coordinate

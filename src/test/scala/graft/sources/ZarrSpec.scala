@@ -94,6 +94,8 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     val txt = new String(Files.readAllBytes(za), "UTF-8")
       .replace(""""order":"C"""", """"order":"C","dimension_separator":"/"""")
     Files.write(za, txt.getBytes("UTF-8"))
+    // hand-edited store: a stale .zmetadata would shadow the patch
+    Files.deleteIfExists(Paths.get(dir, ".zmetadata"))
     val back = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z"))
     assert(back.count() === 35)
     assert(back.filter(col("x") === 30.0 && col("y") === 200.0)
@@ -120,6 +122,8 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     val txt = new String(Files.readAllBytes(za), "UTF-8")
       .replace(""""fill_value":0.0""", """"fill_value":null""")
     Files.write(za, txt.getBytes("UTF-8"))
+    // hand-edited store: a stale .zmetadata would shadow the patch
+    Files.deleteIfExists(Paths.get(dir, ".zmetadata"))
     val e = intercept[Exception](
       ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w")).collect())
     assert(e.getMessage.contains("fill_value") || e.getMessage.contains("0.0"),
@@ -172,6 +176,8 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     val za = Paths.get(dir, "z", ".zarray")
     val txt = new String(Files.readAllBytes(za), "UTF-8").replace("\"lz4\"", "\"zstd\"")
     Files.write(za, txt.getBytes("UTF-8"))
+    // hand-edited store: a stale .zmetadata would shadow the patch
+    Files.deleteIfExists(Paths.get(dir, ".zmetadata"))
     val e = intercept[Exception](ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w")))
     assert(e.getMessage.contains("zstd"))
   }
@@ -216,6 +222,37 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     assert(back((30.0, 2.0)) === ((-6.5, 255.0)))
   }
 
+  test("consolidated metadata: sinks write .zmetadata and readers prefer it") {
+    val dir = Files.createTempDirectory("zarr_").resolve("c.zarr").toString
+    ZarrGrid.writeGrid2d(mkGrid(2.0), dir, "x", "y", Seq("z"), chunkRows = 2)
+    // the sink wrote a consolidated doc covering every metadata file
+    val zm = new String(Files.readAllBytes(Paths.get(s"$dir/.zmetadata")), "UTF-8")
+    assert(zm.contains("\"zarr_consolidated_format\":1"))
+    Seq(".zgroup", "x/.zarray", "y/.zarray", "z/.zarray", "z/.zattrs").foreach(k =>
+      assert(zm.contains(s"\"$k\""), s"missing $k"))
+    // delete every individual metadata file: the store must read PURELY
+    // from .zmetadata (proving readers never touch the per-array files)
+    Seq(".zgroup", "x/.zarray", "x/.zattrs", "y/.zarray", "y/.zattrs",
+      "z/.zarray", "z/.zattrs").foreach(f => Files.delete(Paths.get(s"$dir/$f")))
+    val back = ZarrGrid.readStore(spark, dir)
+    assert(back.count() === 35)
+    assert(back.agg(sum("z")).collect()(0).getDouble(0) ===
+      (0 until 35).map(_ + 2.0).sum)
+  }
+
+  test("toBlosc keeps .zmetadata in sync with the patched compressor") {
+    val dir = Files.createTempDirectory("zarr_").resolve("cb.zarr").toString
+    ZarrGrid.writeGrid2d(mkGrid(1.0), dir, "x", "y", Seq("z"), chunkRows = 2)
+    ZarrGrid.toBlosc(spark, s"$dir/z", cname = "lz4")
+    val zm = new String(Files.readAllBytes(Paths.get(s"$dir/.zmetadata")), "UTF-8")
+    assert(zm.contains("\"cname\":\"lz4\""), "consolidated entry still zlib")
+    // consolidated-only read must decode the blosc chunks correctly
+    Seq("z/.zarray", "z/.zattrs").foreach(f => Files.delete(Paths.get(s"$dir/$f")))
+    val back = ZarrGrid.readStore(spark, dir)
+    assert(back.agg(sum("z")).collect()(0).getDouble(0) ===
+      (0 until 35).map(_ + 1.0).sum)
+  }
+
   test("unsupported stores raise errors naming the blocker") {
     val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))
@@ -225,6 +262,8 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       .replace("""{"id":"zlib","level":5}""",
         """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1}""")
     Files.write(za, txt.getBytes("UTF-8"))
+    // hand-edited store: a stale .zmetadata would shadow the patch
+    Files.deleteIfExists(Paths.get(dir, ".zmetadata"))
     val e = intercept[Exception](
       ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z")).collect())
     assert(e.getMessage.contains("blosc") || e.getCause.getMessage.contains("blosc"))

@@ -386,6 +386,17 @@ object SparkEntry {
         .select("query_id", "item_id", "rank")
     }),
 
+    // IVF-PQ-style asymmetric-distance top-k: items scored from 8 one-byte
+    // PQ codes via per-query distance tables (the 100 TB payload shape —
+    // ~32x smaller than the raw float vectors); deterministic per-subspace
+    // codebooks (16 smallest-id items), exactly reproducible in SQL
+    "q64_ann_pq" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      SimilaritySearch.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", "vec_id", k = 3, m = 8, ksub = 16)
+        .select("query_id", "item_id", "rank")
+    }),
+
     // ----- multimodal plumbing -----
     "q33_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1304,6 +1315,35 @@ object SparkEntry {
          |  FROM asg a JOIN probes p USING (list_id))
          |WHERE rank <= 3""".stripMargin
     },
+
+    // PQ replica: encode = per-(item, subspace) argmin L2 over the
+    // 16-entry codebook; ADC = sum of per-subspace dot products; cosine
+    // against the reconstructed item norm — the exact pqTopK semantics
+    "q64_ann_pq" ->
+      """WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),
+        |cbitems AS (SELECT row_number() OVER (ORDER BY item_id) - 1 AS code, ivec FROM (SELECT item_id, ivec FROM it ORDER BY item_id LIMIT 16)),
+        |cb AS (SELECT t.j, c.code, list_slice(c.ivec, t.j*8 + 1, t.j*8 + 8) AS cvec FROM range(0, 8) t(j), cbitems c),
+        |codes AS (
+        |  SELECT item_id, j, code FROM (
+        |    SELECT i.item_id, b.j, b.code,
+        |      row_number() OVER (PARTITION BY i.item_id, b.j
+        |        ORDER BY list_sum(list_transform(range(1, 9), t -> pow(list_extract(i.ivec, b.j*8 + t) - list_extract(b.cvec, t), 2))) ASC, b.code ASC) AS r
+        |    FROM it i, cb b) WHERE r = 1),
+        |recon AS (SELECT c.item_id, sum(list_sum(list_transform(b.cvec, x -> x*x))) AS rn2
+        |          FROM codes c JOIN cb b ON b.j = c.j AND b.code = c.code GROUP BY c.item_id),
+        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec FROM embeddings WHERE vec_id < 3),
+        |adc AS (
+        |  SELECT q.query_id, c.item_id,
+        |     sum(list_sum(list_transform(range(1, 9), t -> list_extract(q.qvec, b.j*8 + t) * list_extract(b.cvec, t)))) AS ip
+        |  FROM q, codes c JOIN cb b ON b.j = c.j AND b.code = c.code
+        |  GROUP BY q.query_id, c.item_id),
+        |scored AS (
+        |  SELECT a.query_id, a.item_id,
+        |    a.ip / (sqrt(list_sum(list_transform(q.qvec, x -> x*x))) * sqrt(r.rn2)) AS cosine
+        |  FROM adc a JOIN q ON q.query_id = a.query_id JOIN recon r ON r.item_id = a.item_id)
+        |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin,
 
     "q34_gp_run_details" -> runDetailsOracleSql(),
 

@@ -170,6 +170,120 @@ object SimilaritySearch {
     * are deterministic only up to summation order — consumers should
     * assert recall, not exact centroid bytes.
     */
+  // ---------------------------------------------- product quantization
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  private def normsq(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Deterministic PQ codebook: per subspace j, the sub-vectors of the
+    * `ksub` smallest-id items (codes ordered by id) — data-independent
+    * beyond that prefix and exactly reproducible in SQL, the same
+    * stand-in-for-k-means convention as [[ivfTopK]]'s coarse codebook.
+    * Shape: codebook(j)(code) = centroid sub-vector (dsub doubles).
+    */
+  def pqCodebookDeterministic(items: DataFrame, idCol: String, vecCol: String,
+                              m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val rows = items
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(col("id")).limit(ksub).collect() // TakeOrderedAndProject, ksub tiny
+    val vecs = rows.map(_.getSeq[Double](1))
+    val d = vecs.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    (0 until m).map(j => vecs.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq).toSeq)
+  }
+
+  /** Trained PQ codebook: independent k-means (via [[trainCentroids]])
+    * per sub-vector space over a hash sample. Codes are the per-subspace
+    * cluster ranks; empty clusters drop (ksub is an upper bound).
+    */
+  def pqTrainCodebook(items: DataFrame, idCol: String, vecCol: String,
+                      m: Int, ksub: Int, iters: Int = 5,
+                      sampleMod: Int = 1): Seq[Seq[Seq[Double]]] = {
+    val probe = items.select(transform(col(vecCol), x => x.cast("double")).as("v")).head()
+    val d = probe.getSeq[Double](0).length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    (0 until m).map { j =>
+      val sub = items.select(col(idCol),
+        slice(transform(col(vecCol), x => x.cast("double")), j * dsub + 1, dsub).as("subv"))
+      trainCentroids(sub, idCol, "subv", nlist = ksub, iters = iters, sampleMod = sampleMod)
+        .orderBy("list_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    }
+  }
+
+  /** Encode items as PQ codes: per subspace, the index of the nearest
+    * codebook centroid (squared-L2, ties to the lower code). Pure
+    * per-row expressions against the broadcast codebook literal — ZERO
+    * shuffle, one scan; the stored payload per item shrinks from
+    * 4·d float bytes to m single-byte codes (~32x at d=64, m=8) plus the
+    * reconstructed norm used by the ADC cosine.
+    * Output: (item_id, codes: array&lt;int&gt;, recon_norm2).
+    */
+  def pqEncode(items: DataFrame, idCol: String, vecCol: String,
+               codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebook.length
+    val ksub = codebook.head.length
+    val dsub = codebook.head.head.length
+    val cb = typedlit(codebook)
+    items.select(col(idCol).as("item_id"),
+      transform(col(vecCol), x => x.cast("double")).as("ivec"))
+      .select(col("item_id"),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val sub = slice(col("ivec"), j * lit(dsub) + lit(1), lit(dsub))
+          val row = element_at(cb, j + lit(1))
+          aggregate(sequence(lit(0), lit(ksub - 1)),
+            struct(lit(Double.MaxValue).as("d"), lit(0).as("c")),
+            (acc, ci) => {
+              val dd = l2sq(sub, element_at(row, ci + lit(1)))
+              when(dd < acc.getField("d"), struct(dd.as("d"), ci.as("c"))).otherwise(acc)
+            },
+            acc => acc.getField("c"))
+        }).as("codes"))
+      .withColumn("recon_norm2",
+        aggregate(zip_with(col("codes"), cb,
+          (c, row) => normsq(element_at(row, c + lit(1)))), lit(0.0), _ + _))
+  }
+
+  /** IVF-PQ-style top-k with ASYMMETRIC DISTANCE scoring: queries keep
+    * their exact vectors; items are scored from their PQ codes alone via
+    * per-query distance tables (dt(j)(c) = &lt;q_j, centroid_{j,c}&gt;,
+    * computed once per query and broadcast), so scoring an item is m
+    * table lookups instead of a d-element dot product and the scan reads
+    * the m-byte codes, not the raw vectors — the 100 TB shape. Scores
+    * approximate cosine(q, reconstruct(item)); exactness knobs are m and
+    * ksub. Recall &lt; 1 by design; [[rankedTopK]] keeps the final rank
+    * exact over the approximate scores.
+    */
+  def pqTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             queryIdCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebookDeterministic(items, idCol, vecCol, m, ksub))
+    val dsub = cb.head.head.length
+    val cbLit = typedlit(cb)
+    val encoded = pqEncode(items, idCol, vecCol, cb)
+    val q = queries
+      .select(col(queryIdCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qvec"))
+      .withColumn("dt",
+        transform(sequence(lit(0), lit(cb.length - 1)), j => {
+          val sub = slice(col("qvec"), j * lit(dsub) + lit(1), lit(dsub))
+          transform(element_at(cbLit, j + lit(1)), cent => dot(sub, cent))
+        }))
+      .withColumn("qnorm", sqrt(normsq(col("qvec"))))
+      .select("query_id", "dt", "qnorm")
+    val adc = aggregate(zip_with(col("codes"), col("dt"),
+      (c, row) => element_at(row, c + lit(1))), lit(0.0), _ + _)
+    val denom = col("qnorm") * sqrt(col("recon_norm2"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("item_id"),
+        when(denom > 0, adc / denom).otherwise(lit(0.0)).as("cosine"))
+    rankedTopK(scored, k)
+  }
+
   def trainCentroids(items: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int = 5, sampleMod: Int = 1): DataFrame = {
     // hash-based sampling: `pmod(xxhash64(id), mod)` keeps the sampled

@@ -199,6 +199,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert((0 until 5).forall(i => ivf.contains((i.toLong, i.toLong))), "self must be found")
   }
 
+  test("PQ: codes are m small ints, ADC top-k holds recall vs brute force") {
+    val q = items.filter(col("vec_id") < 5)
+    // encode: 16-dim vecs -> 4 codes of 8 values each
+    val cb = SimilaritySearch.pqCodebookDeterministic(items, "vec_id", "embedding", m = 4, ksub = 8)
+    assert(cb.length === 4 && cb.head.length === 8 && cb.head.head.length === 4)
+    val enc = SimilaritySearch.pqEncode(items, "vec_id", "embedding", cb).collect()
+    assert(enc.length === 50)
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length === 4 && codes.forall(c => c >= 0 && c < 8))
+      assert(r.getDouble(2) > 0.0, "reconstructed norm")
+    }
+    // codebook items quantize to themselves (their own subvectors are
+    // codebook entries at distance 0, tie-broken to their own code)
+    val codebookItem = enc.find(_.getLong(0) == 3L).get
+    assert(codebookItem.getSeq[Int](1).forall(_ == 3))
+
+    val pq = SimilaritySearch.pqTopK(items, q, "vec_id", "embedding", "vec_id", 5,
+      m = 4, ksub = 8)
+    assert(pq.columns.toSeq === Seq("query_id", "item_id", "cosine", "rank"))
+    val got = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall")
+    // a codebook query reconstructs exactly -> its own item must rank 1
+    val self = pq.filter(col("query_id") === 3 && col("rank") === 1).head()
+    assert(self.getLong(1) === 3L)
+  }
+
+  test("PQ: trained per-subspace codebooks keep or raise ADC recall") {
+    val q = items.filter(col("vec_id") < 5)
+    val cb = SimilaritySearch.pqTrainCodebook(items, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 4)
+    assert(cb.length === 4 && cb.forall(row => row.nonEmpty && row.forall(_.length === 4)))
+    val pq = SimilaritySearch.pqTopK(items, q, "vec_id", "embedding", "vec_id", 5,
+      m = 4, ksub = 8, codebook = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"trained-PQ recall $recall")
+  }
+
   test("trained k-means centroids plug into ivfTopK and keep/raise recall") {
     val q = items.filter(col("vec_id") < 5)
     val cents = SimilaritySearch.trainCentroids(items, "vec_id", "embedding", nlist = 8, iters = 4)

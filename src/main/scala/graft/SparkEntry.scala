@@ -683,6 +683,9 @@ object SparkEntry {
         chunkRows = 3)
       graft.sources.ZarrGrid.toBlosc(s, tmp + "/z_mean", cname = "lz4")
       graft.sources.ZarrGrid.toBlosc(s, tmp + "/x", cname = "zlib")
+      // third codec family in the same store: bare numcodecs Zstd()
+      // frames on the y axis, decoded by the pure-JVM ZstdLite
+      graft.sources.ZarrGrid.toZstd(s, tmp + "/y")
       graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),

@@ -105,10 +105,10 @@ object BloscLite {
       return out
     }
     codec match {
-      case CodecLz4 | CodecZlib => ()
+      case CodecLz4 | CodecZlib | CodecZstd => ()
       case c => throw new IllegalArgumentException(
-        s"$name: blosc codec id $c not supported (lz4=1 and zlib=3 only — " +
-          "rewrite zstd/snappy/blosclz stores with cname='lz4' or 'zlib')")
+        s"$name: blosc codec id $c not supported (lz4=1, zlib=3, zstd=4 — " +
+          "rewrite snappy/blosclz stores with cname='lz4' or 'zlib')")
     }
     require(blocksize > 0 || nbytes == 0,
       s"$name: blosc header claims blocksize $blocksize for $nbytes bytes")
@@ -130,6 +130,10 @@ object BloscLite {
       } else codec match {
         case CodecLz4 => Lz4Lite.decompress(frame, off, cb, outLen)
         case CodecZlib => zlibInflate(frame, off, cb, outLen)
+        case CodecZstd =>
+          val out = ZstdLite.decompress(java.util.Arrays.copyOfRange(frame, off, off + cb), name)
+          require(out.length == outLen, s"$name: zstd stream gave ${out.length} of $outLen bytes")
+          out
       }
 
     // parse one block as `nstreams` length-prefixed streams; throws if the

@@ -52,19 +52,20 @@ object ZarrGrid extends Serializable {
         val id = (c \ "id").extract[String]
         id match {
           case "zlib" | "gzip" => "zlib"
+          case "zstd" => "zstd" // numcodecs Zstd(): bare RFC 8878 frames
           case "blosc" =>
             // the zarr DEFAULT compressor (numcodecs Blosc, cname lz4);
             // decoded by the pure-JVM BloscLite frame codec. The frame
-            // header names its own inner codec — unsupported ones (zstd,
-            // snappy, blosclz) raise there with the cname in the message.
+            // header names its own inner codec — unsupported ones
+            // (snappy, blosclz) raise there with the cname in the message.
             (c \ "cname").extractOpt[String].foreach { cn =>
-              require(cn == "lz4" || cn == "lz4hc" || cn == "zlib",
-                s"$name: blosc cname '$cn' not supported (lz4/lz4hc/zlib only — " +
-                  "rewrite zstd/snappy/blosclz stores with cname='lz4')")
+              require(cn == "lz4" || cn == "lz4hc" || cn == "zlib" || cn == "zstd",
+                s"$name: blosc cname '$cn' not supported (lz4/lz4hc/zlib/zstd only — " +
+                  "rewrite snappy/blosclz stores with cname='lz4')")
             }
             "blosc"
           case o => throw new IllegalArgumentException(
-            s"$name: compressor '$o' not supported (null/zlib/blosc only)")
+            s"$name: compressor '$o' not supported (null/zlib/zstd/blosc only)")
         }
     }
     // absent chunk files legally mean "all fill_value" in zarr v2
@@ -108,6 +109,7 @@ object ZarrGrid extends Serializable {
     val bytes = m.comp match {
       case "none" => raw
       case "blosc" => BloscLite.decompress(raw, name)
+      case "zstd" => ZstdLite.decompress(raw, name)
       case "zlib" =>
         val inf = new java.util.zip.Inflater()
         inf.setInput(raw)
@@ -470,6 +472,7 @@ object ZarrGrid extends Serializable {
       val plain = meta.comp match {
         case "none" => raw
         case "blosc" => BloscLite.decompress(raw, p.toString)
+        case "zstd" => ZstdLite.decompress(raw, p.toString)
         case "zlib" =>
           val inf = new java.util.zip.Inflater()
           inf.setInput(raw)
@@ -500,6 +503,63 @@ object ZarrGrid extends Serializable {
     finally out.close()
     // keep the store's consolidated metadata in sync (a stale .zmetadata
     // would make consolidated readers decode with the OLD compressor)
+    val slash = arrDir.stripSuffix("/").lastIndexOf('/')
+    val (storeDir, arrName) = (arrDir.substring(0, slash), arrDir.substring(slash + 1))
+    val zmPath = new org.apache.hadoop.fs.Path(s"$storeDir/.zmetadata")
+    if (fs.exists(zmPath)) {
+      val entries = consolidated(spark, storeDir) + (s"$arrName/.zarray" -> patchedJson)
+      val o2 = fs.create(zmPath, true)
+      try o2.write(consolidatedJson(entries.toSeq).getBytes("UTF-8")) finally o2.close()
+    }
+  }
+
+  /** Re-encode one array's chunk files as bare zstd frames and declare
+    * the numcodecs `Zstd()` compressor — STORED-mode frames (raw blocks,
+    * valid RFC 8878 any zstd reader accepts; see
+    * [[ZstdLite.compressStored]]), since the engine ships no zstd entropy
+    * ENCODER by design. Keeps `.zmetadata` in sync like [[toBlosc]].
+    */
+  def toZstd(spark: SparkSession, arrDir: String): Unit = {
+    val meta = parseZarray(new String(readSmall(spark, s"$arrDir/.zarray"), "UTF-8"), arrDir)
+    val fs = fsFor(spark, arrDir)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith(".")).flatMap { s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s.getPath)
+      }
+    walk(new org.apache.hadoop.fs.Path(arrDir)).foreach { p =>
+      val len = fs.getFileStatus(p).getLen.toInt
+      val raw = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, raw) finally in.close()
+      val plain = meta.comp match {
+        case "none" => raw
+        case "blosc" => BloscLite.decompress(raw, p.toString)
+        case "zstd" => ZstdLite.decompress(raw, p.toString)
+        case "zlib" =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(raw)
+          val o = new java.io.ByteArrayOutputStream(raw.length * 3 + 64)
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val got = inf.inflate(tmp)
+            if (got == 0 && inf.needsInput())
+              throw new IllegalArgumentException(s"$p: truncated zlib chunk")
+            o.write(tmp, 0, got)
+          }
+          inf.end()
+          o.toByteArray
+      }
+      val out = fs.create(p, true)
+      try out.write(ZstdLite.compressStored(plain)) finally out.close()
+    }
+    val zaPath = s"$arrDir/.zarray"
+    val patched = JsonMethods.parse(new String(readSmall(spark, zaPath), "UTF-8"))
+      .transformField { case ("compressor", _) =>
+        ("compressor", JsonMethods.parse("""{"id":"zstd","level":5}"""))
+      }
+    val patchedJson = JsonMethods.compact(JsonMethods.render(patched))
+    val out = fs.create(new org.apache.hadoop.fs.Path(zaPath), true)
+    try out.write(patchedJson.getBytes("UTF-8")) finally out.close()
     val slash = arrDir.stripSuffix("/").lastIndexOf('/')
     val (storeDir, arrName) = (arrDir.substring(0, slash), arrDir.substring(slash + 1))
     val zmPath = new org.apache.hadoop.fs.Path(s"$storeDir/.zmetadata")

@@ -69,10 +69,10 @@ class BloscSpec extends AnyFunSuite {
   test("blosc rejects unsupported codecs and bit-shuffle with named errors") {
     val p = Array.tabulate(300)(_.toByte)
     val frame = BloscLite.compress(p, 8, BloscLite.CodecLz4)
-    val zstd = frame.clone()
-    zstd(2) = ((BloscLite.CodecZstd << 5) | (zstd(2) & 0x1f)).toByte
-    val e1 = intercept[IllegalArgumentException](BloscLite.decompress(zstd, "z"))
-    assert(e1.getMessage.contains("lz4=1 and zlib=3"))
+    val snappy = frame.clone()
+    snappy(2) = ((BloscLite.CodecSnappy << 5) | (snappy(2) & 0x1f)).toByte
+    val e1 = intercept[IllegalArgumentException](BloscLite.decompress(snappy, "z"))
+    assert(e1.getMessage.contains("lz4=1, zlib=3, zstd=4"))
     val bitshuf = frame.clone()
     bitshuf(2) = (bitshuf(2) | 0x4).toByte
     val e2 = intercept[IllegalArgumentException](BloscLite.decompress(bitshuf, "b"))

@@ -25,10 +25,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Scope (checked, loud errors outside it): zarr v2, C-order, numeric
   * dtypes f4/f8, i1-i8, u1-u4 in either byte order ('<', '>', '|'),
-  * compressor null, zlib/gzip, or blosc with lz4/zlib
-  * inner codecs — the zarr DEFAULT (numcodecs Blosc) — via the pure-JVM
-  * [[BloscLite]] frame codec (zstd/snappy/blosclz frames raise naming the
-  * codec); 1-d coordinate + 2-d data arrays.
+  * compressor null, zlib/gzip, bare zstd (numcodecs `Zstd()`, via
+  * [[ZstdLite]]), or blosc with blosclz/lz4/zlib/zstd inner codecs — the
+  * zarr DEFAULT (numcodecs Blosc) — via the pure-JVM [[BloscLite]] frame
+  * codec (snappy frames raise naming the codec); 1-d coordinate + 2-d
+  * data arrays.
   */
 object ZarrGrid extends Serializable {
   implicit private val formats: Formats = DefaultFormats
@@ -57,11 +58,12 @@ object ZarrGrid extends Serializable {
             // the zarr DEFAULT compressor (numcodecs Blosc, cname lz4);
             // decoded by the pure-JVM BloscLite frame codec. The frame
             // header names its own inner codec — unsupported ones
-            // (snappy, blosclz) raise there with the cname in the message.
+            // (snappy) raise there with the cname in the message.
             (c \ "cname").extractOpt[String].foreach { cn =>
-              require(cn == "lz4" || cn == "lz4hc" || cn == "zlib" || cn == "zstd",
-                s"$name: blosc cname '$cn' not supported (lz4/lz4hc/zlib/zstd only — " +
-                  "rewrite snappy/blosclz stores with cname='lz4')")
+              require(cn == "blosclz" || cn == "lz4" || cn == "lz4hc" || cn == "zlib" ||
+                cn == "zstd",
+                s"$name: blosc cname '$cn' not supported (blosclz/lz4/lz4hc/zlib/zstd — " +
+                  "rewrite snappy stores with cname='lz4')")
             }
             "blosc"
           case o => throw new IllegalArgumentException(
@@ -454,9 +456,11 @@ object ZarrGrid extends Serializable {
     val meta = parseZarray(new String(readSmall(spark, s"$arrDir/.zarray"), "UTF-8"), arrDir)
     val typesize = dtypeSize(meta.dtype, arrDir)
     val codec = cname match {
+      case "blosclz" => BloscLite.CodecBloscLz
       case "lz4" | "lz4hc" => BloscLite.CodecLz4
       case "zlib" => BloscLite.CodecZlib
-      case o => throw new IllegalArgumentException(s"blosc cname '$o' not supported (lz4/zlib)")
+      case o => throw new IllegalArgumentException(
+        s"blosc cname '$o' not supported (blosclz/lz4/zlib)")
     }
     val fs = fsFor(spark, arrDir)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =

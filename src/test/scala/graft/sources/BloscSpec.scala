@@ -66,6 +66,50 @@ class BloscSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(BloscLite.decompress(out.array(), "memcpy"), p))
   }
 
+  test("blosclz opcode vectors: literal runs, short/extended/far matches, overlap") {
+    def d(stream: Array[Int], outLen: Int): Array[Byte] = {
+      val b = stream.map(_.toByte)
+      BloscLzLite.decompress(b, 0, b.length, outLen, "vec")
+    }
+    // literal run: token n-1 then n bytes
+    assert(d(Array(4, 'h', 'e', 'l', 'l', 'o'), 5) === "hello".getBytes)
+    // short match with overlap: "abc" + len-6 dist-2 (ref = out start)
+    assert(d(Array(2, 'a', 'b', 'c', (4 << 5) | 0, 2), 9) === "abcabcabc".getBytes)
+    // extended length: lenBits 7, add-255 byte 0 -> L = 9, dist 1 (period 2)
+    assert(d(Array(1, 'a', 'b', (7 << 5) | 0, 0, 1), 11) === "abababababa".getBytes)
+    // far match: 8200 literals then L=5 from distance 8191 back
+    val lits = Array.tabulate(8200)(i => (i * 37 + i / 251) % 256)
+    val stream = Array.newBuilder[Int]
+    var s = 0
+    while (s < 8200) { // literal runs of 32
+      val run = math.min(32, 8200 - s)
+      stream += run - 1
+      (0 until run).foreach(k => stream += lits(s + k))
+      s += run
+    }
+    stream += ((3 << 5) | 31); stream += 255; stream += 0; stream += 0 // L=5, D=8191
+    val out = d(stream.result(), 8205)
+    assert(out.take(8200) === lits.map(_.toByte))
+    assert(out.drop(8200) === lits.slice(8200 - 8192, 8200 - 8192 + 5).map(_.toByte))
+  }
+
+  test("blosclz encoder roundtrips through its own decoder and the blosc frame") {
+    val shapes = Seq(
+      Array.tabulate(5000)(i => (i % 17).toByte),                       // periodic
+      ("the quick brown fox jumps over the lazy dog. " * 400).getBytes, // text
+      Array.tabulate(20000)(i => ((i / 100) % 251).toByte),             // long runs, far dists
+      Array.tabulate(64)(_.toByte))                                     // short
+    shapes.foreach { p =>
+      val c = BloscLzLite.compress(p)
+      if (c != null)
+        assert(BloscLzLite.decompress(c, 0, c.length, p.length, "rt") === p, s"len ${p.length}")
+      for (shuffle <- Seq(true, false)) {
+        val frame = BloscLite.compress(p, 8, BloscLite.CodecBloscLz, byteShuffle = shuffle)
+        assert(BloscLite.decompress(frame, "frame") === p, s"frame len ${p.length} sh=$shuffle")
+      }
+    }
+  }
+
   test("blosc rejects unsupported codecs and bit-shuffle with named errors") {
     val p = Array.tabulate(300)(_.toByte)
     val frame = BloscLite.compress(p, 8, BloscLite.CodecLz4)

@@ -48,10 +48,18 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: blosclz compress -> decompress is the identity") {
+    check(Prop.forAll(byteArrays) { p =>
+      val c = BloscLzLite.compress(p)
+      c == null || java.util.Arrays.equals(
+        BloscLzLite.decompress(c, 0, c.length, p.length, "prop"), p)
+    })
+  }
+
   test("property: blosc frames roundtrip for every codec/shuffle/typesize combo") {
     val cfg = for {
       p <- byteArrays
-      codec <- Gen.oneOf(BloscLite.CodecLz4, BloscLite.CodecZlib)
+      codec <- Gen.oneOf(BloscLite.CodecBloscLz, BloscLite.CodecLz4, BloscLite.CodecZlib)
       shuffle <- Gen.oneOf(true, false)
       typesize <- Gen.oneOf(1, 2, 4, 8, 16)
     } yield (p, codec, shuffle, typesize)

@@ -397,6 +397,16 @@ object SparkEntry {
         .select("query_id", "item_id", "rank")
     }),
 
+    // full IVF-PQ: coarse lists prune the candidate set AND candidates
+    // ship only their PQ codes into the probe join — the combined 100 TB
+    // ANN plan (non-residual FAISS-IVFPQ shape)
+    "q65_ann_ivfpq" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      SimilaritySearch.ivfPqTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", "vec_id", k = 3, nlist = 8, nprobe = 4, m = 8, ksub = 16)
+        .select("query_id", "item_id", "rank")
+    }),
+
     // ----- multimodal plumbing -----
     "q33_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1347,6 +1357,45 @@ object SparkEntry {
         |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank FROM scored)
         |WHERE rank <= 3""".stripMargin,
+
+    // IVF coarse assignment (q32's CTEs) composed with the PQ encode/ADC
+    // replica (q64's): candidates = probed lists only, scored from codes
+    "q65_ann_ivfpq" ->
+      s"""WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),
+         |c AS (SELECT item_id AS list_id, ivec AS cvec FROM it ORDER BY item_id LIMIT 8),
+         |asg AS (
+         |  SELECT item_id, list_id FROM (
+         |    SELECT i.item_id, c.list_id,
+         |      row_number() OVER (PARTITION BY i.item_id ORDER BY ${cosSql("i.ivec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM it i, c) WHERE r = 1),
+         |cbitems AS (SELECT row_number() OVER (ORDER BY item_id) - 1 AS code, ivec FROM (SELECT item_id, ivec FROM it ORDER BY item_id LIMIT 16)),
+         |cb AS (SELECT t.j, cc.code, list_slice(cc.ivec, t.j*8 + 1, t.j*8 + 8) AS cvec FROM range(0, 8) t(j), cbitems cc),
+         |codes AS (
+         |  SELECT item_id, j, code FROM (
+         |    SELECT i.item_id, b.j, b.code,
+         |      row_number() OVER (PARTITION BY i.item_id, b.j
+         |        ORDER BY list_sum(list_transform(range(1, 9), t -> pow(list_extract(i.ivec, b.j*8 + t) - list_extract(b.cvec, t), 2))) ASC, b.code ASC) AS r
+         |    FROM it i, cb b) WHERE r = 1),
+         |recon AS (SELECT cd.item_id, sum(list_sum(list_transform(b.cvec, x -> x*x))) AS rn2
+         |          FROM codes cd JOIN cb b ON b.j = cd.j AND b.code = cd.code GROUP BY cd.item_id),
+         |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec FROM embeddings WHERE vec_id < 3),
+         |probes AS (
+         |  SELECT query_id, qvec, list_id FROM (
+         |    SELECT q.query_id, q.qvec, c.list_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("q.qvec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM q, c) WHERE r <= 4),
+         |cand AS (SELECT p.query_id, p.qvec, a.item_id FROM asg a JOIN probes p USING (list_id)),
+         |adc AS (
+         |  SELECT ca.query_id, ca.item_id,
+         |     sum(list_sum(list_transform(range(1, 9), t -> list_extract(ca.qvec, b.j*8 + t) * list_extract(b.cvec, t)))) AS ip,
+         |     any_value(sqrt(list_sum(list_transform(ca.qvec, x -> x*x)))) AS qnorm
+         |  FROM cand ca JOIN codes cd ON cd.item_id = ca.item_id JOIN cb b ON b.j = cd.j AND b.code = cd.code
+         |  GROUP BY ca.query_id, ca.item_id)
+         |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
+         |  SELECT a.query_id, a.item_id,
+         |    row_number() OVER (PARTITION BY a.query_id ORDER BY (a.ip / (a.qnorm * sqrt(r.rn2))) DESC, a.item_id ASC) AS rank
+         |  FROM adc a JOIN recon r ON r.item_id = a.item_id)
+         |WHERE rank <= 3""".stripMargin,
 
     "q34_gp_run_details" -> runDetailsOracleSql(),
 

@@ -223,30 +223,49 @@ object SimilaritySearch {
     * reconstructed norm used by the ADC cosine.
     * Output: (item_id, codes: array&lt;int&gt;, recon_norm2).
     */
+  // PQ expression builders (shared by pqEncode / pqTopK / ivfPqTopK):
+  // per-row codes (argmin L2 per subspace), reconstructed norm, per-query
+  // distance tables, and the ADC cosine — all pure Catalyst expressions
+  // against a broadcast codebook literal.
+  private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]], vec: Column): Column = {
+    val cbLit = typedlit(cb)
+    val dsub = cb.head.head.length
+    transform(sequence(lit(0), lit(cb.length - 1)), j => {
+      val sub = slice(vec, j * lit(dsub) + lit(1), lit(dsub))
+      val row = element_at(cbLit, j + lit(1))
+      aggregate(sequence(lit(0), lit(cb.head.length - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(0).as("c")),
+        (acc, ci) => {
+          val dd = l2sq(sub, element_at(row, ci + lit(1)))
+          when(dd < acc.getField("d"), struct(dd.as("d"), ci.as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    })
+  }
+  private def pqReconNorm2Expr(cb: Seq[Seq[Seq[Double]]], codes: Column): Column =
+    aggregate(zip_with(codes, typedlit(cb),
+      (c, row) => normsq(element_at(row, c + lit(1)))), lit(0.0), _ + _)
+  private def pqDtExpr(cb: Seq[Seq[Seq[Double]]], qvec: Column): Column = {
+    val cbLit = typedlit(cb)
+    val dsub = cb.head.head.length
+    transform(sequence(lit(0), lit(cb.length - 1)), j => {
+      val sub = slice(qvec, j * lit(dsub) + lit(1), lit(dsub))
+      transform(element_at(cbLit, j + lit(1)), cent => dot(sub, cent))
+    })
+  }
+  private def pqAdcCosine(dt: Column, codes: Column, qnorm: Column, reconNorm2: Column): Column = {
+    val adc = aggregate(zip_with(codes, dt,
+      (c, row) => element_at(row, c + lit(1))), lit(0.0), _ + _)
+    val denom = qnorm * sqrt(reconNorm2)
+    when(denom > 0, adc / denom).otherwise(lit(0.0))
+  }
+
   def pqEncode(items: DataFrame, idCol: String, vecCol: String,
-               codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val m = codebook.length
-    val ksub = codebook.head.length
-    val dsub = codebook.head.head.length
-    val cb = typedlit(codebook)
+               codebook: Seq[Seq[Seq[Double]]]): DataFrame =
     items.select(col(idCol).as("item_id"),
       transform(col(vecCol), x => x.cast("double")).as("ivec"))
-      .select(col("item_id"),
-        transform(sequence(lit(0), lit(m - 1)), j => {
-          val sub = slice(col("ivec"), j * lit(dsub) + lit(1), lit(dsub))
-          val row = element_at(cb, j + lit(1))
-          aggregate(sequence(lit(0), lit(ksub - 1)),
-            struct(lit(Double.MaxValue).as("d"), lit(0).as("c")),
-            (acc, ci) => {
-              val dd = l2sq(sub, element_at(row, ci + lit(1)))
-              when(dd < acc.getField("d"), struct(dd.as("d"), ci.as("c"))).otherwise(acc)
-            },
-            acc => acc.getField("c"))
-        }).as("codes"))
-      .withColumn("recon_norm2",
-        aggregate(zip_with(col("codes"), cb,
-          (c, row) => normsq(element_at(row, c + lit(1)))), lit(0.0), _ + _))
-  }
+      .select(col("item_id"), pqCodesExpr(codebook, col("ivec")).as("codes"))
+      .withColumn("recon_norm2", pqReconNorm2Expr(codebook, col("codes")))
 
   /** IVF-PQ-style top-k with ASYMMETRIC DISTANCE scoring: queries keep
     * their exact vectors; items are scored from their PQ codes alone via
@@ -262,25 +281,59 @@ object SimilaritySearch {
              queryIdCol: String, k: Int, m: Int = 8, ksub: Int = 16,
              codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     val cb = codebook.getOrElse(pqCodebookDeterministic(items, idCol, vecCol, m, ksub))
-    val dsub = cb.head.head.length
-    val cbLit = typedlit(cb)
     val encoded = pqEncode(items, idCol, vecCol, cb)
     val q = queries
       .select(col(queryIdCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("qvec"))
-      .withColumn("dt",
-        transform(sequence(lit(0), lit(cb.length - 1)), j => {
-          val sub = slice(col("qvec"), j * lit(dsub) + lit(1), lit(dsub))
-          transform(element_at(cbLit, j + lit(1)), cent => dot(sub, cent))
-        }))
+      .withColumn("dt", pqDtExpr(cb, col("qvec")))
       .withColumn("qnorm", sqrt(normsq(col("qvec"))))
       .select("query_id", "dt", "qnorm")
-    val adc = aggregate(zip_with(col("codes"), col("dt"),
-      (c, row) => element_at(row, c + lit(1))), lit(0.0), _ + _)
-    val denom = col("qnorm") * sqrt(col("recon_norm2"))
     val scored = encoded.crossJoin(broadcast(q))
       .select(col("query_id"), col("item_id"),
-        when(denom > 0, adc / denom).otherwise(lit(0.0)).as("cosine"))
+        pqAdcCosine(col("dt"), col("codes"), col("qnorm"), col("recon_norm2")).as("cosine"))
+    rankedTopK(scored, k)
+  }
+
+  /** IVF-PQ end to end — the genuine 100 TB ANN shape (the non-residual
+    * FAISS-IVFPQ variant): coarse quantization prunes the scan to
+    * ~nprobe/nlist of the table AND the probe join ships only each item's
+    * m one-byte codes + reconstructed norm (never the raw vectors), with
+    * ADC scoring per [[pqTopK]]. One scan assigns lists and encodes
+    * simultaneously; both codebooks broadcast; exactness knobs are
+    * nprobe, m, ksub.
+    */
+  def ivfPqTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16,
+                centroids: Option[DataFrame] = None,
+                codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"),
+      transform(col(vecCol), x => x.cast("double")).as("ivec"))
+    val centroidArr = centroidArray(centroids.getOrElse(
+      it.orderBy("item_id").limit(nlist)
+        .select(col("item_id").as("list_id"), col("ivec").as("cvec"))))
+    val cb = codebook.getOrElse(pqCodebookDeterministic(items, idCol, vecCol, m, ksub))
+    // ONE pass over the items: coarse list + PQ codes + recon norm; the
+    // raw vector never leaves the scan stage
+    val enc = it.crossJoin(broadcast(centroidArr))
+      .select(col("item_id"), nearestList(col("ivec")).as("list_id"),
+        pqCodesExpr(cb, col("ivec")).as("codes"))
+      .withColumn("recon_norm2", pqReconNorm2Expr(cb, col("codes")))
+    // queries: nprobe nearest lists + their ADC distance tables
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"))
+    val scoredLists = transform(col("cents"), c =>
+      struct((-Dedup.cosine(col("qvec"), c.getField("cvec"))).as("neg_csim"),
+        c.getField("list_id").as("list_id")))
+    val probes = q.crossJoin(broadcast(centroidArr))
+      .select(col("query_id"),
+        pqDtExpr(cb, col("qvec")).as("dt"),
+        sqrt(normsq(col("qvec"))).as("qnorm"),
+        explode(slice(array_sort(scoredLists), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("dt"), col("qnorm"), col("p.list_id").as("list_id"))
+    val scored = enc.join(broadcast(probes), Seq("list_id"))
+      .select(col("query_id"), col("item_id"),
+        pqAdcCosine(col("dt"), col("codes"), col("qnorm"), col("recon_norm2")).as("cosine"))
     rankedTopK(scored, k)
   }
 

@@ -243,6 +243,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"trained-PQ recall $recall")
   }
 
+  test("IVF-PQ: coarse pruning + code-only scoring keeps recall; plan ships no raw vectors") {
+    val q = items.filter(col("vec_id") < 5)
+    val out = SimilaritySearch.ivfPqTopK(items, q, "vec_id", "embedding", "vec_id", 5,
+      nlist = 8, nprobe = 4, m = 4, ksub = 8)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall")
+    // a codebook query reconstructs exactly and its own list is probed
+    // first: it must find itself at rank 1
+    val self = out.filter(col("query_id") === 3 && col("rank") === 1).head()
+    assert(self.getLong(1) === 3L)
+    // the probe join carries codes, not embeddings
+    assert(!out.columns.contains("ivec"))
+  }
+
   test("trained k-means centroids plug into ivfTopK and keep/raise recall") {
     val q = items.filter(col("vec_id") < 5)
     val cents = SimilaritySearch.trainCentroids(items, "vec_id", "embedding", nlist = 8, iters = 4)

@@ -32,11 +32,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * READ additionally covers the `libver='latest'` profile: superblock
   * v2/v3 (root addressed by object header), v2 'OHDR' object headers with
   * 'OCHK' continuations, compact Link-message groups, v2/v3 attribute
-  * messages, and ALL five layout v4 chunk indexes: single-chunk /
-  * implicit / fixed-array (paged or not) / extensible-array (resizable
-  * datasets — `maxshape=(None, ...)` appendable stores) / version-2
-  * B-tree (multiple unlimited dims). Dense (fractal-heap) link storage
-  * and bit-shuffle raise errors naming the feature.
+  * messages, ALL five layout v4 chunk indexes (single-chunk / implicit /
+  * fixed-array paged-or-not / extensible-array — resizable
+  * `maxshape=(None, ...)` appendable stores — / version-2 B-tree for
+  * multiple unlimited dims), and DENSE link/attribute storage (fractal
+  * heap + v2 B-tree name indexes — what `libver='latest'` switches to
+  * beyond 8 links or attributes per object). Bit-shuffle and
+  * huge/tiny/filtered fractal-heap objects raise errors naming the
+  * feature.
   */
 object Hdf5Lite {
 
@@ -1023,21 +1026,18 @@ object Hdf5Lite {
     val msgs = messages(bytes, buf, prefix, ohAddr)
     groupAttrsAcc(prefix) = msgs.collect {
       case (0x000C, body) => parseAttr(bytes, buf, prefix, body)
-    }
+    } ++ msgs.collect {
+      case (0x0015, body) => denseAttrs(bytes, buf, prefix, body)
+    }.flatten
     msgs.find(_._1 == 0x0011).foreach { case (_, body) =>
       return readGroup(bytes, buf, buf.getLong(body), buf.getLong(body + 8),
         prefix, depth, groupAttrsAcc)
     }
-    msgs.foreach { case (mtype, body) =>
-      if (mtype == 0x0002) { // Link Info
-        val flags = bytes(body + 1).toInt
-        val q = body + 2 + (if ((flags & 1) != 0) 8 else 0)
-        require(buf.getLong(q) == Undef,
-          s"'$prefix': dense link storage (fractal heap) not supported — " +
-            "groups with many links; rewrite with libver='earliest'")
-      }
-    }
-    msgs.collect { case (0x0006, body) => parseLink(bytes, buf, prefix, body) }
+    // children: compact Link messages + DENSE (fractal-heap) links from
+    // the Link Info message, if the group switched storage
+    val dense = msgs.collect { case (0x0002, body) => denseLinks(bytes, buf, prefix, body) }
+      .flatten
+    (msgs.collect { case (0x0006, body) => parseLink(bytes, buf, prefix, body) } ++ dense)
       .sortBy(_._1)
       .flatMap { case (name, childOh) =>
         val full = if (prefix.isEmpty) name else s"$prefix/$name"
@@ -1073,10 +1073,11 @@ object Hdf5Lite {
 
   /** Attribute messages of the object header at `ohAddr`. */
   private def attrsOfHeader(bytes: Array[Byte], buf: ByteBuffer, name: String,
-                            ohAddr: Long): Seq[H5Attr] =
-    messages(bytes, buf, name, ohAddr).collect {
-      case (0x000C, body) => parseAttr(bytes, buf, name, body)
-    }
+                            ohAddr: Long): Seq[H5Attr] = {
+    val msgs = messages(bytes, buf, name, ohAddr)
+    msgs.collect { case (0x000C, body) => parseAttr(bytes, buf, name, body) } ++
+      msgs.collect { case (0x0015, body) => denseAttrs(bytes, buf, name, body) }.flatten
+  }
 
   /** Parse one Attribute message body (v1 pads name/datatype/dataspace to
     * 8; v2/v3 — libver='latest' writers — pack them; v3 adds a charset
@@ -1422,9 +1423,12 @@ object Hdf5Lite {
     * `cum(u) = (max(u)+1)*cum(u-1) + max(u)`. Walks every node and
     * returns (scaled chunk offsets, address, storedSize) per record.
     */
-  private def btree2ChunkEntries(bytes: Array[Byte], buf: ByteBuffer, name: String,
-                                 hdrAddr: Long, rank: Int,
-                                 chunkByteSize: Int): Seq[(Seq[Long], Long, Int)] = {
+  /** Generic v2 B-tree walk: (record type, record size, file offset of
+    * every record) — shared by the chunk indexes (types 10/11) and the
+    * dense link/attribute name indexes (types 5/8).
+    */
+  private def btree2Records(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                            hdrAddr: Long): (Int, Int, Seq[Int]) = {
     val h = hdrAddr.toInt
     checkSig(bytes, h, "BTHD", name, "v2 B-tree header")
     val btype = bytes(h + 5) & 0xff
@@ -1433,6 +1437,48 @@ object Hdf5Lite {
     val depth = buf.getShort(h + 12) & 0xffff
     val rootAddr = buf.getLong(h + 16)
     val rootNrec = buf.getShort(h + 24) & 0xffff
+
+    def log2gen(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))
+    val maxNrecLeaf = (nodeSize - 10) / recSize
+    val maxNrecSize = (log2gen(maxNrecLeaf) + 7) / 8
+    // per-depth cumulative-record-count field widths (0 at the leaves)
+    val cumSize = new Array[Int](depth + 1)
+    var cumMax = maxNrecLeaf.toLong
+    (1 to depth).foreach { u =>
+      val ptr = 8 + maxNrecSize + cumSize(u - 1)
+      val maxN = (nodeSize - (10 + ptr)) / (recSize + ptr)
+      cumMax = (maxN + 1).toLong * cumMax + maxN
+      cumSize(u) = (log2gen(cumMax) + 7) / 8
+    }
+
+    val acc = Seq.newBuilder[Int]
+    def walk(addr: Long, nrec: Int, level: Int): Unit = {
+      val q = addr.toInt
+      if (level == 0) {
+        checkSig(bytes, q, "BTLF", name, "v2 B-tree leaf")
+        (0 until nrec).foreach(i => acc += q + 6 + i * recSize)
+      } else {
+        checkSig(bytes, q, "BTIN", name, "v2 B-tree internal node")
+        (0 until nrec).foreach(i => acc += q + 6 + i * recSize)
+        val ptrBytes = 8 + maxNrecSize + cumSize(level - 1)
+        var p = q + 6 + nrec * recSize
+        (0 to nrec).foreach { _ =>
+          val cAddr = buf.getLong(p)
+          var cNrec = 0L
+          (0 until maxNrecSize).foreach(k => cNrec |= (bytes(p + 8 + k).toLong & 0xff) << (8 * k))
+          walk(cAddr, cNrec.toInt, level - 1)
+          p += ptrBytes
+        }
+      }
+    }
+    if (rootAddr != Undef && rootNrec >= 0) walk(rootAddr, rootNrec, depth)
+    (btype, recSize, acc.result())
+  }
+
+  private def btree2ChunkEntries(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                                 hdrAddr: Long, rank: Int,
+                                 chunkByteSize: Int): Seq[(Seq[Long], Long, Int)] = {
+    val (btype, recSize, recordOffsets) = btree2Records(bytes, buf, name, hdrAddr)
     require(btype == 10 || btype == 11,
       s"$name: v2 B-tree record type $btype is not a chunk index (10/11 only)")
 
@@ -1463,42 +1509,130 @@ object Hdf5Lite {
       val scaled = (0 until ndimsEnc).map(i => buf.getLong(q + i * 8))
       (scaled, addr, stored)
     }
+    recordOffsets.map(record)
+  }
 
-    def log2gen(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))
-    val maxNrecLeaf = (nodeSize - 10) / recSize
-    val maxNrecSize = (log2gen(maxNrecLeaf) + 7) / 8
-    // per-depth cumulative-record-count field widths (0 at the leaves)
-    val cumSize = new Array[Int](depth + 1)
-    var cumMax = maxNrecLeaf.toLong
-    (1 to depth).foreach { u =>
-      val ptr = 8 + maxNrecSize + cumSize(u - 1)
-      val maxN = (nodeSize - (10 + ptr)) / (recSize + ptr)
-      cumMax = (maxN + 1).toLong * cumMax + maxN
-      cumSize(u) = (log2gen(cumMax) + 7) / 8
+  /** Fractal heap (HDF5 spec III.F) — the managed-object store behind
+    * DENSE link and attribute storage, which h5py's `libver='latest'`
+    * switches to beyond 8 links/attributes per object. Parses the "FRHP"
+    * header and resolves managed heap IDs through the doubling table:
+    * root direct block ("FHDB") or an indirect root ("FHIB") with direct
+    * children — the shapes any realistic link/attribute table produces
+    * (direct rows cover width x maxDirectSize x 2 bytes; indirect
+    * CHILDREN and huge/tiny/filtered objects raise loudly).
+    */
+  private final class FractalHeap(bytes: Array[Byte], buf: ByteBuffer, name: String,
+                                  hdrAddr: Long) {
+    private val h = hdrAddr.toInt
+    checkSig(bytes, h, "FRHP", name, "fractal heap header")
+    val heapIdLen: Int = buf.getShort(h + 5).toInt & 0xffff
+    private val filterLen = buf.getShort(h + 7).toInt & 0xffff
+    private val maxManaged = buf.getInt(h + 10)
+    private val tableWidth = buf.getShort(h + 110).toInt & 0xffff
+    private val startBlockSize = buf.getLong(h + 112)
+    private val maxDirectSize = buf.getLong(h + 120)
+    private val maxHeapBits = buf.getShort(h + 128).toInt & 0xffff
+    private val rootAddr = buf.getLong(h + 132)
+    private val curRows = buf.getShort(h + 140).toInt & 0xffff
+    require(filterLen == 0, s"$name: filtered fractal heap not supported")
+    require(rootAddr != Undef, s"$name: fractal heap has no root block")
+    private val offBytes = (maxHeapBits + 7) / 8
+    private val lenBytes = {
+      var b = 1; var v = maxManaged.toLong & 0xffffffffL
+      while (v > 255) { v >>= 8; b += 1 }
+      b
+    }
+    private def rowSize(r: Int): Long =
+      if (r < 2) startBlockSize else startBlockSize << (r - 1)
+    private val maxDirectRows = {
+      var r = 0
+      while (rowSize(r) <= maxDirectSize) r += 1
+      r
     }
 
-    val acc = Seq.newBuilder[(Seq[Long], Long, Int)]
-    def walk(addr: Long, nrec: Int, level: Int): Unit = {
-      val q = addr.toInt
-      if (level == 0) {
-        checkSig(bytes, q, "BTLF", name, "v2 B-tree leaf")
-        (0 until nrec).foreach(i => acc += record(q + 6 + i * recSize))
+    /** file position of heap offset `off` (ID offsets address the heap's
+      * linear space INCLUDING each direct block's prefix, so the mapping
+      * within a block is the identity).
+      */
+    private def resolve(off: Long): Int =
+      if (curRows == 0) { // root is one direct block covering offset 0..
+        checkSig(bytes, rootAddr.toInt, "FHDB", name, "fractal heap direct block")
+        rootAddr.toInt + off.toInt
       } else {
-        checkSig(bytes, q, "BTIN", name, "v2 B-tree internal node")
-        (0 until nrec).foreach(i => acc += record(q + 6 + i * recSize))
-        val ptrBytes = 8 + maxNrecSize + cumSize(level - 1)
-        var p = q + 6 + nrec * recSize
-        (0 to nrec).foreach { _ =>
-          val cAddr = buf.getLong(p)
-          var cNrec = 0L
-          (0 until maxNrecSize).foreach(k => cNrec |= (bytes(p + 8 + k).toLong & 0xff) << (8 * k))
-          walk(cAddr, cNrec.toInt, level - 1)
-          p += ptrBytes
+        checkSig(bytes, rootAddr.toInt, "FHIB", name, "fractal heap indirect block")
+        var row = 0
+        var rowStart = 0L
+        while (off >= rowStart + tableWidth * rowSize(row)) {
+          rowStart += tableWidth * rowSize(row); row += 1
         }
+        require(row < maxDirectRows,
+          s"$name: fractal heap offset $off lands in an indirect child — not supported")
+        val colIdx = ((off - rowStart) / rowSize(row)).toInt
+        val within = off - rowStart - colIdx.toLong * rowSize(row)
+        val entryAt = rootAddr.toInt + 4 + 1 + 8 + offBytes + (row * tableWidth + colIdx) * 8
+        val dAddr = buf.getLong(entryAt)
+        require(dAddr != Undef, s"$name: fractal heap direct block absent for offset $off")
+        checkSig(bytes, dAddr.toInt, "FHDB", name, "fractal heap direct block")
+        dAddr.toInt + within.toInt
       }
+
+    /** (file position, length) of the managed object behind `id`. */
+    def fetch(id: Array[Byte]): (Int, Int) = {
+      require(id.length >= 1 + offBytes + lenBytes,
+        s"$name: heap ID of ${id.length} bytes too short for this heap's geometry")
+      val typ = (id(0) >> 4) & 0x3
+      require(typ == 0,
+        s"$name: fractal heap object type $typ (huge/tiny) not supported (managed only)")
+      var off = 0L
+      (0 until offBytes).foreach(i => off |= (id(1 + i).toLong & 0xff) << (8 * i))
+      var len = 0L
+      (0 until lenBytes).foreach(i => len |= (id(1 + offBytes + i).toLong & 0xff) << (8 * i))
+      (resolve(off), len.toInt)
     }
-    if (rootAddr != Undef && rootNrec >= 0) walk(rootAddr, rootNrec, depth)
-    acc.result()
+  }
+
+  /** Dense links of one group (Link Info message body): every record of
+    * the name-index v2 B-tree (type 5: hash + heap ID) resolved through
+    * the fractal heap to a serialized Link message.
+    */
+  private def denseLinks(bytes: Array[Byte], buf: ByteBuffer, owner: String,
+                         body: Int): Seq[(String, Long)] = {
+    val flags = bytes(body + 1).toInt
+    val q = body + 2 + (if ((flags & 1) != 0) 8 else 0)
+    val fheapAddr = buf.getLong(q)
+    val nameBt = buf.getLong(q + 8)
+    if (fheapAddr == Undef) return Nil
+    require(nameBt != Undef, s"'$owner': dense links with no name index")
+    val heap = new FractalHeap(bytes, buf, owner, fheapAddr)
+    val (btype, recSize, recs) = btree2Records(bytes, buf, owner, nameBt)
+    require(btype == 5, s"'$owner': link name index carries record type $btype (expected 5)")
+    recs.map { ro => // record: hash(4) + heap ID
+      val id = java.util.Arrays.copyOfRange(bytes, ro + 4, ro + recSize)
+      val (pos, _) = heap.fetch(id)
+      parseLink(bytes, buf, owner, pos)
+    }
+  }
+
+  /** Dense attributes (Attribute Info message body): name-index v2 B-tree
+    * type-8 records (heap ID + flags + creation order + hash) resolved to
+    * serialized Attribute messages.
+    */
+  private def denseAttrs(bytes: Array[Byte], buf: ByteBuffer, owner: String,
+                         body: Int): Seq[H5Attr] = {
+    val flags = bytes(body + 1).toInt
+    val q = body + 2 + (if ((flags & 1) != 0) 2 else 0) // max creation index: u16
+    val fheapAddr = buf.getLong(q)
+    val nameBt = buf.getLong(q + 8)
+    if (fheapAddr == Undef) return Nil
+    require(nameBt != Undef, s"'$owner': dense attributes with no name index")
+    val heap = new FractalHeap(bytes, buf, owner, fheapAddr)
+    val (btype, recSize, recs) = btree2Records(bytes, buf, owner, nameBt)
+    require(btype == 8, s"'$owner': attribute name index carries record type $btype (expected 8)")
+    recs.map { ro => // record: heap ID(8) + message flags(1) + corder(4) + hash(4)
+      val id = java.util.Arrays.copyOfRange(bytes, ro, ro + 8)
+      val (pos, _) = heap.fetch(id)
+      parseAttr(bytes, buf, owner, pos)
+    }
   }
 
   /** Parse one v1 object header and its data. */
@@ -1559,6 +1693,8 @@ object Hdf5Lite {
           }
         case 0x000C => // attribute
           attrs :+= parseAttr(bytes, buf, name, body)
+        case 0x0015 => // attribute info: dense (fractal-heap) attributes
+          attrs ++= denseAttrs(bytes, buf, name, body)
         case 0x0008 => // layout
           val ver = bytes(body).toInt
           val cls = bytes(body + 1).toInt

@@ -930,14 +930,124 @@ class Hdf5LatestSpec extends AnyFunSuite {
     assert(r.doubles.toSeq === Seq(0.0, 1.0, 10.0, 11.0, 20.0, 21.0))
   }
 
-  test("dense link storage and unsupported v4 indexes raise named errors") {
-    val img = new B(1024)
+  // ---- dense (fractal-heap) link and attribute storage ----
+
+  /** FRHP header with width 4, start block 512, max direct 4096,
+    * maxHeapBits 32 (4-byte offsets), maxManaged 4096 (2-byte lengths),
+    * heap ID length 7; `rows` = current rows of the root (0 = direct).
+    */
+  private def frhp(b: B, at: Int, rootAddr: Long, rows: Int): Unit = {
+    b.at(at).ascii("FRHP").u8(0)
+    b.u16(7).u16(0).u8(0)      // heap ID len, filter len, flags
+    b.u32(4096)                // max managed object size
+    b.u64(0L).u64(UNDEF)       // next huge id, huge btree
+    b.u64(0L).u64(UNDEF)       // free space, fs manager
+    b.u64(4096L).u64(4096L)    // managed space, allocated space
+    b.u64(0L).u64(3L)          // iterator offset, n managed
+    b.u64(0L).u64(0L)          // huge size/count
+    b.u64(0L).u64(0L)          // tiny size/count
+    b.u16(4)                   // table width
+    b.u64(512L).u64(4096L)     // starting block size, max direct size
+    b.u16(32).u16(0)           // max heap size bits, starting rows
+    b.u64(rootAddr)            // root block address
+    b.u16(rows)                // current rows (0 = root is direct)
+    b.u32(0)                   // checksum (not validated)
+  }
+
+  /** serialized v1 Link message body (what the heap stores). */
+  private def linkBody(name: String, oh: Long): Array[Byte] =
+    new B(3 + name.length + 8).u8(1, 0).u8(name.length).ascii(name).u64(oh).bytes
+
+  /** managed heap ID: type 0, 4-byte offset, 2-byte length. */
+  private def heapId(b: B, off: Int, len: Int): B =
+    b.u8(0).u32(off).u16(len)
+
+  test("dense link storage: fractal heap + type-5 name index, root direct block") {
+    val img = new B(8192)
     val rootOh = 48
-    // Link Info message pointing at a fractal heap (non-UNDEF address)
-    val linkInfo = new B(2 + 8 + 8).u8(1, 0).u64(777L).u64(UNDEF).bytes
-    sigV3(img, rootOh, 1024L)
+    val heapHdr = 120
+    val fhdb = 280
+    val bthd = 900
+    val btlf = 960
+    val dsOh = Array(1200L, 1300L, 1400L)
+    // three datasets behind dense links
+    sigV3(img, rootOh, 8192L)
+    val linkInfo = new B(2 + 8 + 8).u8(0, 0).u64(heapHdr.toLong).u64(bthd.toLong).bytes
     ohdr(img, rootOh, Seq(0x02 -> linkInfo))
-    val e = intercept[IllegalArgumentException](Hdf5Lite.read(img.bytes))
-    assert(e.getMessage.contains("fractal heap"))
+    dsOh.zipWithIndex.foreach { case (oh, i) =>
+      ohdr(img, oh.toInt, Seq(
+        0x01 -> dspaceV2(Seq(2)),
+        0x03 -> dtypeF64,
+        0x08 -> new B(2 + 8 + 8).u8(4, 1).u64(2000L + i * 16).u64(16L).bytes))
+      img.at(2000 + i * 16).f64(i * 10.0).f64(i * 10.0 + 1)
+    }
+    frhp(img, heapHdr, fhdb.toLong, rows = 0)
+    // direct block: prefix 17 bytes (sig+ver+hdr addr+4-byte block offset)
+    img.at(fhdb).ascii("FHDB").u8(0).u64(heapHdr.toLong).u32(0)
+    val bodies = Seq(linkBody("va", dsOh(0)), linkBody("vb", dsOh(1)), linkBody("vc", dsOh(2)))
+    var off = 17
+    val ids = bodies.map { body =>
+      img.at(fhdb + off).raw(body)
+      val r = (off, body.length); off += body.length; r
+    }
+    // name index: BTHD type 5, record = hash(4) + heap ID(7), depth 0
+    img.at(bthd).ascii("BTHD").u8(0, 5).u32(512).u16(11).u16(0).u8(85, 40)
+      .u64(btlf.toLong).u16(3).u64(3L).u32(0)
+    val leaf = img.at(btlf).ascii("BTLF").u8(0, 5)
+    ids.foreach { case (o, l) => leaf.u32(0xabcd); heapId(leaf, o, l) }
+    leaf.u32(0)
+
+    val reads = Hdf5Lite.read(img.bytes)
+    assert(reads.map(_.name) === Seq("va", "vb", "vc"))
+    assert(reads.map(_.doubles.toSeq) === Seq(Seq(0.0, 1.0), Seq(10.0, 11.0), Seq(20.0, 21.0)))
+  }
+
+  test("dense attributes: indirect-root fractal heap + type-8 name index") {
+    val img = new B(8192)
+    val rootOh = 48
+    val dsOh = 128
+    val heapHdr = 300
+    val fhib = 460
+    val fhdb = 600
+    val bthd = 1200
+    val btlf = 1260
+    val dataAddr = 2000L
+    sigV3(img, rootOh, 8192L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    val attrInfo = new B(2 + 8 + 8).u8(0, 0).u64(heapHdr.toLong).u64(bthd.toLong).bytes
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(2)),
+      0x03 -> dtypeF64,
+      0x15 -> attrInfo,
+      0x08 -> new B(2 + 8 + 8).u8(4, 1).u64(dataAddr).u64(16L).bytes))
+    img.at(dataAddr.toInt).f64(5.5).f64(6.5)
+    // indirect root, 2 rows x width 4: entry (0,0) -> the one direct block
+    frhp(img, heapHdr, fhib.toLong, rows = 2)
+    val ib = img.at(fhib).ascii("FHIB").u8(0).u64(heapHdr.toLong).u32(0)
+    ib.u64(fhdb.toLong)
+    (1 until 8).foreach(_ => ib.u64(UNDEF))
+    ib.u32(0)
+    img.at(fhdb).ascii("FHDB").u8(0).u64(heapHdr.toLong).u32(0)
+    val attrs = Seq(attrV2Str("units", "meters"), attrV2Str("long_name", "height"))
+    var off = 17
+    val ids = attrs.map { body =>
+      img.at(fhdb + off).raw(body)
+      val r = (off, body.length); off += body.length; r
+    }
+    // name index: BTHD type 8, record = heap ID(8: 7 + pad) + flags(1) +
+    // corder(4) + hash(4) = 17 bytes
+    img.at(bthd).ascii("BTHD").u8(0, 8).u32(512).u16(17).u16(0).u8(85, 40)
+      .u64(btlf.toLong).u16(2).u64(2L).u32(0)
+    val leaf = img.at(btlf).ascii("BTLF").u8(0, 8)
+    ids.foreach { case (o, l) =>
+      heapId(leaf, o, l).u8(0)       // 7-byte ID + pad to the record's 8
+      leaf.u8(0).u32(0).u32(0xbeef)  // message flags, corder, hash
+    }
+    leaf.u32(0)
+
+    val r = Hdf5Lite.read(img.bytes).head
+    assert(r.doubles.toSeq === Seq(5.5, 6.5))
+    assert(r.attrs.map(a => a.name -> new String(a.bytesVal, "UTF-8")).toMap ===
+      Map("units" -> "meters", "long_name" -> "height"))
   }
 }

@@ -787,6 +787,27 @@ object SparkEntry {
         colSelect = Seq("x", "y", "z_mean", "n_obs")))
     }),
 
+    // server-side `where` on a format='table' store (store.select(key,
+    // where=...), dataloader.py:1161-1192): the triples evaluate
+    // chunk-by-chunk inside the reader — non-matching chunks materialize
+    // no rows — and the oracle recomputes the filtered frame from parquet
+    "q66_hdfstore_where" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean", "count")))
+        .select(col("x"), col("y"), col("z_mean"),
+          col("z_count").cast("long").as("n_obs"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q66_").toString + "/store.h5"
+      graft.sources.Hdf5Table.writePandasTable(binned, tmp, key = "binned",
+        chunkRows = 8, deflate = 6)
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, table = Some("binned"),
+        where = Seq(
+          graft.core.ConfigExpr.Where("x", ">", 0.0),
+          graft.core.ConfigExpr.Where("n_obs", ">=", 2L)),
+        colSelect = Seq("x", "y", "z_mean", "n_obs")))
+    }),
+
     // resizable (appendable) store roundtrip: the binned series written as
     // three maxshape=(None,) datasets behind a layout-v4 EXTENSIBLE-ARRAY
     // chunk index (what h5py libver='latest' gives any appendable user
@@ -1548,6 +1569,18 @@ object SparkEntry {
          |   FROM ($ObsSql)
          |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          | GROUP BY 1, 2""".stripMargin,
+
+    // q61's frame filtered by the pushed where triples
+    "q66_hdfstore_where" ->
+      s"""SELECT x, y, z_mean, n_obs FROM (
+         | SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         |  avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS n_obs FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2)
+         |WHERE x > 0.0 AND n_obs >= 2""".stripMargin,
 
     // same binned values as q49 — the extensible-array container must be
     // lossless

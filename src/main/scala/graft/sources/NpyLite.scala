@@ -10,8 +10,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * `{'descr': '<f8', 'fortran_order': False, 'shape': (n,[ m,])}` padded
   * to 64 bytes, then the raw C-order array bytes.
   *
-  * Scope: 0-2 dimensional `<f8 <f4 <i8 <i4 |b1` arrays, C order
-  * (fortran_order raises); pickled object arrays raise naming the dtype.
+  * Scope: 0-2 dimensional `<f8 <f4 <i8 <i4 |b1` arrays, C or Fortran
+  * order (Fortran reads un-transpose to row-major); pickled object
+  * arrays raise naming the dtype.
   */
 object NpyLite {
 
@@ -43,24 +44,28 @@ object NpyLite {
       require(v.startsWith("'") || v.startsWith("\""), s"structured descr not supported: $v")
       v.substring(1, v.indexOf(v.charAt(0), 1))
     }
-    require(!field("fortran_order").trim.startsWith("True"),
-      ".npy fortran_order=True not supported (C order only)")
+    val fortran = field("fortran_order").trim.startsWith("True")
     val shapeStr = field("shape")
     val shape = "\\d+".r.findAllIn(shapeStr.substring(0, shapeStr.indexOf(')'))).map(_.toInt).toSeq
     require(shape.length <= 2, s".npy rank ${shape.length} not supported (0-2d)")
     val n = shape.product
     val data = headerOff + headerLen
+    // fortran_order=True (column-major storage): element (r, c) of an
+    // (R, C) array lives at flat index c*R + r; map reads back to C order
+    val idx: Int => Int =
+      if (!fortran || shape.length < 2) identity
+      else { val Seq(rr, cc) = shape; i => (i % cc) * rr + i / cc }
     descr match {
       case "<f8" | "=f8" | "f8" =>
-        Npy(shape, doubles = Array.tabulate(n)(i => buf.getDouble(data + i * 8)))
+        Npy(shape, doubles = Array.tabulate(n)(i => buf.getDouble(data + idx(i) * 8)))
       case "<f4" | "=f4" | "f4" =>
-        Npy(shape, doubles = Array.tabulate(n)(i => buf.getFloat(data + i * 4).toDouble))
+        Npy(shape, doubles = Array.tabulate(n)(i => buf.getFloat(data + idx(i) * 4).toDouble))
       case "<i8" | "=i8" | "i8" =>
-        Npy(shape, longs = Array.tabulate(n)(i => buf.getLong(data + i * 8)))
+        Npy(shape, longs = Array.tabulate(n)(i => buf.getLong(data + idx(i) * 8)))
       case "<i4" | "=i4" | "i4" =>
-        Npy(shape, longs = Array.tabulate(n)(i => buf.getInt(data + i * 4).toLong))
+        Npy(shape, longs = Array.tabulate(n)(i => buf.getInt(data + idx(i) * 4).toLong))
       case "|b1" =>
-        Npy(shape, longs = Array.tabulate(n)(i => (bytes(data + i) & 0x1).toLong))
+        Npy(shape, longs = Array.tabulate(n)(i => (bytes(data + idx(i)) & 0x1).toLong))
       case d => throw new IllegalArgumentException(
         s".npy dtype '$d' not supported (<f8/<f4/<i8/<i4/|b1; '|O' means a " +
           "pickled object array — re-export numerically)")

@@ -59,6 +59,22 @@ object ObsDocStream {
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
 
+  /** Streaming tile routing — the stream-static half of `local_select`
+    * (SURVEY §2.4): every arriving observation joins the (small, static)
+    * expert grid through the SAME cell-bucketed radius join as the batch
+    * path ([[graft.operators.SpatialJoin.radiusJoin]] — the expert side
+    * neighbor-explodes and broadcasts, the stream side never shuffles),
+    * emitting one row per (obs, expert tile within `radius`). Feeding a
+    * per-tile incremental fit is then a plain grouped sink. Pure
+    * stream-static equi join + refine filter: no streaming state at all.
+    */
+  def routeToTiles(obs: DataFrame, experts: DataFrame, radius: Double,
+                   expertX: String = "ex", expertY: String = "ey"): DataFrame =
+    graft.operators.SpatialJoin.radiusJoin(obs, experts,
+      graft.operators.SpatialJoin.RadiusJoinConfig(
+        radius = radius, leftX = "x", leftY = "y",
+        rightX = expertX, rightY = expertY, rightPrefix = ""))
+
   /** Windowed tile aggregation: per (event-time window, tile cell, t,
     * source) partial sums. Append-mode-safe via the watermark; the
     * batch-side bin mean is sum/count, so partials merge exactly.

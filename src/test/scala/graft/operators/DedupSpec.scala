@@ -260,6 +260,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!out.columns.contains("ivec"))
   }
 
+  test("PQ plans: scoring stays in the scan stage — one hash exchange total (the final rank)") {
+    val q = items.filter(col("vec_id") < 3)
+    for ((what, out) <- Seq(
+      "pq" -> SimilaritySearch.pqTopK(items.repartition(8), q, "vec_id", "embedding",
+        "vec_id", 5, m = 4, ksub = 8),
+      "ivfpq" -> SimilaritySearch.ivfPqTopK(items.repartition(8), q, "vec_id", "embedding",
+        "vec_id", 5, nlist = 8, nprobe = 4, m = 4, ksub = 8))) {
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$what: expected only the final-rank exchange, got $exchanges:\n$plan")
+    }
+  }
+
   test("trained k-means centroids plug into ivfTopK and keep/raise recall") {
     val q = items.filter(col("vec_id") < 5)
     val cents = SimilaritySearch.trainCentroids(items, "vec_id", "embedding", nlist = 8, iters = 4)

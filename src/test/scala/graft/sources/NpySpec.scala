@@ -42,7 +42,7 @@ class NpySpec extends AnyFunSuite with SparkTestBase {
     assert(NpyLite.read(mk("|b1", Array[Byte](1, 0, 1), "(3,)")).longs.toSeq === Seq(1L, 0L, 1L))
   }
 
-  test("loud errors: fortran_order, object dtype, wrong magic") {
+  test("loud errors: object dtype, wrong magic") {
     def mk(dict: String): Array[Byte] = {
       val headerLen = ((10 + dict.length + 1 + 63) / 64) * 64 - 10
       val bb = java.nio.ByteBuffer.allocate(10 + headerLen + 8)
@@ -54,9 +54,6 @@ class NpySpec extends AnyFunSuite with SparkTestBase {
       bb.put('\n'.toByte)
       bb.array()
     }
-    val e1 = intercept[IllegalArgumentException](NpyLite.read(
-      mk("{'descr': '<f8', 'fortran_order': True, 'shape': (1,), }")))
-    assert(e1.getMessage.contains("fortran_order"))
     val e2 = intercept[IllegalArgumentException](NpyLite.read(
       mk("{'descr': '|O', 'fortran_order': False, 'shape': (1,), }")))
     assert(e2.getMessage.contains("pickled object"))
@@ -77,5 +74,21 @@ class NpySpec extends AnyFunSuite with SparkTestBase {
     assert(df.columns.toSeq === Seq("a", "b"))
     assert(df.orderBy("a").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq ===
       Seq((2.0, 20.0), (3.0, 30.0), (4.0, 40.0)))
+  }
+
+  test("fortran_order=True files (REAL numpy output) un-transpose to row-major") {
+    import java.util.Base64
+    // np.save(np.asfortranarray([[1.5,2.5,3.5],[4.5,5.5,6.5]]))
+    val f8 = Base64.getDecoder.decode(
+      "k05VTVBZAQB2AHsnZGVzY3InOiAnPGY4JywgJ2ZvcnRyYW5fb3JkZXInOiBUcnVlLCAnc2hhcGUnOiAoMiwgMyksIH0gICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgIAoAAAAAAAD4PwAAAAAAABJAAAAAAAAABEAAAAAAAAAWQAAAAAAAAAxAAAAAAAAAGkA=")
+    val a = NpyLite.read(f8)
+    assert(a.shape === Seq(2, 3))
+    assert(a.doubles.toSeq === Seq(1.5, 2.5, 3.5, 4.5, 5.5, 6.5))
+    // np.save(np.asfortranarray([[1,2],[3,4],[5,6]], int64))
+    val i8 = Base64.getDecoder.decode(
+      "k05VTVBZAQB2AHsnZGVzY3InOiAnPGk4JywgJ2ZvcnRyYW5fb3JkZXInOiBUcnVlLCAnc2hhcGUnOiAoMywgMiksIH0gICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgIAoBAAAAAAAAAAMAAAAAAAAABQAAAAAAAAACAAAAAAAAAAQAAAAAAAAABgAAAAAAAAA=")
+    val b = NpyLite.read(i8)
+    assert(b.shape === Seq(3, 2))
+    assert(b.longs.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 }

@@ -77,6 +77,38 @@ class ObsDocStreamSpec extends AnyFunSuite with SparkTestBase {
   case class EdgePoint(x: Double, y: Double, t: Double, z: Double,
                        source: String, event_time: Timestamp)
 
+  test("routeToTiles: stream-static radius join matches the batch radiusJoin exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new Timestamp(1700000000000L)
+    val experts = Seq((0.0, 0.0, 10L), (250.0, 0.0, 11L), (1000.0, 1000.0, 12L))
+      .toDF("ex", "ey", "expert_id")
+    val input = MemoryStream[EdgePoint]
+    val routed = ObsDocStream.routeToTiles(input.toDF(), experts, radius = 300.0)
+    val q = routed.writeStream.outputMode("append")
+      .format("memory").queryName("route_stream")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    val pts = Seq(
+      EdgePoint(100.0, 0.0, 1.0, 1.5, "A", ts),   // near experts 10 AND 11
+      EdgePoint(260.0, 10.0, 1.0, 2.5, "A", ts),  // near 11 (and 10 at ~278)
+      EdgePoint(5000.0, 5000.0, 1.0, 3.5, "A", ts)) // matches nothing
+    try {
+      input.addData(pts: _*)
+      q.processAllAvailable()
+      val got = spark.table("route_stream").select("z", "expert_id").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSet
+      val batchDf = pts.map(p => (p.x, p.y, p.t, p.z, p.source, p.event_time))
+        .toDF("x", "y", "t", "z", "source", "event_time")
+      val batch = graft.operators.SpatialJoin.radiusJoin(
+        batchDf, experts, graft.operators.SpatialJoin.RadiusJoinConfig(
+          radius = 300.0, leftX = "x", leftY = "y",
+          rightX = "ex", rightY = "ey", rightPrefix = ""))
+        .select("z", "expert_id").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSet
+      assert(got === batch && got.nonEmpty)
+      assert(!got.exists(_._1 == 3.5), "out-of-radius obs routes nowhere")
+    } finally q.stop()
+  }
+
   test("binStream batch-parity edge semantics: out-of-range drops, v == extent lands in last bin") {
     implicit val sqlCtx = spark.sqlContext
     val ts = new Timestamp(1700000000000L)

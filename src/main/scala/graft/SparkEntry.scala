@@ -407,6 +407,17 @@ object SparkEntry {
         .select("query_id", "item_id", "rank")
     }),
 
+    // RESIDUAL IVF-PQ (the true FAISS-IVFPQ shape): items quantize
+    // r = v - c_list against a residual codebook; ADC adds <q, c_list>
+    // back and norms against the exact reconstruction
+    "q67_ann_ivfpq_residual" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      SimilaritySearch.ivfPqTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", "vec_id", k = 3, nlist = 8, nprobe = 4, m = 8, ksub = 16,
+        residual = true)
+        .select("query_id", "item_id", "rank")
+    }),
+
     // ----- multimodal plumbing -----
     "q33_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1415,6 +1426,54 @@ object SparkEntry {
          |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
          |  SELECT a.query_id, a.item_id,
          |    row_number() OVER (PARTITION BY a.query_id ORDER BY (a.ip / (a.qnorm * sqrt(r.rn2))) DESC, a.item_id ASC) AS rank
+         |  FROM adc a JOIN recon r ON r.item_id = a.item_id)
+         |WHERE rank <= 3""".stripMargin,
+
+    // residual replica: coarse assignment -> r = v - c_list -> residual
+    // codebook (first-16 residuals) -> codes -> |c_list + r_hat|^2 norm
+    // -> ADC ip + <q, c_list>, ranked within the probed lists
+    "q67_ann_ivfpq_residual" ->
+      s"""WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),
+         |c AS (SELECT item_id AS list_id, ivec AS cvec FROM it ORDER BY item_id LIMIT 8),
+         |asg AS (
+         |  SELECT item_id, ivec, list_id, cvec FROM (
+         |    SELECT i.item_id, i.ivec, c.list_id, c.cvec,
+         |      row_number() OVER (PARTITION BY i.item_id ORDER BY ${cosSql("i.ivec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM it i, c) WHERE r = 1),
+         |res AS (SELECT item_id, list_id, cvec,
+         |          list_transform(range(1, 65), t -> list_extract(ivec, t) - list_extract(cvec, t)) AS rvec
+         |        FROM asg),
+         |cbitems AS (SELECT row_number() OVER (ORDER BY item_id) - 1 AS code, rvec FROM (SELECT item_id, rvec FROM res ORDER BY item_id LIMIT 16)),
+         |cb AS (SELECT t.j, cc.code, list_slice(cc.rvec, t.j*8 + 1, t.j*8 + 8) AS cvec FROM range(0, 8) t(j), cbitems cc),
+         |codes AS (
+         |  SELECT item_id, j, code FROM (
+         |    SELECT rs.item_id, b.j, b.code,
+         |      row_number() OVER (PARTITION BY rs.item_id, b.j
+         |        ORDER BY list_sum(list_transform(range(1, 9), t -> pow(list_extract(rs.rvec, b.j*8 + t) - list_extract(b.cvec, t), 2))) ASC, b.code ASC) AS r
+         |    FROM res rs, cb b) WHERE r = 1),
+         |rhat AS (SELECT cd.item_id, cd.j, b.cvec AS sub FROM codes cd JOIN cb b ON b.j = cd.j AND b.code = cd.code),
+         |recon AS (
+         |  SELECT rs.item_id,
+         |    sum(list_sum(list_transform(range(1, 9), t -> pow(list_extract(rs.cvec, rh.j*8 + t) + list_extract(rh.sub, t), 2)))) AS rn2
+         |  FROM res rs JOIN rhat rh ON rh.item_id = rs.item_id
+         |  GROUP BY rs.item_id),
+         |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec FROM embeddings WHERE vec_id < 3),
+         |probes AS (
+         |  SELECT query_id, qvec, list_id FROM (
+         |    SELECT q.query_id, q.qvec, c.list_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("q.qvec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM q, c) WHERE r <= 4),
+         |cand AS (SELECT p.query_id, p.qvec, rs.item_id, rs.cvec FROM res rs JOIN probes p USING (list_id)),
+         |adc AS (
+         |  SELECT ca.query_id, ca.item_id,
+         |     sum(list_sum(list_transform(range(1, 9), t -> list_extract(ca.qvec, rh.j*8 + t) * list_extract(rh.sub, t)))) AS rip,
+         |     any_value(list_sum(list_transform(range(1, 65), t -> list_extract(ca.qvec, t) * list_extract(ca.cvec, t)))) AS cip,
+         |     any_value(sqrt(list_sum(list_transform(ca.qvec, x -> x*x)))) AS qnorm
+         |  FROM cand ca JOIN rhat rh ON rh.item_id = ca.item_id
+         |  GROUP BY ca.query_id, ca.item_id)
+         |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
+         |  SELECT a.query_id, a.item_id,
+         |    row_number() OVER (PARTITION BY a.query_id ORDER BY ((a.cip + a.rip) / (a.qnorm * sqrt(r.rn2))) DESC, a.item_id ASC) AS rank
          |  FROM adc a JOIN recon r ON r.item_id = a.item_id)
          |WHERE rank <= 3""".stripMargin,
 

@@ -110,17 +110,22 @@ object SimilaritySearch {
     centroids.agg(array_sort(collect_list(struct(col("list_id"), col("cvec")))).as("cents"))
 
   /** per-row argmax of cosine(vec, centroid) over the broadcast `cents`
-    * array; ties take the smaller list_id (array is list_id-ascending and
-    * only a strictly greater similarity replaces the running best). */
-  private def nearestList(vec: Column): Column =
+    * array as a (list_id, cvec) struct; ties take the smaller list_id
+    * (array is list_id-ascending and only a strictly greater similarity
+    * replaces the running best). */
+  private def nearestListStruct(vec: Column): Column =
     aggregate(col("cents"),
-      struct(lit(Double.NegativeInfinity).as("csim"), lit(Long.MaxValue).as("list_id")),
+      struct(lit(Double.NegativeInfinity).as("csim"), lit(Long.MaxValue).as("list_id"),
+        typedlit(Seq.empty[Double]).as("cvec")),
       (acc, c) => {
         val s = Dedup.cosine(vec, c.getField("cvec"))
         when(s > acc.getField("csim"),
-          struct(s.as("csim"), c.getField("list_id").as("list_id"))).otherwise(acc)
-      },
-      acc => acc.getField("list_id"))
+          struct(s.as("csim"), c.getField("list_id").as("list_id"),
+            c.getField("cvec").as("cvec"))).otherwise(acc)
+      })
+
+  private def nearestList(vec: Column): Column =
+    nearestListStruct(vec).getField("list_id")
 
   def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -177,6 +182,35 @@ object SimilaritySearch {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
   private def normsq(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Deterministic RESIDUAL PQ codebook: sub-vectors of the residuals
+    * (item - its nearest coarse centroid) of the `ksub` smallest-id
+    * items, with the coarse codebook = the `nlist` smallest-id items —
+    * the residual-encoding companion to [[pqCodebookDeterministic]],
+    * still exactly reproducible in SQL. Driver-side on ksub+nlist rows.
+    */
+  def pqCodebookDeterministicResidual(items: DataFrame, idCol: String, vecCol: String,
+                                      m: Int, ksub: Int, nlist: Int): Seq[Seq[Seq[Double]]] = {
+    val rows = items
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(col("id")).limit(math.max(ksub, nlist)).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val cents = rows.take(nlist)
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val residuals = rows.take(ksub).map { v =>
+      val c = cents.maxBy(cosine(v, _)) // ties resolve to the FIRST (smallest id)
+      v.indices.map(i => v(i) - c(i)).toArray
+    }
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    (0 until m).map(j => residuals.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq).toSeq)
+  }
 
   /** Deterministic PQ codebook: per subspace j, the sub-vectors of the
     * `ksub` smallest-id items (codes ordered by id) — data-independent
@@ -306,34 +340,64 @@ object SimilaritySearch {
                 queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 16,
                 centroids: Option[DataFrame] = None,
-                codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+                codebook: Option[Seq[Seq[Seq[Double]]]] = None,
+                residual: Boolean = false): DataFrame = {
     val it = items.select(col(idCol).as("item_id"),
       transform(col(vecCol), x => x.cast("double")).as("ivec"))
     val centroidArr = centroidArray(centroids.getOrElse(
       it.orderBy("item_id").limit(nlist)
         .select(col("item_id").as("list_id"), col("ivec").as("cvec"))))
-    val cb = codebook.getOrElse(pqCodebookDeterministic(items, idCol, vecCol, m, ksub))
+    val cb = codebook.getOrElse(
+      if (residual) pqCodebookDeterministicResidual(items, idCol, vecCol, m, ksub, nlist)
+      else pqCodebookDeterministic(items, idCol, vecCol, m, ksub))
     // ONE pass over the items: coarse list + PQ codes + recon norm; the
-    // raw vector never leaves the scan stage
-    val enc = it.crossJoin(broadcast(centroidArr))
-      .select(col("item_id"), nearestList(col("ivec")).as("list_id"),
-        pqCodesExpr(cb, col("ivec")).as("codes"))
-      .withColumn("recon_norm2", pqReconNorm2Expr(cb, col("codes")))
-    // queries: nprobe nearest lists + their ADC distance tables
+    // raw vector never leaves the scan stage. Residual mode quantizes
+    // r = v - c_list (the true FAISS-IVFPQ shape — residuals are much
+    // smaller than raw vectors, so the same ksub bins them finer) and
+    // stores |c_list + r_hat|^2 so the ADC cosine stays exact against
+    // the reconstruction.
+    val assigned0 = it.crossJoin(broadcast(centroidArr))
+      .withColumn("__nl", nearestListStruct(col("ivec")))
+    val enc =
+      if (!residual)
+        assigned0
+          .select(col("item_id"), col("__nl.list_id").as("list_id"),
+            pqCodesExpr(cb, col("ivec")).as("codes"))
+          .withColumn("recon_norm2", pqReconNorm2Expr(cb, col("codes")))
+      else {
+        val cbLit = typedlit(cb)
+        val rvec = zip_with(col("ivec"), col("__nl.cvec"), _ - _)
+        val withCodes = assigned0
+          .select(col("item_id"), col("__nl.list_id").as("list_id"),
+            col("__nl.cvec").as("cvec"), pqCodesExpr(cb, rvec).as("codes"))
+        val rhat = flatten(zip_with(col("codes"), cbLit,
+          (c, row) => element_at(row, c + lit(1))))
+        withCodes
+          .withColumn("recon_norm2", normsq(zip_with(col("cvec"), rhat, _ + _)))
+          .drop("cvec")
+      }
+    // queries: nprobe nearest lists + their ADC distance tables; residual
+    // mode also carries <q, c_list> per probed list (ip(q, v_hat) =
+    // ip(q, c_list) + ip(q, r_hat))
     val q = queries.select(col(queryIdCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qvec"))
     val scoredLists = transform(col("cents"), c =>
       struct((-Dedup.cosine(col("qvec"), c.getField("cvec"))).as("neg_csim"),
-        c.getField("list_id").as("list_id")))
+        c.getField("list_id").as("list_id"), c.getField("cvec").as("cvec")))
     val probes = q.crossJoin(broadcast(centroidArr))
-      .select(col("query_id"),
+      .select(col("query_id"), col("qvec"),
         pqDtExpr(cb, col("qvec")).as("dt"),
         sqrt(normsq(col("qvec"))).as("qnorm"),
         explode(slice(array_sort(scoredLists), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("dt"), col("qnorm"), col("p.list_id").as("list_id"))
+      .select(col("query_id"), col("dt"), col("qnorm"),
+        col("p.list_id").as("list_id"),
+        (if (residual) dot(col("qvec"), col("p.cvec")) else lit(0.0)).as("clist_ip"))
+    val adc = aggregate(zip_with(col("codes"), col("dt"),
+      (c, row) => element_at(row, c + lit(1))), lit(0.0), _ + _)
+    val denom = col("qnorm") * sqrt(col("recon_norm2"))
     val scored = enc.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("item_id"),
-        pqAdcCosine(col("dt"), col("codes"), col("qnorm"), col("recon_norm2")).as("cosine"))
+        when(denom > 0, (col("clist_ip") + adc) / denom).otherwise(lit(0.0)).as("cosine"))
     rankedTopK(scored, k)
   }
 

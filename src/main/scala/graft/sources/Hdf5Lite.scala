@@ -1580,7 +1580,7 @@ object Hdf5Lite {
     def fetch(id: Array[Byte]): (Int, Int) = {
       require(id.length >= 1 + offBytes + lenBytes,
         s"$name: heap ID of ${id.length} bytes too short for this heap's geometry")
-      val typ = (id(0) >> 4) & 0x3
+      val typ = ((id(0) & 0xff) >> 4) & 0x3
       require(typ == 0,
         s"$name: fractal heap object type $typ (huge/tiny) not supported (managed only)")
       var off = 0L

@@ -538,6 +538,8 @@ object ZstdLite {
               }
             }
             val rest = literals.length - litPos
+            require(rest >= 0, s"$name: sequences consumed ${litPos - literals.length} " +
+              "literal bytes past the literals section")
             ensure(rest)
             System.arraycopy(literals, litPos, out, outPos, rest)
             outPos += rest

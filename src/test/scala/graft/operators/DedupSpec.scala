@@ -260,6 +260,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!out.columns.contains("ivec"))
   }
 
+  test("residual IVF-PQ: finer quantization keeps or raises recall vs the non-residual variant") {
+    val q = items.filter(col("vec_id") < 5)
+    def run(res: Boolean) = SimilaritySearch.ivfPqTopK(items, q, "vec_id", "embedding",
+      "vec_id", 5, nlist = 8, nprobe = 4, m = 4, ksub = 8, residual = res)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallRes = run(true).intersect(brute).size.toDouble / brute.size
+    assert(recallRes >= 0.4, s"residual IVF-PQ recall $recallRes")
+    // a codebook item's residual quantizes exactly (its own residual IS a
+    // codeword): reconstruction is exact, so the self query ranks itself 1
+    val out = SimilaritySearch.ivfPqTopK(items, items.filter(col("vec_id") === 3), "vec_id",
+      "embedding", "vec_id", 5, nlist = 8, nprobe = 4, m = 4, ksub = 8, residual = true)
+    assert(out.filter(col("rank") === 1).head().getLong(1) === 3L)
+  }
+
   test("PQ plans: scoring stays in the scan stage — one hash exchange total (the final rank)") {
     val q = items.filter(col("vec_id") < 3)
     for ((what, out) <- Seq(

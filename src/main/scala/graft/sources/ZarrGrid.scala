@@ -23,7 +23,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (broadcast with the task closure); every 2-d chunk decodes inside a
   * binaryFile scan task, emitting rows for its own grid slice.
   *
-  * Scope (checked, loud errors outside it): zarr v2, C-order, numeric
+  * Scope (checked, loud errors outside it): zarr v2 AND v3 READ (v3 =
+  * zarr-python 3's default output: `zarr.json` metadata, regular chunk
+  * grids, default `c/`-prefixed or v2-style chunk keys, `bytes` +
+  * gzip/zstd/blosc codec chains, `dimension_names` discovery), C-order,
+  * numeric
   * dtypes f4/f8, i1-i8, u1-u4 in either byte order ('<', '>', '|'),
   * compressor null, zlib/gzip, bare zstd (numcodecs `Zstd()`, via
   * [[ZstdLite]]), or blosc with blosclz/lz4/zlib/zstd inner codecs — the
@@ -34,9 +38,13 @@ import java.nio.{ByteBuffer, ByteOrder}
 object ZarrGrid extends Serializable {
   implicit private val formats: Formats = DefaultFormats
 
-  // comp: "none" | "zlib" | "blosc" (blosc frames name their own inner codec)
+  // comp: "none" | "zlib" | "gzip3" (raw RFC-1952 gzip, the zarr v3 codec)
+  // | "zstd" | "blosc" (blosc frames name their own inner codec);
+  // prefix: chunk-key prefix ("" for v2, "c<sep>" for the v3 default
+  // chunk key encoding)
   private final case class ZMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                                 comp: String, sep: String, fill: Option[Double])
+                                 comp: String, sep: String, fill: Option[Double],
+                                 prefix: String = "")
 
   private def parseZarray(json: String, name: String): ZMeta = {
     val j = JsonMethods.parse(json)
@@ -84,6 +92,93 @@ object ZarrGrid extends Serializable {
       (j \ "dimension_separator").extractOpt[String].getOrElse("."), fill)
   }
 
+  /** Zarr V3 array metadata (`zarr.json`, the format zarr-python 3 writes
+    * by default): regular chunk grid, default or v2 chunk-key encodings,
+    * codec chain = `bytes` (endianness) plus at most one compression
+    * codec (gzip -> raw RFC-1952 via "gzip3", zstd -> [[ZstdLite]],
+    * blosc -> [[BloscLite]], none). Maps onto the same [[ZMeta]] the v2
+    * reader uses, so every scan path serves both formats.
+    */
+  private def parseZarrayV3(json: String, name: String): ZMeta = {
+    val j = JsonMethods.parse(json)
+    require((j \ "zarr_format").extract[Int] == 3, s"$name: zarr.json is not zarr v3")
+    require((j \ "node_type").extract[String] == "array", s"$name: zarr.json is not an array node")
+    val shape = (j \ "shape").extract[Seq[Int]]
+    require((j \ "chunk_grid" \ "name").extract[String] == "regular",
+      s"$name: only the regular chunk grid is supported")
+    val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape").extract[Seq[Int]]
+    var endian = "little"
+    var comp = "none"
+    (j \ "codecs") match {
+      case JArray(cs) => cs.foreach { c =>
+        (c \ "name").extract[String] match {
+          case "bytes" | "endian" =>
+            endian = (c \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
+          case "gzip" => comp = "gzip3"
+          case "zstd" => comp = "zstd"
+          case "blosc" => comp = "blosc"
+          case "transpose" =>
+            val order = (c \ "configuration" \ "order").extractOpt[Seq[Int]].getOrElse(Nil)
+            require(order == shape.indices, s"$name: transpose codec not supported")
+          case o => throw new IllegalArgumentException(
+            s"$name: zarr v3 codec '$o' not supported (bytes/gzip/zstd/blosc)")
+        }
+      }
+      case _ => ()
+    }
+    val (code, size) = (j \ "data_type").extract[String] match {
+      case "float64" => ("f", 8); case "float32" => ("f", 4)
+      case "int64" => ("i", 8); case "int32" => ("i", 4)
+      case "int16" => ("i", 2); case "int8" => ("i", 1)
+      case "uint32" => ("u", 4); case "uint16" => ("u", 2); case "uint8" => ("u", 1)
+      case o => throw new IllegalArgumentException(s"$name: zarr v3 data_type '$o' not supported")
+    }
+    val dtype =
+      if (size == 1) s"|$code$size"
+      else (if (endian == "big") ">" else "<") + code + size
+    val cke = j \ "chunk_key_encoding"
+    val ckName = (cke \ "name").extractOpt[String].getOrElse("default")
+    val sep = (cke \ "configuration" \ "separator").extractOpt[String]
+      .getOrElse(if (ckName == "v2") "." else "/")
+    val prefix = ckName match {
+      case "default" => "c" + sep
+      case "v2" => ""
+      case o => throw new IllegalArgumentException(s"$name: chunk key encoding '$o' not supported")
+    }
+    val fill = (j \ "fill_value") match {
+      case JNull | JNothing => None
+      case JString("NaN") => Some(Double.NaN)
+      case JString("Infinity") => Some(Double.PositiveInfinity)
+      case JString("-Infinity") => Some(Double.NegativeInfinity)
+      case v => Some(v.extract[Double])
+    }
+    ZMeta(shape, chunks, dtype, comp, sep, fill, prefix)
+  }
+
+  /** Array metadata for `name` under `dir`, v2 (`.zarray`, consolidated
+    * or individual) or v3 (`zarr.json`) — every reader goes through here.
+    */
+  private def arrayMeta(spark: SparkSession, dir: String, name: String,
+                        cons: Map[String, String]): ZMeta = {
+    val fs = fsFor(spark, dir)
+    if (cons.contains(s"$name/.zarray") ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name/.zarray")))
+      parseZarray(metaJson(spark, dir, s"$name/.zarray", cons), name)
+    else parseZarrayV3(new String(readSmall(spark, s"$dir/$name/zarr.json"), "UTF-8"), name)
+  }
+
+  /** chunk-file name of chunk (ci, cj) for this array's key encoding. */
+  private def chunkRelOf(m: ZMeta, ci: Int, cj: Int): String =
+    s"${m.prefix}$ci${m.sep}$cj"
+
+  /** (ci, cj) back out of a chunk path's relative name. */
+  private def parseChunkIdx(m: ZMeta, rel: String, path: String): (Int, Int) = {
+    val r = if (m.prefix.nonEmpty && rel.startsWith(m.prefix)) rel.substring(m.prefix.length) else rel
+    val idx = r.split(if (m.sep == "/") "/" else "\\.").map(_.toInt)
+    require(idx.length == 2, s"$path: bad chunk name '$rel'")
+    (idx(0), idx(1))
+  }
+
   /** Fully-fill chunk for an absent chunk file, or a loud error when the
     * array declares no fill_value (silently dropping cells would break the
     * class contract of erroring outside supported scope).
@@ -112,6 +207,14 @@ object ZarrGrid extends Serializable {
       case "none" => raw
       case "blosc" => BloscLite.decompress(raw, name)
       case "zstd" => ZstdLite.decompress(raw, name)
+      case "gzip3" => // zarr v3 gzip codec: a full RFC-1952 gzip stream
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+        val o = new java.io.ByteArrayOutputStream(raw.length * 3 + 64)
+        val tmp = new Array[Byte](8192)
+        var got = in.read(tmp)
+        while (got >= 0) { o.write(tmp, 0, got); got = in.read(tmp) }
+        in.close()
+        o.toByteArray
       case "zlib" =>
         val inf = new java.util.zip.Inflater()
         inf.setInput(raw)
@@ -209,16 +312,17 @@ object ZarrGrid extends Serializable {
   private def readArrayLocal(spark: SparkSession, dir: String, name: String,
                              cons: Map[String, String]): Array[Double] = {
     val arrDir = s"$dir/$name"
-    val m = parseZarray(metaJson(spark, dir, s"$name/.zarray", cons), name)
+    val m = arrayMeta(spark, dir, name, cons)
     require(m.shape.length == 1, s"$name: expected 1-d coordinate array, got ${m.shape}")
     val fs = fsFor(spark, arrDir)
     val out = new Array[Double](m.shape.head)
     val nChunks = (m.shape.head + m.chunks.head - 1) / m.chunks.head
     (0 until nChunks).foreach { ci =>
+      val rel = s"${m.prefix}$ci"
       val vals =
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$arrDir/$ci")))
-          decodeChunk(readSmall(spark, s"$arrDir/$ci"), m, name)
-        else fillChunk(m, name, ci.toString)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$arrDir/$rel")))
+          decodeChunk(readSmall(spark, s"$arrDir/$rel"), m, name)
+        else fillChunk(m, name, rel)
       val base = ci * m.chunks.head
       var i = 0
       while (i < m.chunks.head && base + i < m.shape.head) { out(base + i) = vals(i); i += 1 }
@@ -229,20 +333,31 @@ object ZarrGrid extends Serializable {
   /** Present (ci, cj) chunk indices of a 2-d array directory — one driver
     * file listing (the same listing a binaryFile scan performs anyway).
     */
-  private def presentChunks2d(spark: SparkSession, arrDir: String, sep: String): Set[(Int, Int)] = {
+  private def presentChunks2d(spark: SparkSession, arrDir: String, m: ZMeta): Set[(Int, Int)] = {
     val fs = fsFor(spark, arrDir)
-    val base = new org.apache.hadoop.fs.Path(arrDir)
-    if (sep == "/")
-      fs.listStatus(base).filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+    // v3 default keys nest under the "c" prefix directory (sep "/") or
+    // flatten to "c.ci.cj" files (sep "."); v2 keys sit directly in the
+    // array dir
+    val base = new org.apache.hadoop.fs.Path(
+      if (m.prefix.nonEmpty && m.sep == "/") s"$arrDir/c" else arrDir)
+    if (!fs.exists(base)) Set.empty
+    else if (m.sep == "/")
+      fs.listStatus(base).filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        s.getPath.getName.forall(_.isDigit))
         .flatMap { d =>
           val ci = d.getPath.getName.toInt
           fs.listStatus(d.getPath).filterNot(_.getPath.getName.startsWith("."))
             .map(f => (ci, f.getPath.getName.toInt))
         }.toSet
-    else
+    else {
+      val pat = (if (m.prefix.nonEmpty) "c\\." else "") + "\\d+\\.\\d+"
       fs.listStatus(base).map(_.getPath.getName)
-        .filter(n => !n.startsWith(".") && n.matches("\\d+\\.\\d+"))
-        .map { n => val p = n.split("\\."); (p(0).toInt, p(1).toInt) }.toSet
+        .filter(n => !n.startsWith(".") && n.matches(pat))
+        .map { n =>
+          val parts = n.stripPrefix(if (m.prefix.nonEmpty) "c." else "").split("\\.")
+          (parts(0).toInt, parts(1).toInt)
+        }.toSet
+    }
   }
 
   private def readChunkFile(conf: org.apache.hadoop.conf.Configuration,
@@ -277,7 +392,7 @@ object ZarrGrid extends Serializable {
     val xs = readArrayLocal(spark, dir, xDim, cons)
     val ys = readArrayLocal(spark, dir, yDim, cons)
     val metas = varNames.map { v =>
-      val m = parseZarray(metaJson(spark, dir, s"$v/.zarray", cons), v)
+      val m = arrayMeta(spark, dir, v, cons)
       require(m.shape == Seq(ys.length, xs.length),
         s"$v shape ${m.shape} != (${ys.length}, ${xs.length}) = ($yDim, $xDim)")
       require(m.chunks.length == 2, s"$v: chunk rank ${m.chunks.length} != 2")
@@ -285,7 +400,8 @@ object ZarrGrid extends Serializable {
     }.toMap
 
     val m0 = metas(varNames.head)
-    val aligned = varNames.forall(v => metas(v).chunks == m0.chunks && metas(v).sep == m0.sep)
+    val aligned = varNames.forall(v =>
+      metas(v).chunks == m0.chunks && metas(v).sep == m0.sep && metas(v).prefix == m0.prefix)
 
     if (aligned) {
       val cr = m0.chunks(0)
@@ -302,10 +418,8 @@ object ZarrGrid extends Serializable {
       val confB = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf()))
-      def chunkRelOf(sep: String, ci: Int, cj: Int): String =
-        if (sep == "/") s"$ci/$cj" else s"$ci.$cj"
       def siblingChunk(v: String, ci: Int, cj: Int): Array[Double] = {
-        val rel = chunkRelOf(metasB(v).sep, ci, cj)
+        val rel = chunkRelOf(metasB(v), ci, cj)
         readChunkFile(confB.value.value, s"$dirB/$v/$rel") match {
           case Some(bytes) => decodeChunk(bytes, metasB(v), v)
           case None => fillChunk(metasB(v), v, rel)
@@ -320,14 +434,12 @@ object ZarrGrid extends Serializable {
 
       val scanned = spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true").load(s"$dir/$v0")
-        .filter(!col("path").contains("/."))
+        .filter(!col("path").contains("/.") && !col("path").endsWith("zarr.json"))
         .select(col("path"), col("content"))
         .flatMap { r =>
           val path = r.getString(0)
           val rel = path.substring(path.lastIndexOf(s"/$v0/") + v0.length + 2)
-          val idx = rel.split(if (metasB(v0).sep == "/") "/" else "\\.").map(_.toInt)
-          require(idx.length == 2, s"$path: bad chunk name '$rel'")
-          val (ci, cj) = (idx(0), idx(1))
+          val (ci, cj) = parseChunkIdx(metasB(v0), rel, path)
           // first variable's chunk from the scan; siblings opened in-task
           val all = decodeChunk(r.getAs[Array[Byte]](1), metasB(v0), v0) +:
             others.map(v => siblingChunk(v, ci, cj))
@@ -339,15 +451,15 @@ object ZarrGrid extends Serializable {
       val nci = (ys.length + cr - 1) / cr
       val ncj = (xs.length + cc - 1) / cc
       val expected = for { ci <- 0 until nci; cj <- 0 until ncj } yield (ci, cj)
-      val missing = expected.filterNot(presentChunks2d(spark, s"$dir/$v0", m0.sep))
+      val missing = expected.filterNot(presentChunks2d(spark, s"$dir/$v0", m0))
       if (missing.isEmpty) scanned
       else {
         missing.foreach(c => if (m0.fill.isEmpty)
-          fillChunk(m0, v0, chunkRelOf(m0.sep, c._1, c._2))) // loud error path
+          fillChunk(m0, v0, chunkRelOf(m0, c._1, c._2))) // loud error path
         import spark.implicits._
         val synthesized = missing.toDS().repartition(math.min(missing.size, 32))
           .flatMap { case (ci, cj) =>
-            val all = fillChunk(metasB(v0), v0, chunkRelOf(m0.sep, ci, cj)) +:
+            val all = fillChunk(metasB(v0), v0, chunkRelOf(m0, ci, cj)) +:
               others.map(v => siblingChunk(v, ci, cj))
             rowsOf(ci, cj, all)
           }(enc)
@@ -377,22 +489,20 @@ object ZarrGrid extends Serializable {
           .flatMap { r =>
             val path = r.getString(0)
             val rel = path.substring(path.lastIndexOf(s"/$vName/") + vName.length + 2)
-            val idx = rel.split(if (mB.sep == "/") "/" else "\\.").map(_.toInt)
-            require(idx.length == 2, s"$path: bad chunk name '$rel'")
-            rowsOf(idx(0), idx(1), decodeChunk(r.getAs[Array[Byte]](1), mB, vName))
+            val (ci, cj) = parseChunkIdx(mB, rel, path)
+            rowsOf(ci, cj, decodeChunk(r.getAs[Array[Byte]](1), mB, vName))
           }(enc)
         // absent chunk files = fill_value cells (or a loud error)
         val nci = (ysB.length + cr - 1) / cr
         val ncj = (xsB.length + cc - 1) / cc
         val expected = for { ci <- 0 until nci; cj <- 0 until ncj } yield (ci, cj)
-        val missing = expected.filterNot(presentChunks2d(spark, s"$dir/$v", m.sep))
+        val missing = expected.filterNot(presentChunks2d(spark, s"$dir/$v", m))
         if (missing.isEmpty) scanned
         else {
           import spark.implicits._
           val synthesized = missing.toDS().repartition(math.min(missing.size, 32))
             .flatMap { case (ci, cj) =>
-              rowsOf(ci, cj, fillChunk(mB, vName,
-                if (mB.sep == "/") s"$ci/$cj" else s"$ci.$cj"))
+              rowsOf(ci, cj, fillChunk(mB, vName, chunkRelOf(mB, ci, cj)))
             }(enc)
           scanned.unionAll(synthesized)
         }
@@ -412,6 +522,9 @@ object ZarrGrid extends Serializable {
     val cons = consolidated(spark, dir)
     // array discovery: ONE .zmetadata read when consolidated (no listing,
     // no per-array existence probes), else the directory listing
+    // v3 stores: zarr-python 3's default output — arrays carry their own
+    // `zarr.json` and name their dims in `dimension_names`
+    val v3 = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/zarr.json"))
     val arrays =
       if (cons.nonEmpty)
         cons.keys.collect { case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray") }
@@ -419,10 +532,18 @@ object ZarrGrid extends Serializable {
       else {
         val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
           .filter(_.isDirectory).map(_.getPath.getName).sorted
-        subdirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d/.zarray")))
+        subdirs.filter(d =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d/.zarray")) ||
+            (v3 && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d/zarr.json"))))
       }
     require(arrays.nonEmpty, s"$dir: no zarr arrays found")
     def dimsOf(a: String): Seq[String] = {
+      if (v3 && !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$a/.zattrs"))) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$a/zarr.json")
+        if (!fs.exists(p)) return Seq.empty
+        return (JsonMethods.parse(new String(readSmall(spark, s"$dir/$a/zarr.json"), "UTF-8")) \
+          "dimension_names").extractOpt[Seq[String]].getOrElse(Seq.empty)
+      }
       val rel = s"$a/.zattrs"
       val json =
         if (cons.contains(rel)) Some(cons(rel))
@@ -435,7 +556,7 @@ object ZarrGrid extends Serializable {
     val withDims = arrays.map(a => a -> dimsOf(a)).toMap
     val dataVars = arrays.filter(a => withDims(a).length == 2).toSeq
     require(dataVars.nonEmpty,
-      s"$dir: no 2-d data variables with _ARRAY_DIMENSIONS found " +
+      s"$dir: no 2-d data variables with _ARRAY_DIMENSIONS/dimension_names found " +
         s"(arrays: ${arrays.mkString(", ")})")
     val dimPairs = dataVars.map(withDims).distinct
     require(dimPairs.length == 1,

@@ -253,6 +253,82 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       (0 until 35).map(_ + 1.0).sum)
   }
 
+  test("zarr V3 store (zarr-python 3 default): zarr.json metadata, c/ chunk keys, gzip codec") {
+    val dir = Files.createTempDirectory("zarr3_").resolve("v3.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = dir.resolve(rel); Files.createDirectories(p.getParent); Files.write(p, bytes)
+    }
+    def doubles(vs: Double*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    def gz(raw: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(raw); g.close(); o.toByteArray
+    }
+    put("zarr.json", """{"zarr_format":3,"node_type":"group"}""".getBytes)
+    def arrJson(shape: String, chunks: String, codecs: String, dims: String): String =
+      s"""{"zarr_format":3,"node_type":"array","shape":$shape,"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":$chunks}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":0.0,"codecs":$codecs,"dimension_names":$dims}""".stripMargin
+    val bytesCodec = """[{"name":"bytes","configuration":{"endian":"little"}}]"""
+    val gzipCodec =
+      """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"gzip","configuration":{"level":5}}]"""
+    put("x/zarr.json", arrJson("[3]", "[3]", bytesCodec, """["x"]""").getBytes)
+    put("x/c/0", doubles(10.0, 20.0, 30.0))
+    put("y/zarr.json", arrJson("[4]", "[4]", bytesCodec, """["y"]""").getBytes)
+    put("y/c/0", doubles(100.0, 200.0, 300.0, 400.0))
+    // z: (4, 3) in (2, 3) chunks -> c/0/0 and c/1/0; c/1/0 ABSENT -> fill 0.0
+    put("z/zarr.json", arrJson("[4,3]", "[2,3]", gzipCodec, """["y","x"]""").getBytes)
+    put("z/c/0/0", gz(doubles(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)))
+    val back = ZarrGrid.readStore(spark, dir.toString)
+    assert(back.columns.sorted.toSeq === Seq("x", "y", "z"))
+    assert(back.count() === 12)
+    val got = back.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got.contains((10.0, 100.0, 1.0)) && got.contains((30.0, 200.0, 6.0)))
+    assert(got.contains((20.0, 300.0, 0.0)), "absent v3 chunk fills with fill_value")
+    // the same store through the ConfigExpr .zarr dispatch
+    val via = graft.core.ConfigExpr.load(spark, graft.core.ConfigExpr.DataConfig(
+      source = dir.toString, where = Seq(graft.core.ConfigExpr.Where("z", ">", 2.5)),
+      colSelect = Seq("x", "y", "z")))
+    assert(via.collect().map(_.getDouble(2)).sorted.toSeq === Seq(3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("zarr V3 with zstd codec and the v2 chunk-key encoding") {
+    val dir = Files.createTempDirectory("zarr3_").resolve("v3z.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = dir.resolve(rel); Files.createDirectories(p.getParent); Files.write(p, bytes)
+    }
+    def doubles(vs: Double*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    put("zarr.json", """{"zarr_format":3,"node_type":"group"}""".getBytes)
+    def arr(shape: String, chunks: String, codecs: String, dims: String, cke: String): String =
+      s"""{"zarr_format":3,"node_type":"array","shape":$shape,"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":$chunks}},
+         |"chunk_key_encoding":$cke,
+         |"fill_value":0.0,"codecs":$codecs,"dimension_names":$dims}""".stripMargin
+    val bytesC = """[{"name":"bytes","configuration":{"endian":"little"}}]"""
+    val zstdC =
+      """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd","configuration":{"level":3}}]"""
+    val v2keys = """{"name":"v2","configuration":{"separator":"."}}"""
+    val defKeys = """{"name":"default","configuration":{"separator":"/"}}"""
+    put("x/zarr.json", arr("[2]", "[2]", bytesC, """["x"]""", defKeys).getBytes)
+    put("x/c/0", doubles(1.0, 2.0))
+    put("y/zarr.json", arr("[2]", "[2]", bytesC, """["y"]""", defKeys).getBytes)
+    put("y/c/0", doubles(5.0, 6.0))
+    // z uses zstd frames AND v2-style "ci.cj" keys
+    put("z/zarr.json", arr("[2,2]", "[1,2]", zstdC, """["y","x"]""", v2keys).getBytes)
+    put("z/0.0", ZstdLite.compressStored(doubles(7.0, 8.0)))
+    put("z/1.0", ZstdLite.compressStored(doubles(9.0, 10.0)))
+    val back = ZarrGrid.readStore(spark, dir.toString)
+    assert(back.count() === 4)
+    assert(back.agg(sum("z")).collect()(0).getDouble(0) === 34.0)
+  }
+
   test("unsupported stores raise errors naming the blocker") {
     val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))

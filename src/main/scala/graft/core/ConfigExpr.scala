@@ -210,7 +210,16 @@ object ConfigExpr {
           }
           d
         case None =>
-          val d = graft.sources.Hdf5Table.read(spark, cfg.source)
+          // column pruning into the granule codec: safe only when the
+          // downstream steps cannot reference columns outside
+          // colSelect + where (no col_funcs / row_select / rename)
+          val pruned =
+            if (cfg.colSelect.nonEmpty && cfg.colFuncs.isEmpty && cfg.rowSelect.isEmpty &&
+              cfg.newColumnNames.isEmpty)
+              (cfg.colSelect ++ cfg.where.map(_.col)).distinct
+                .filterNot(cfg.sourceColumn.contains)
+            else Nil
+          val d = graft.sources.Hdf5Table.read(spark, cfg.source, pruned)
           cfg.sourceColumn match {
             case Some(c) => d.withColumn(c, regexp_extract(col("source_file"), "([^/]+)$", 1))
                 .drop("source_file")

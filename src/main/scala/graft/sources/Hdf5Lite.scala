@@ -976,11 +976,23 @@ object Hdf5Lite {
     */
   def read(bytes: Array[Byte]): Seq[H5Read] = readAll(bytes)._1
 
+  /** [[read]] decoding ONLY the datasets `keep` accepts (path-qualified
+    * names) — the column-pruning hook: skipped datasets cost a header
+    * walk, never a chunk decode, so a projected granule scan reads the
+    * bytes of the projected columns only.
+    */
+  def read(bytes: Array[Byte], keep: String => Boolean): Seq[H5Read] =
+    readAll(bytes, keep)._1
+
   /** Like [[read]], also returning the GROUP attributes keyed by group path
     * ("" = the root group) — where pandas/PyTables keep their storer
     * metadata (`pandas_type`, `table_type`, ...).
     */
-  def readAll(bytes: Array[Byte]): (Seq[H5Read], Map[String, Seq[H5Attr]]) = {
+  def readAll(bytes: Array[Byte]): (Seq[H5Read], Map[String, Seq[H5Attr]]) =
+    readAll(bytes, _ => true)
+
+  def readAll(bytes: Array[Byte],
+              keep: String => Boolean): (Seq[H5Read], Map[String, Seq[H5Attr]]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](8); buf.get(sig)
     require(sig.sameElements(Signature), "not an HDF5 file (signature mismatch)")
@@ -993,7 +1005,7 @@ object Hdf5Lite {
       require(buf.get(9).toInt == 8 && buf.get(10).toInt == 8,
         "only 8-byte offsets/lengths supported")
       val rootOh = buf.getLong(36)
-      val reads = readGroupV2(bytes, buf, rootOh, prefix = "", depth = 0, groupAttrs)
+      val reads = readGroupV2(bytes, buf, rootOh, prefix = "", depth = 0, groupAttrs, keep)
       return (reads, groupAttrs.toMap)
     }
     require(sbVersion == 0 || sbVersion == 1,
@@ -1009,7 +1021,7 @@ object Hdf5Lite {
     val rootHeap = buf.getLong(steOff + 32)
     require(rootBtree != Undef && rootHeap != Undef, "root group is not symbol-table based")
     groupAttrs("") = attrsOfHeader(bytes, buf, "", rootOh)
-    val reads = readGroup(bytes, buf, rootBtree, rootHeap, prefix = "", depth = 0, groupAttrs)
+    val reads = readGroup(bytes, buf, rootBtree, rootHeap, prefix = "", depth = 0, groupAttrs, keep)
     (reads, groupAttrs.toMap)
   }
 
@@ -1021,7 +1033,8 @@ object Hdf5Lite {
     */
   private def readGroupV2(bytes: Array[Byte], buf: ByteBuffer, ohAddr: Long,
                           prefix: String, depth: Int,
-                          groupAttrsAcc: scala.collection.mutable.Map[String, Seq[H5Attr]]): Seq[H5Read] = {
+                          groupAttrsAcc: scala.collection.mutable.Map[String, Seq[H5Attr]],
+                          keep: String => Boolean): Seq[H5Read] = {
     require(depth <= 8, s"group nesting deeper than 8 at '$prefix'")
     val msgs = messages(bytes, buf, prefix, ohAddr)
     groupAttrsAcc(prefix) = msgs.collect {
@@ -1031,7 +1044,7 @@ object Hdf5Lite {
     }.flatten
     msgs.find(_._1 == 0x0011).foreach { case (_, body) =>
       return readGroup(bytes, buf, buf.getLong(body), buf.getLong(body + 8),
-        prefix, depth, groupAttrsAcc)
+        prefix, depth, groupAttrsAcc, keep)
     }
     // children: compact Link messages + DENSE (fractal-heap) links from
     // the Link Info message, if the group switched storage
@@ -1045,8 +1058,9 @@ object Hdf5Lite {
         val isGroup = childMsgs.exists(m =>
           m._1 == 0x0002 || m._1 == 0x0006 || m._1 == 0x0011 || m._1 == 0x000A) &&
           !childMsgs.exists(_._1 == 0x0008)
-        if (isGroup) readGroupV2(bytes, buf, childOh, full, depth + 1, groupAttrsAcc)
-        else Seq(readDataset(bytes, buf, full, childOh))
+        if (isGroup) readGroupV2(bytes, buf, childOh, full, depth + 1, groupAttrsAcc, keep)
+        else if (keep(full)) Seq(readDataset(bytes, buf, full, childOh))
+        else Nil
       }
   }
 
@@ -1132,7 +1146,8 @@ object Hdf5Lite {
     */
   private def readGroup(bytes: Array[Byte], buf: ByteBuffer, btree: Long, heapHdr: Long,
                         prefix: String, depth: Int,
-                        groupAttrsAcc: scala.collection.mutable.Map[String, Seq[H5Attr]]): Seq[H5Read] = {
+                        groupAttrsAcc: scala.collection.mutable.Map[String, Seq[H5Attr]],
+                        keep: String => Boolean = _ => true): Seq[H5Read] = {
     require(depth <= 8, s"group nesting deeper than 8 at '$prefix'")
     require(buf.get(heapHdr.toInt) == 'H' && buf.get(heapHdr.toInt + 1) == 'E',
       s"bad local heap signature at '$prefix'")
@@ -1171,16 +1186,17 @@ object Hdf5Lite {
         if (cacheType == 1) { // cached group: scratch holds (B-tree, heap)
           groupAttrsAcc(full) = attrsOfHeader(bytes, buf, full, ohAddr)
           readGroup(bytes, buf, buf.getLong(e + 24), buf.getLong(e + 32), full, depth + 1,
-            groupAttrsAcc)
+            groupAttrsAcc, keep)
         } else symbolTableAddrs(bytes, buf, full, ohAddr) match {
           case Some((bt, hp)) =>
             groupAttrsAcc(full) = attrsOfHeader(bytes, buf, full, ohAddr)
-            readGroup(bytes, buf, bt, hp, full, depth + 1, groupAttrsAcc)
+            readGroup(bytes, buf, bt, hp, full, depth + 1, groupAttrsAcc, keep)
           case None =>
             val childMsgs = messages(bytes, buf, full, ohAddr)
             if (childMsgs.exists(m => m._1 == 0x0002 || m._1 == 0x0006))
-              readGroupV2(bytes, buf, ohAddr, full, depth + 1, groupAttrsAcc) // new-style child group
-            else Seq(readDataset(bytes, buf, full, ohAddr))
+              readGroupV2(bytes, buf, ohAddr, full, depth + 1, groupAttrsAcc, keep) // new-style child group
+            else if (keep(full)) Seq(readDataset(bytes, buf, full, ohAddr))
+            else Nil
         }
       }
     }

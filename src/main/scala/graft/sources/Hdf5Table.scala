@@ -26,7 +26,17 @@ object Hdf5Table {
     * must carry the same column set; long-typed columns stay LongType,
     * float columns DoubleType, plus a `source_file` provenance column.
     */
-  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+  def read(spark: SparkSession, pathGlob: String): DataFrame =
+    read(spark, pathGlob, Nil)
+
+  /** [[read]] decoding ONLY `columns` (column pruning pushed into the
+    * granule codec: unrequested datasets cost a header walk per granule,
+    * never a chunk decode — the `.h5` analog of a pruned parquet
+    * ReadSchema). Empty = all columns.
+    */
+  def read(spark: SparkSession, pathGlob: String, columns: Seq[String]): DataFrame = {
+    val colSet = columns.toSet
+    def keep(n: String): Boolean = colSet.isEmpty || colSet.contains(n)
     // schema discovery from ONE granule (driver reads a single file header,
     // same cost shape as Spark's own parquet schema inference)
     val fs = new org.apache.hadoop.fs.Path(pathGlob)
@@ -40,9 +50,12 @@ object Hdf5Table {
         val len = fs.getFileStatus(p).getLen.toInt
         val bytes = new Array[Byte](len)
         in.readFully(0, bytes)
-        Hdf5Lite.read(bytes)
+        Hdf5Lite.read(bytes, keep)
       } finally in.close()
     }
+    require(colSet.isEmpty || first.map(_.name).toSet == colSet,
+      s"$pathGlob: requested columns ${colSet.toSeq.sorted.mkString(", ")} but the first " +
+        s"granule holds ${first.map(_.name).sorted.mkString(", ")}")
     require(!first.exists(_.name.endsWith("/axis0")),
       s"$pathGlob holds a pandas HDFStore frame (found an axis0 dataset) — " +
         "use Hdf5Table.readPandasFixed(spark, path, key) for those")
@@ -59,7 +72,8 @@ object Hdf5Table {
       .select(col("path"), col("content"))
       .flatMap { r =>
         val path = r.getString(0)
-        val byName = Hdf5Lite.read(r.getAs[Array[Byte]](1)).map(c => c.name -> c).toMap
+        val byName = Hdf5Lite.read(r.getAs[Array[Byte]](1),
+          n => colSet.isEmpty || colSet.contains(n)).map(c => c.name -> c).toMap
         require(names.forall(byName.contains),
           s"$path: columns ${byName.keys.toSeq.sorted} != expected $names")
         val cols = names.map(byName)

@@ -502,7 +502,7 @@ class Hdf5Spec extends AnyFunSuite with SparkTestBase {
   * indexes) — the container has no h5py, so these ARE the conformance
   * vectors, the same approach as NetCdfSpec's hand-built CDF-2 file.
   */
-class Hdf5LatestSpec extends AnyFunSuite {
+class Hdf5LatestSpec extends AnyFunSuite with SparkTestBase {
   import java.nio.{ByteBuffer, ByteOrder}
 
   /** little-endian image builder with positioned writes */
@@ -928,6 +928,46 @@ class Hdf5LatestSpec extends AnyFunSuite {
     val r = Hdf5Lite.read(img.bytes).head
     assert(r.shape === Seq(6))
     assert(r.doubles.toSeq === Seq(0.0, 1.0, 10.0, 11.0, 20.0, 21.0))
+  }
+
+  test("granule column pruning: non-selected datasets are never decoded") {
+    // 'junk' declares float16 — decoding it ALWAYS raises — so a read
+    // that succeeds proves the pruned dataset was skipped entirely
+    val img = new B(4096)
+    val rootOh = 48
+    val goodOh = 160
+    val badOh = 280
+    sigV3(img, rootOh, 4096L)
+    ohdr(img, rootOh, Seq(
+      0x06 -> linkMsg("vals", goodOh),
+      0x06 -> linkMsg("junk", badOh)))
+    ohdr(img, goodOh, Seq(
+      0x01 -> dspaceV2(Seq(3)),
+      0x03 -> dtypeF64,
+      0x08 -> new B(2 + 8 + 8).u8(4, 1).u64(600L).u64(24L).bytes))
+    val dtypeF16 = new B(20).u8(0x11, 0x20, 0x3f, 0).u32(2).u16(0).u16(16)
+      .u8(10, 6, 0, 10).u32(15).bytes
+    ohdr(img, badOh, Seq(
+      0x01 -> dspaceV2(Seq(3)),
+      0x03 -> dtypeF16,
+      0x08 -> new B(2 + 8 + 8).u8(4, 1).u64(700L).u64(6L).bytes))
+    img.at(600).f64(1.5).f64(2.5).f64(3.5)
+
+    val e = intercept[IllegalArgumentException](Hdf5Lite.read(img.bytes))
+    assert(e.getMessage.contains("float2"))
+    assert(Hdf5Lite.read(img.bytes, _ == "vals").map(_.name) === Seq("vals"))
+
+    val dir = java.nio.file.Files.createTempDirectory("h5prune_")
+    java.nio.file.Files.write(dir.resolve("g.h5"), img.bytes)
+    val pruned = Hdf5Table.read(spark, dir.resolve("g.h5").toString, Seq("vals"))
+    assert(pruned.columns.toSeq === Seq("source_file", "vals"))
+    assert(pruned.select("vals").collect().map(_.getDouble(0)).sorted.toSeq === Seq(1.5, 2.5, 3.5))
+    // the ConfigExpr loader pushes colSelect (+ where columns) down
+    val via = ConfigExpr.load(spark, ConfigExpr.DataConfig(
+      source = dir.resolve("g.h5").toString,
+      where = Seq(ConfigExpr.Where("vals", ">", 2.0)),
+      colSelect = Seq("vals")))
+    assert(via.collect().map(_.getDouble(0)).sorted.toSeq === Seq(2.5, 3.5))
   }
 
   // ---- dense (fractal-heap) link and attribute storage ----

@@ -42,9 +42,14 @@ object ZarrGrid extends Serializable {
   // | "zstd" | "blosc" (blosc frames name their own inner codec);
   // prefix: chunk-key prefix ("" for v2, "c<sep>" for the v3 default
   // chunk key encoding)
+  // innerChunks non-empty = v3 sharding_indexed: each chunk FILE is a
+  // SHARD of inner chunks (innerComp-coded) plus a u64 (offset, nbytes)
+  // index at the end/start; u64-max entries mean "inner chunk absent"
   private final case class ZMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
                                  comp: String, sep: String, fill: Option[Double],
-                                 prefix: String = "")
+                                 prefix: String = "", innerChunks: Seq[Int] = Nil,
+                                 innerComp: String = "none", indexAtEnd: Boolean = true,
+                                 indexCrc: Boolean = false)
 
   private def parseZarray(json: String, name: String): ZMeta = {
     val j = JsonMethods.parse(json)
@@ -109,23 +114,40 @@ object ZarrGrid extends Serializable {
     val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape").extract[Seq[Int]]
     var endian = "little"
     var comp = "none"
-    (j \ "codecs") match {
+    var innerChunks: Seq[Int] = Nil
+    var innerComp = "none"
+    var indexAtEnd = true
+    var indexCrc = false
+    def codecLoop(codecs: JValue, setComp: String => Unit): Unit = codecs match {
       case JArray(cs) => cs.foreach { c =>
         (c \ "name").extract[String] match {
           case "bytes" | "endian" =>
             endian = (c \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
-          case "gzip" => comp = "gzip3"
-          case "zstd" => comp = "zstd"
-          case "blosc" => comp = "blosc"
+          case "gzip" => setComp("gzip3")
+          case "zstd" => setComp("zstd")
+          case "blosc" => setComp("blosc")
           case "transpose" =>
             val order = (c \ "configuration" \ "order").extractOpt[Seq[Int]].getOrElse(Nil)
             require(order == shape.indices, s"$name: transpose codec not supported")
+          case "sharding_indexed" =>
+            // the v3 scale feature: a chunk file is a SHARD of inner
+            // chunks with a u64 offset/size index
+            val cfg = c \ "configuration"
+            innerChunks = (cfg \ "chunk_shape").extract[Seq[Int]]
+            codecLoop(cfg \ "codecs", innerComp = _)
+            indexAtEnd = (cfg \ "index_location").extractOpt[String].forall(_ != "start")
+            (cfg \ "index_codecs") match {
+              case JArray(ics) =>
+                indexCrc = ics.exists(ic => (ic \ "name").extractOpt[String].contains("crc32c"))
+              case _ => ()
+            }
           case o => throw new IllegalArgumentException(
-            s"$name: zarr v3 codec '$o' not supported (bytes/gzip/zstd/blosc)")
+            s"$name: zarr v3 codec '$o' not supported (bytes/gzip/zstd/blosc/sharding_indexed)")
         }
       }
       case _ => ()
     }
+    codecLoop(j \ "codecs", comp = _)
     val (code, size) = (j \ "data_type").extract[String] match {
       case "float64" => ("f", 8); case "float32" => ("f", 4)
       case "int64" => ("i", 8); case "int32" => ("i", 4)
@@ -152,7 +174,8 @@ object ZarrGrid extends Serializable {
       case JString("-Infinity") => Some(Double.NegativeInfinity)
       case v => Some(v.extract[Double])
     }
-    ZMeta(shape, chunks, dtype, comp, sep, fill, prefix)
+    ZMeta(shape, chunks, dtype, comp, sep, fill, prefix,
+      innerChunks, innerComp, indexAtEnd, indexCrc)
   }
 
   /** Array metadata for `name` under `dir`, v2 (`.zarray`, consolidated
@@ -200,9 +223,60 @@ object ZarrGrid extends Serializable {
   }
 
   /** Decode one chunk file into row-major doubles (full chunk extent —
-    * zarr pads edge chunks to the declared chunk shape).
+    * zarr pads edge chunks to the declared chunk shape). v3 sharded
+    * arrays decode shard-wise: index parse, inner chunks through the
+    * inner codec chain, absent entries from fill_value.
     */
-  private def decodeChunk(raw: Array[Byte], m: ZMeta, name: String): Array[Double] = {
+  private def decodeChunk(raw: Array[Byte], m: ZMeta, name: String): Array[Double] =
+    if (m.innerChunks.isEmpty) decodePlain(raw, m, name)
+    else decodeShard(raw, m, name)
+
+  private def decodeShard(raw: Array[Byte], m: ZMeta, name: String): Array[Double] = {
+    val inner = m.innerChunks
+    require(inner.length == m.chunks.length,
+      s"$name: inner chunk rank ${inner.length} != shard rank ${m.chunks.length}")
+    val nPer = m.chunks.indices.map(i => (m.chunks(i) + inner(i) - 1) / inner(i))
+    val nInner = nPer.product
+    val indexLen = 16 * nInner + (if (m.indexCrc) 4 else 0)
+    require(raw.length >= indexLen, s"$name: shard of ${raw.length} bytes lacks its $indexLen-byte index")
+    val idxBase = if (m.indexAtEnd) raw.length - indexLen else 0
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val innerMeta = m.copy(chunks = inner, comp = m.innerComp, innerChunks = Nil)
+    val out = new Array[Double](m.chunks.product)
+    m.fill.foreach(f => java.util.Arrays.fill(out, f))
+    var li = 0
+    while (li < nInner) {
+      val off = bb.getLong(idxBase + li * 16)
+      val len = bb.getLong(idxBase + li * 16 + 8)
+      if (off == -1L && len == -1L) {
+        require(m.fill.nonEmpty, s"$name: absent inner chunk $li with no fill_value")
+      } else {
+        require(off >= 0 && len >= 0 && off + len <= raw.length,
+          s"$name: shard index entry $li (offset $off, $len bytes) outside the shard")
+        val vals = decodePlain(
+          java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), innerMeta, name)
+        inner.length match {
+          case 1 =>
+            val dst = li * inner.head
+            System.arraycopy(vals, 0, out, dst, math.min(inner.head, out.length - dst))
+          case 2 =>
+            val (ci, cj) = (li / nPer(1), li % nPer(1))
+            var r = 0
+            while (r < inner(0) && ci * inner(0) + r < m.chunks(0)) {
+              val cols = math.min(inner(1), m.chunks(1) - cj * inner(1))
+              System.arraycopy(vals, r * inner(1), out,
+                (ci * inner(0) + r) * m.chunks(1) + cj * inner(1), cols)
+              r += 1
+            }
+          case d => throw new IllegalArgumentException(s"$name: rank-$d shards not supported")
+        }
+      }
+      li += 1
+    }
+    out
+  }
+
+  private def decodePlain(raw: Array[Byte], m: ZMeta, name: String): Array[Double] = {
     val bytes = m.comp match {
       case "none" => raw
       case "blosc" => BloscLite.decompress(raw, name)

@@ -329,6 +329,68 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     assert(back.agg(sum("z")).collect()(0).getDouble(0) === 34.0)
   }
 
+  test("zarr V3 sharding_indexed: shards of gzip inner chunks with absent-entry fill") {
+    val dir = Files.createTempDirectory("zarr3_").resolve("v3s.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = dir.resolve(rel); Files.createDirectories(p.getParent); Files.write(p, bytes)
+    }
+    def doubles(vs: Double*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    def gz(raw: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(raw); g.close(); o.toByteArray
+    }
+    put("zarr.json", """{"zarr_format":3,"node_type":"group"}""".getBytes)
+    val bytesC = """[{"name":"bytes","configuration":{"endian":"little"}}]"""
+    def coord(shape: Int, vals: Array[Byte]): String =
+      s"""{"zarr_format":3,"node_type":"array","shape":[$shape],"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$shape]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":0.0,"codecs":$bytesC,"dimension_names":["COORD"]}""".stripMargin
+    put("x/zarr.json", coord(4, null).replace("COORD", "x").getBytes)
+    put("x/c/0", doubles(1.0, 2.0, 3.0, 4.0))
+    put("y/zarr.json", coord(2, null).replace("COORD", "y").getBytes)
+    put("y/c/0", doubles(50.0, 60.0))
+    // z: (2, 4) as ONE shard chunk of (2, 4) with (1, 2) inner chunks ->
+    // 4 inner chunks; inner chunk 3 (row 1, cols 2-3) ABSENT -> fill 0.0
+    val shardCodec =
+      """[{"name":"sharding_indexed","configuration":{
+        |"chunk_shape":[1,2],
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"gzip","configuration":{"level":5}}],
+        |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
+        |"index_location":"end"}}]""".stripMargin
+    put("z/zarr.json",
+      s"""{"zarr_format":3,"node_type":"array","shape":[2,4],"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,4]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":0.0,"codecs":$shardCodec,"dimension_names":["y","x"]}""".stripMargin.getBytes)
+    // build the shard: 3 present inner chunks + u64 index (+4-byte crc slot)
+    val innerRaw = Seq(doubles(1.5, 2.5), doubles(3.5, 4.5), doubles(5.5, 6.5))
+    val innerGz = innerRaw.map(gz)
+    val body = new java.io.ByteArrayOutputStream()
+    val offsets = innerGz.map { g => val o = body.size(); body.write(g); (o.toLong, g.length.toLong) }
+    val idx = java.nio.ByteBuffer.allocate(16 * 4 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    offsets.foreach { case (o, l) => idx.putLong(o).putLong(l) }
+    idx.putLong(-1L).putLong(-1L) // inner chunk 3 absent
+    idx.putInt(0)                 // crc32c slot (not validated)
+    val shard = new java.io.ByteArrayOutputStream()
+    body.writeTo(shard); shard.write(idx.array())
+    put("z/c/0/0", shard.toByteArray)
+
+    val back = ZarrGrid.readStore(spark, dir.toString)
+    assert(back.count() === 8)
+    val got = back.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    // row 0: inner chunks (0,0) + (0,1); row 1: (1,0) present, (1,1) absent -> 0.0
+    assert(got.contains((1.0, 50.0, 1.5)) && got.contains((2.0, 50.0, 2.5)))
+    assert(got.contains((3.0, 50.0, 3.5)) && got.contains((4.0, 50.0, 4.5)))
+    assert(got.contains((1.0, 60.0, 5.5)) && got.contains((2.0, 60.0, 6.5)))
+    assert(got.contains((3.0, 60.0, 0.0)) && got.contains((4.0, 60.0, 0.0)),
+      "absent inner chunk fills")
+  }
+
   test("unsupported stores raise errors naming the blocker") {
     val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))

@@ -13,9 +13,9 @@ package graft.sources
   * compressed streams. A block may be SPLIT into `typesize` streams (byte
   * planes when shuffled); a stream whose stored length equals its
   * uncompressed length is raw. Byte-shuffle is applied per block before
-  * compression. Inner codecs: blosclz ([[BloscLzLite]]), lz4
-  * ([[Lz4Lite]]), zlib, zstd ([[ZstdLite]]) — every numcodecs cname but
-  * snappy, which raises naming the blocker; bit-shuffle raises too.
+  * compression. Inner codecs cover EVERY numcodecs cname: blosclz
+  * ([[BloscLzLite]]), lz4 ([[Lz4Lite]]), snappy ([[SnappyLite]]), zlib,
+  * zstd ([[ZstdLite]]); bit-shuffle raises.
   *
   * c-blosc decides split-ness from (codec, typesize, blocksize) at both
   * ends; since that heuristic has varied across 1.x releases, the DECODER
@@ -105,10 +105,10 @@ object BloscLite {
       return out
     }
     codec match {
-      case CodecBloscLz | CodecLz4 | CodecZlib | CodecZstd => ()
+      case CodecBloscLz | CodecLz4 | CodecSnappy | CodecZlib | CodecZstd => ()
       case c => throw new IllegalArgumentException(
-        s"$name: blosc codec id $c not supported (blosclz=0, lz4=1, zlib=3, zstd=4 — " +
-          "rewrite snappy stores with cname='lz4' or 'zlib')")
+        s"$name: blosc codec id $c not recognised (blosclz=0, lz4=1, snappy=2, " +
+          "zlib=3, zstd=4)")
     }
     require(blocksize > 0 || nbytes == 0,
       s"$name: blosc header claims blocksize $blocksize for $nbytes bytes")
@@ -129,6 +129,7 @@ object BloscLite {
         out
       } else codec match {
         case CodecBloscLz => BloscLzLite.decompress(frame, off, cb, outLen, name)
+        case CodecSnappy => SnappyLite.decompress(frame, off, cb, outLen, name)
         case CodecLz4 => Lz4Lite.decompress(frame, off, cb, outLen)
         case CodecZlib => zlibInflate(frame, off, cb, outLen)
         case CodecZstd =>
@@ -187,8 +188,8 @@ object BloscLite {
     */
   def compress(raw: Array[Byte], typesize: Int, codec: Int, clevel: Int = 5,
                byteShuffle: Boolean = true): Array[Byte] = {
-    require(codec == CodecLz4 || codec == CodecZlib || codec == CodecBloscLz,
-      "blosclz/lz4/zlib only")
+    require(codec == CodecLz4 || codec == CodecZlib || codec == CodecBloscLz ||
+      codec == CodecSnappy, "blosclz/lz4/snappy/zlib only")
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize")
     val nbytes = raw.length
     // block size: whole buffer up to 256 KB, aligned to typesize
@@ -204,6 +205,9 @@ object BloscLite {
       case CodecBloscLz =>
         val c = BloscLzLite.compress(src)
         if (c != null) c else src // incompressible: caller stores raw below
+      case CodecSnappy =>
+        val c = SnappyLite.compress(src)
+        if (c != null) c else src
       case CodecLz4 => Lz4Lite.compress(src)
       case CodecZlib =>
         val d = new java.util.zip.Deflater(clevel)

@@ -1780,8 +1780,8 @@ object Hdf5Lite {
     }
     require(shape != null && dtClass >= 0 && dataAddr >= 0, s"$name: incomplete object header")
     val n = shape.product
-    filters.foreach(id => require(id == 1 || id == 2,
-      s"$name: filter id $id not supported (gzip=1 and shuffle=2 only; " +
+    filters.foreach(id => require(id == 1 || id == 2 || id == 32000,
+      s"$name: filter id $id not supported (gzip=1, shuffle=2, lzf=32000; " +
         "szip/lzf/blosc granules must be rewritten)"))
 
     // chunked path: collect (chunk offsets, address, stored size) entries
@@ -1910,6 +1910,8 @@ object Hdf5Lite {
           var chunk = new Array[Byte](storedSize)
           System.arraycopy(bytes, addr.toInt, chunk, 0, storedSize)
           // undo filters in reverse pipeline order
+          if (filters.contains(32000)) // h5py's lzf filter (id 32000)
+            chunk = LzfLite.decompress(chunk, 0, chunk.length, chunkByteSize, name)
           if (filters.contains(1)) {
             val inf = new java.util.zip.Inflater()
             inf.setInput(chunk)

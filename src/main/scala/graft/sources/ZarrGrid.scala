@@ -73,10 +73,9 @@ object ZarrGrid extends Serializable {
             // header names its own inner codec — unsupported ones
             // (snappy) raise there with the cname in the message.
             (c \ "cname").extractOpt[String].foreach { cn =>
-              require(cn == "blosclz" || cn == "lz4" || cn == "lz4hc" || cn == "zlib" ||
-                cn == "zstd",
-                s"$name: blosc cname '$cn' not supported (blosclz/lz4/lz4hc/zlib/zstd — " +
-                  "rewrite snappy stores with cname='lz4')")
+              require(cn == "blosclz" || cn == "lz4" || cn == "lz4hc" || cn == "snappy" ||
+                cn == "zlib" || cn == "zstd",
+                s"$name: blosc cname '$cn' not supported (blosclz/lz4/lz4hc/snappy/zlib/zstd)")
             }
             "blosc"
           case o => throw new IllegalArgumentException(

@@ -110,13 +110,65 @@ class BloscSpec extends AnyFunSuite {
     }
   }
 
+  test("snappy opcode vectors: varint preamble, literals, copy1/copy2, overlap") {
+    def d(stream: Array[Int], outLen: Int): Array[Byte] = {
+      val b = stream.map(_.toByte)
+      SnappyLite.decompress(b, 0, b.length, outLen, "vec")
+    }
+    // varint 5, literal tag (len 5): ((5-1)<<2)|0 = 16
+    assert(d(Array(5, 16, 'h', 'e', 'l', 'l', 'o'), 5) === "hello".getBytes)
+    // "abc" + copy2 len 6 dist 3 -> "abcabcabc": varint 9, literal 3,
+    // copy2 tag ((6-1)<<2)|2 = 22, offset 3 LE
+    assert(d(Array(9, 8, 'a', 'b', 'c', 22, 3, 0), 9) === "abcabcabc".getBytes)
+    // copy1: len 4..11, 11-bit offset: "ab" + copy1 len 4 dist 2 -> "ababab"
+    // tag ((4-4)<<2)|1 | (high<<5) = 1; offset byte 2
+    assert(d(Array(6, 4, 'a', 'b', 1, 2), 6) === "ababab".getBytes)
+    // 61-byte literal (1 extra length byte): tag (60<<2)|0 = 240, len byte 60
+    val lits = Array.tabulate(61)(i => 32 + (i % 90))
+    assert(d(Array(61, 240, 60) ++ lits, 61) === lits.map(_.toByte))
+  }
+
+  test("snappy and lzf encoders roundtrip; lzf-filtered HDF5 chunks decode") {
+    val shapes = Seq(
+      Array.tabulate(5000)(i => (i % 17).toByte),
+      ("sphinx of black quartz judge my vow. " * 300).getBytes,
+      Array.tabulate(20000)(i => ((i / 64) % 251).toByte))
+    shapes.foreach { p =>
+      val sc = SnappyLite.compress(p)
+      if (sc != null)
+        assert(SnappyLite.decompress(sc, 0, sc.length, p.length, "rt") === p)
+      val lc = LzfLite.compress(p)
+      if (lc != null)
+        assert(LzfLite.decompress(lc, 0, lc.length, p.length, "rt") === p)
+      val frame = BloscLite.compress(p, 8, BloscLite.CodecSnappy, byteShuffle = true)
+      assert(BloscLite.decompress(frame, "snappy-frame") === p)
+    }
+    // lzf per-opcode vectors (same grammar family as blosclz, distance+1)
+    def dl(stream: Array[Int], outLen: Int): Array[Byte] = {
+      val b = stream.map(_.toByte)
+      LzfLite.decompress(b, 0, b.length, outLen, "vec")
+    }
+    assert(dl(Array(4, 'h', 'e', 'l', 'l', 'o'), 5) === "hello".getBytes)
+    // "abc" + match len 6 dist 3: ctrl (4<<5)|0 = 128, low byte 2 (dist-1)
+    assert(dl(Array(2, 'a', 'b', 'c', 128, 2), 9) === "abcabcabc".getBytes)
+    // extended length: (7<<5), ext 0 -> len 9, dist 1
+    assert(dl(Array(1, 'a', 'b', 224, 0, 1), 11) === "abababababa".getBytes)
+
+    // chunk-payload shape check (the Hdf5LatestSpec fixture covers the
+    // full filter-pipeline integration)
+    val chunkRaw = java.nio.ByteBuffer.allocate(256).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 32).foreach(i => chunkRaw.putDouble((i % 7) * 1.0))
+    val lz = LzfLite.compress(chunkRaw.array())
+    assert(lz != null && LzfLite.decompress(lz, 0, lz.length, 256, "h5") === chunkRaw.array())
+  }
+
   test("blosc rejects unsupported codecs and bit-shuffle with named errors") {
     val p = Array.tabulate(300)(_.toByte)
     val frame = BloscLite.compress(p, 8, BloscLite.CodecLz4)
-    val snappy = frame.clone()
-    snappy(2) = ((BloscLite.CodecSnappy << 5) | (snappy(2) & 0x1f)).toByte
-    val e1 = intercept[IllegalArgumentException](BloscLite.decompress(snappy, "z"))
-    assert(e1.getMessage.contains("lz4=1, zlib=3, zstd=4"))
+    val unknown = frame.clone()
+    unknown(2) = ((5 << 5) | (unknown(2) & 0x1f)).toByte // codec id 5: unassigned
+    val e1 = intercept[IllegalArgumentException](BloscLite.decompress(unknown, "z"))
+    assert(e1.getMessage.contains("not recognised"))
     val bitshuf = frame.clone()
     bitshuf(2) = (bitshuf(2) | 0x4).toByte
     val e2 = intercept[IllegalArgumentException](BloscLite.decompress(bitshuf, "b"))

@@ -970,6 +970,30 @@ class Hdf5LatestSpec extends AnyFunSuite with SparkTestBase {
     assert(via.collect().map(_.getDouble(0)).sorted.toSeq === Seq(2.5, 3.5))
   }
 
+  test("lzf-filtered chunks (h5py filter id 32000) decode through the pipeline") {
+    val img = new B(4096)
+    val rootOh = 48
+    val dsOh = 128
+    val raw = new B(32).f64(4.0).f64(5.0).f64(6.0).f64(7.0).bytes
+    val comp = LzfLite.compress(raw)
+    assert(comp != null)
+    val chunkAt = 500
+    // filter pipeline v2: id 32000 (>= 256 -> name length present, 0 here)
+    val filters = new B(10).u8(2, 1).u16(32000).u16(0).u16(1).u16(0).bytes
+    val layout = new B(2 + 1 + 1 + 1 + 4 + 1 + 8 + 4 + 8)
+      .u8(4, 2, 2, 1, 4).u32(4).u8(1).u64(comp.length.toLong).u32(0)
+      .u64(chunkAt.toLong).bytes
+    sigV3(img, rootOh, 4096L)
+    ohdr(img, rootOh, Seq(0x06 -> linkMsg("v", dsOh)))
+    ohdr(img, dsOh, Seq(
+      0x01 -> dspaceV2(Seq(4)),
+      0x03 -> dtypeF64,
+      0x0B -> filters,
+      0x08 -> layout))
+    img.at(chunkAt).raw(comp)
+    assert(Hdf5Lite.read(img.bytes).head.doubles.toSeq === Seq(4.0, 5.0, 6.0, 7.0))
+  }
+
   // ---- dense (fractal-heap) link and attribute storage ----
 
   /** FRHP header with width 4, start block 512, max direct 4096,

@@ -174,12 +174,12 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       .head().getDouble(2) === 2.5 + 2 * 7 + 3)
     // unsupported blosc cname raises naming the codec
     val za = Paths.get(dir, "z", ".zarray")
-    val txt = new String(Files.readAllBytes(za), "UTF-8").replace("\"lz4\"", "\"snappy\"")
+    val txt = new String(Files.readAllBytes(za), "UTF-8").replace("\"lz4\"", "\"lzma\"")
     Files.write(za, txt.getBytes("UTF-8"))
     // hand-edited store: a stale .zmetadata would shadow the patch
     Files.deleteIfExists(Paths.get(dir, ".zmetadata"))
     val e = intercept[Exception](ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w")))
-    assert(e.getMessage.contains("snappy"))
+    assert(e.getMessage.contains("lzma"))
   }
 
   test("foreign dtypes: big-endian >f4 and byte |u1 arrays read correctly") {

@@ -56,10 +56,23 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: snappy and lzf compress -> decompress are identities") {
+    check(Prop.forAll(byteArrays) { p =>
+      val c = SnappyLite.compress(p)
+      c == null || java.util.Arrays.equals(
+        SnappyLite.decompress(c, 0, c.length, p.length, "prop"), p)
+    })
+    check(Prop.forAll(byteArrays) { p =>
+      val c = LzfLite.compress(p)
+      c == null || java.util.Arrays.equals(
+        LzfLite.decompress(c, 0, c.length, p.length, "prop"), p)
+    })
+  }
+
   test("property: blosc frames roundtrip for every codec/shuffle/typesize combo") {
     val cfg = for {
       p <- byteArrays
-      codec <- Gen.oneOf(BloscLite.CodecBloscLz, BloscLite.CodecLz4, BloscLite.CodecZlib)
+      codec <- Gen.oneOf(BloscLite.CodecBloscLz, BloscLite.CodecLz4, BloscLite.CodecSnappy, BloscLite.CodecZlib)
       shuffle <- Gen.oneOf(true, false)
       typesize <- Gen.oneOf(1, 2, 4, 8, 16)
     } yield (p, codec, shuffle, typesize)

@@ -189,7 +189,7 @@ object BloscLite {
   def compress(raw: Array[Byte], typesize: Int, codec: Int, clevel: Int = 5,
                byteShuffle: Boolean = true): Array[Byte] = {
     require(codec == CodecLz4 || codec == CodecZlib || codec == CodecBloscLz ||
-      codec == CodecSnappy, "blosclz/lz4/snappy/zlib only")
+      codec == CodecSnappy || codec == CodecZstd, "blosclz/lz4/snappy/zlib/zstd only")
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize")
     val nbytes = raw.length
     // block size: whole buffer up to 256 KB, aligned to typesize
@@ -209,6 +209,7 @@ object BloscLite {
         val c = SnappyLite.compress(src)
         if (c != null) c else src
       case CodecLz4 => Lz4Lite.compress(src)
+      case CodecZstd => ZstdLite.compress(src)
       case CodecZlib =>
         val d = new java.util.zip.Deflater(clevel)
         d.setInput(src); d.finish()

@@ -712,10 +712,10 @@ object ZarrGrid extends Serializable {
   }
 
   /** Re-encode one array's chunk files as bare zstd frames and declare
-    * the numcodecs `Zstd()` compressor — STORED-mode frames (raw blocks,
-    * valid RFC 8878 any zstd reader accepts; see
-    * [[ZstdLite.compressStored]]), since the engine ships no zstd entropy
-    * ENCODER by design. Keeps `.zmetadata` in sync like [[toBlosc]].
+    * the numcodecs `Zstd()` compressor — real entropy-coded frames via
+    * [[ZstdLite.compress]] (LZ77 + predefined-FSE sequences; conformance
+    * in ZstdSpec decodes them with the real zstd CLI). Keeps
+    * `.zmetadata` in sync like [[toBlosc]].
     */
   def toZstd(spark: SparkSession, arrDir: String): Unit = {
     val meta = parseZarray(new String(readSmall(spark, s"$arrDir/.zarray"), "UTF-8"), arrDir)
@@ -748,7 +748,7 @@ object ZarrGrid extends Serializable {
           o.toByteArray
       }
       val out = fs.create(p, true)
-      try out.write(ZstdLite.compressStored(plain)) finally out.close()
+      try out.write(ZstdLite.compress(plain)) finally out.close()
     }
     val zaPath = s"$arrDir/.zarray"
     val patched = JsonMethods.parse(new String(readSmall(spark, zaPath), "UTF-8"))
@@ -839,15 +839,17 @@ object ZarrGrid extends Serializable {
     udf((y: Double) => yIdx(y) / cr)
 
   /** Encode one chunk under the named compressor: "zlib" (this writer's
-    * historical default) or "blosc" (the zarr ecosystem default —
-    * shuffled blosc1-lz4 frames via BloscLite).
+    * historical default), "blosc" (the zarr ecosystem default — shuffled
+    * blosc1-lz4 frames via BloscLite), or "zstd" (numcodecs `Zstd()` —
+    * bare RFC 8878 frames via the pure-JVM entropy encoder).
     */
   private def encodeChunk(raw: Array[Byte], compressor: String): Array[Byte] =
     compressor match {
       case "zlib" => zlibBytes(raw)
       case "blosc" => BloscLite.compress(raw, typesize = 8, BloscLite.CodecLz4)
+      case "zstd" => ZstdLite.compress(raw)
       case o => throw new IllegalArgumentException(
-        s"writer compressor '$o' not supported (zlib/blosc)")
+        s"writer compressor '$o' not supported (zlib/blosc/zstd)")
     }
 
   private def zlibBytes(raw: Array[Byte]): Array[Byte] = {
@@ -879,10 +881,11 @@ object ZarrGrid extends Serializable {
       val out = fs.create(p, true) // create() makes parent dirs
       try out.write(bytes) finally out.close()
     }
-    val compJson =
-      if (compressor == "blosc")
-        """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
-      else """{"id":"zlib","level":5}"""
+    val compJson = compressor match {
+      case "blosc" => """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
+      case "zstd" => """{"id":"zstd","level":5}"""
+      case _ => """{"id":"zlib","level":5}"""
+    }
     def zarrayJson(shape: Seq[Int], chunks: Seq[Int]): String =
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],"chunks":[${chunks.mkString(",")}],""" +
         s""""dtype":"<f8","compressor":$compJson,"fill_value":0.0,""" +

@@ -69,10 +69,17 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: zstd compress -> decompress is the identity") {
+    check(Prop.forAll(byteArrays) { p =>
+      java.util.Arrays.equals(ZstdLite.decompress(ZstdLite.compress(p), "prop"), p)
+    })
+  }
+
   test("property: blosc frames roundtrip for every codec/shuffle/typesize combo") {
     val cfg = for {
       p <- byteArrays
-      codec <- Gen.oneOf(BloscLite.CodecBloscLz, BloscLite.CodecLz4, BloscLite.CodecSnappy, BloscLite.CodecZlib)
+      codec <- Gen.oneOf(BloscLite.CodecBloscLz, BloscLite.CodecLz4, BloscLite.CodecSnappy,
+        BloscLite.CodecZlib, BloscLite.CodecZstd)
       shuffle <- Gen.oneOf(true, false)
       typesize <- Gen.oneOf(1, 2, 4, 8, 16)
     } yield (p, codec, shuffle, typesize)

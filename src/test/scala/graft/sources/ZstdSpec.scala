@@ -100,6 +100,47 @@ class ZstdSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("entropy encoder: compressed frames roundtrip through the decoder") {
+    val rnd = {
+      val a = new Array[Byte](50000); var x = 99L
+      var i = 0
+      while (i < a.length) { x = x * 6364136223846793005L + 1442695040888963407L; a(i) = (x >>> 56).toByte; i += 1 }
+      a
+    }
+    val payloads = Seq(
+      "text" -> text, "mixed" -> mixedRaw, "pat" -> patRaw, "doubles" -> doublesRaw,
+      "big-multiblock" -> bigRaw, "rle" -> Array.fill(3000)(7.toByte),
+      "random-incompressible" -> rnd, "one" -> Array(42.toByte),
+      "block-edge" -> Array.tabulate(128 * 1024 + 1)(i => (i % 97).toByte),
+      "empty" -> Array.empty[Byte])
+    payloads.foreach { case (what, raw) =>
+      val frame = ZstdLite.compress(raw)
+      assert(ZstdLite.decompress(frame, what).toSeq === raw.toSeq, what)
+    }
+    // the encoder must genuinely compress compressible data, not just wrap it
+    assert(ZstdLite.compress(text).length < text.length / 5, "text ratio")
+    assert(ZstdLite.compress(bigRaw).length < bigRaw.length / 4, "multi-block ratio")
+    assert(ZstdLite.compress(doublesRaw).length < doublesRaw.length / 2, "doubles ratio")
+  }
+
+  test("entropy encoder conformance: the REAL zstd CLI decodes our frames") {
+    val cli = Seq("/usr/bin/zstd", "/usr/local/bin/zstd", "/root/miniconda/bin/zstd")
+      .find(p => Files.isExecutable(Paths.get(p)))
+      .orElse(sys.env.get("PATH").flatMap(_.split(':').map(_ + "/zstd")
+        .find(p => Files.isExecutable(Paths.get(p)))))
+    assume(cli.isDefined, "no zstd CLI on this machine - conformance covered by fixture decode tests")
+    val dir = Files.createTempDirectory("zstd_enc_")
+    Seq("text" -> text, "mixed" -> mixedRaw, "pat" -> patRaw,
+      "doubles" -> doublesRaw, "big" -> bigRaw).foreach { case (what, raw) =>
+      val fz = dir.resolve(s"$what.zst"); val fo = dir.resolve(s"$what.out")
+      Files.write(fz, ZstdLite.compress(raw))
+      val rc = new ProcessBuilder(cli.get, "-d", "-f", fz.toString, "-o", fo.toString)
+        .redirectErrorStream(true).start().waitFor()
+      assert(rc === 0, s"$what: zstd CLI rejected the frame")
+      assert(Files.readAllBytes(fo).toSeq === raw.toSeq, what)
+    }
+  }
+
   test("blosc frame with a zstd inner stream decodes (numcodecs Blosc cname='zstd')") {
     val raw = doublesRaw
     val inner = b64(DoublesB64)

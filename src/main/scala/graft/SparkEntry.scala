@@ -711,6 +711,23 @@ object SparkEntry {
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // the SAME grid written as zarr V3 (zarr-python 3's default format):
+    // one zarr.json per node, dims in dimension_names, c/-prefixed chunk
+    // keys, codec chain [bytes le, zstd] with REAL entropy-coded frames
+    // from the pure-JVM zstd encoder — read back through the same
+    // chunk-parallel scan (executor-side writes AND reads)
+    "q68_zarr_v3_roundtrip" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("x", "y", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q68_").toString + "/binned.zarr"
+      graft.sources.ZarrGrid.writeGrid2dDistributed(binned, tmp, "x", "y", Seq("z_mean"),
+        chunkRows = 3, compressor = "zstd", zarrFormat = 3)
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, colSelect = Seq("x", "y", "z_mean")))
+    }),
+
     // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
     // array file (NEP-1 format via the pure-JVM NpyLite codec — the
     // reference's legacy array store, dataloader.py:782-1007), read back
@@ -1576,6 +1593,16 @@ object SparkEntry {
 
     // same values as q54 — the blosc re-framing must be lossless
     "q58_zarr_blosc" ->
+      s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2""".stripMargin,
+
+    // same values as q54 — the v3 container + zstd codec chain must be lossless
+    "q68_zarr_v3_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
          | avg(z) AS z_mean FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,

@@ -34,6 +34,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * zarr DEFAULT (numcodecs Blosc) — via the pure-JVM [[BloscLite]] frame
   * codec (snappy frames raise naming the codec); 1-d coordinate + 2-d
   * data arrays.
+  *
+  * WRITE side emits either format: zarr v2 (`.zarray`/`.zattrs` +
+  * consolidated `.zmetadata`, the xarray default) or zarr v3
+  * (`zarr.json` per node, `dimension_names`, `c/` chunk keys, codec
+  * chain `[bytes le, gzip|zstd|blosc]`) via the `zarrFormat` knob on
+  * both the driver-side and executor-parallel grid sinks.
   */
 object ZarrGrid extends Serializable {
   implicit private val formats: Formats = DefaultFormats
@@ -778,8 +784,9 @@ object ZarrGrid extends Serializable {
     */
   def writeGrid2dDistributed(df: DataFrame, dir: String, xCol: String, yCol: String,
                              varNames: Seq[String], chunkRows: Int,
-                             compressor: String = "zlib"): Unit = {
+                             compressor: String = "zlib", zarrFormat: Int = 2): Unit = {
     require(chunkRows > 0, "chunkRows must be positive")
+    require(zarrFormat == 2 || zarrFormat == 3, s"zarrFormat $zarrFormat (2 or 3)")
     val spark = df.sparkSession
     // axes: grid-axis-sized driver work (the only driver-side data)
     val xs = df.select(xCol).distinct().collect().map(_.getDouble(0)).sorted
@@ -792,7 +799,7 @@ object ZarrGrid extends Serializable {
 
     // metadata + coordinate arrays (tiny, driver-side, via the Hadoop FS
     // API so the sink targets local paths, HDFS, or object stores alike)
-    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr, compressor)
+    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr, compressor, zarrFormat)
 
     val xIdx = xs.zipWithIndex.toMap
     val yIdx = ys.zipWithIndex.toMap
@@ -800,6 +807,7 @@ object ZarrGrid extends Serializable {
     val dirB = dir
     val vars = varNames
     val compB = compressor
+    val v3B = zarrFormat == 3
     // tasks write with the SESSION's Hadoop conf (credentials, fs.* tuning)
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -824,10 +832,11 @@ object ZarrGrid extends Serializable {
           val conf = confB.value.value
           bands.foreach { case (ci, band) =>
             vars.indices.foreach { v =>
-              val p = new org.apache.hadoop.fs.Path(s"$dirB/${vars(v)}/$ci.0")
+              val p = new org.apache.hadoop.fs.Path(
+                s"$dirB/${vars(v)}/${chunkKey(Seq(ci, 0), v3B)}")
               val fs = rawFs(p.toString, conf)
               val out = fs.create(p, true)
-              try out.write(encodeChunk(doubleLeBytes(band(v)), compB)) finally out.close()
+              try out.write(encodeChunk(doubleLeBytes(band(v)), compB, v3B)) finally out.close()
             }
           }
         }
@@ -841,16 +850,32 @@ object ZarrGrid extends Serializable {
   /** Encode one chunk under the named compressor: "zlib" (this writer's
     * historical default), "blosc" (the zarr ecosystem default — shuffled
     * blosc1-lz4 frames via BloscLite), or "zstd" (numcodecs `Zstd()` —
-    * bare RFC 8878 frames via the pure-JVM entropy encoder).
+    * bare RFC 8878 frames via the pure-JVM entropy encoder). Under zarr
+    * v3 the zlib knob maps to the spec's `gzip` codec (a full RFC-1952
+    * stream, not a bare RFC-1950 one); blosc/zstd frames are identical
+    * across formats.
     */
-  private def encodeChunk(raw: Array[Byte], compressor: String): Array[Byte] =
+  private def encodeChunk(raw: Array[Byte], compressor: String, v3: Boolean = false): Array[Byte] =
     compressor match {
-      case "zlib" => zlibBytes(raw)
+      case "zlib" => if (v3) gzipBytes(raw) else zlibBytes(raw)
       case "blosc" => BloscLite.compress(raw, typesize = 8, BloscLite.CodecLz4)
       case "zstd" => ZstdLite.compress(raw)
       case o => throw new IllegalArgumentException(
         s"writer compressor '$o' not supported (zlib/blosc/zstd)")
     }
+
+  /** Chunk key for index `idx`: v2 dotted names at the array root,
+    * v3 default chunk-key-encoding under the `c/` prefix (sep "/").
+    */
+  private def chunkKey(idx: Seq[Int], v3: Boolean): String =
+    if (v3) "c/" + idx.mkString("/") else idx.mkString(".")
+
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(o) { `def`.setLevel(5) }
+    gz.write(raw); gz.close()
+    o.toByteArray
+  }
 
   private def zlibBytes(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(5)
@@ -874,12 +899,51 @@ object ZarrGrid extends Serializable {
     */
   private def writeMeta(spark: SparkSession, dir: String, xCol: String, yCol: String,
                         varNames: Seq[String], xs: Array[Double], ys: Array[Double],
-                        cr: Int, compressor: String = "zlib"): Unit = {
+                        cr: Int, compressor: String = "zlib",
+                        zarrFormat: Int = 2): Unit = {
     val fs = fsFor(spark, dir)
     def writeFile(rel: String, bytes: Array[Byte]): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir, rel)
       val out = fs.create(p, true) // create() makes parent dirs
       try out.write(bytes) finally out.close()
+    }
+    if (zarrFormat == 3) {
+      // zarr v3 (zarr-python 3's default): one `zarr.json` per node;
+      // dims ride the array metadata itself (`dimension_names`), the
+      // codec chain is [bytes le, <compressor>]; chunks live under c/
+      val codecs = compressor match {
+        case "blosc" =>
+          """[{"name":"bytes","configuration":{"endian":"little"}},""" +
+            """{"name":"blosc","configuration":{"cname":"lz4","clevel":5,""" +
+            """"shuffle":"shuffle","typesize":8,"blocksize":0}}]"""
+        case "zstd" =>
+          """[{"name":"bytes","configuration":{"endian":"little"}},""" +
+            """{"name":"zstd","configuration":{"level":5,"checksum":false}}]"""
+        case _ =>
+          """[{"name":"bytes","configuration":{"endian":"little"}},""" +
+            """{"name":"gzip","configuration":{"level":5}}]"""
+      }
+      def arrayJson(shape: Seq[Int], chunks: Seq[Int], dims: Seq[String]): String =
+        s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
+          s""""data_type":"float64","chunk_grid":{"name":"regular",""" +
+          s""""configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
+          s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+          s""""fill_value":0.0,"codecs":$codecs,""" +
+          s""""dimension_names":[${dims.map("\"" + _ + "\"").mkString(",")}],"attributes":{}}"""
+      writeFile("zarr.json", """{"zarr_format":3,"node_type":"group","attributes":{}}""".getBytes("UTF-8"))
+      def writeCoord3(name: String, vals: Array[Double]): Unit = {
+        writeFile(s"$name/zarr.json",
+          arrayJson(Seq(vals.length), Seq(vals.length), Seq(name)).getBytes("UTF-8"))
+        writeFile(s"$name/${chunkKey(Seq(0), v3 = true)}",
+          encodeChunk(doubleLeBytes(vals), compressor, v3 = true))
+      }
+      writeCoord3(xCol, xs)
+      writeCoord3(yCol, ys)
+      varNames.foreach { v =>
+        writeFile(s"$v/zarr.json",
+          arrayJson(Seq(ys.length, xs.length), Seq(cr, xs.length), Seq(yCol, xCol)).getBytes("UTF-8"))
+      }
+      return
     }
     val compJson = compressor match {
       case "blosc" => """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
@@ -928,7 +992,8 @@ object ZarrGrid extends Serializable {
     */
   def writeGrid2d(df: DataFrame, dir: String, xCol: String, yCol: String,
                   varNames: Seq[String], chunkRows: Int = 0,
-                  compressor: String = "zlib"): Unit = {
+                  compressor: String = "zlib", zarrFormat: Int = 2): Unit = {
+    require(zarrFormat == 2 || zarrFormat == 3, s"zarrFormat $zarrFormat (2 or 3)")
     val rows = df.select((Seq(xCol, yCol) ++ varNames).map(col): _*).collect()
     val xs = rows.map(_.getDouble(0)).distinct.sorted
     val ys = rows.map(_.getDouble(1)).distinct.sorted
@@ -941,7 +1006,7 @@ object ZarrGrid extends Serializable {
     val yIdx = ys.zipWithIndex.toMap
     val cr = if (chunkRows > 0) math.min(chunkRows, ys.length) else ys.length
     val spark = df.sparkSession
-    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr, compressor)
+    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr, compressor, zarrFormat)
 
     val fs = fsFor(spark, dir)
     varNames.zipWithIndex.foreach { case (v, vi) =>
@@ -958,8 +1023,9 @@ object ZarrGrid extends Serializable {
           System.arraycopy(grid, (ci * cr + i) * xs.length, chunk, i * xs.length, xs.length)
           i += 1
         }
-        val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$v/$ci.0"), true)
-        try out.write(encodeChunk(doubleLeBytes(chunk), compressor)) finally out.close()
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dir, s"$v/${chunkKey(Seq(ci, 0), zarrFormat == 3)}"), true)
+        try out.write(encodeChunk(doubleLeBytes(chunk), compressor, zarrFormat == 3)) finally out.close()
       }
     }
   }

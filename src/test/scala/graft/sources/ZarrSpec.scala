@@ -391,6 +391,40 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       "absent inner chunk fills")
   }
 
+  test("v3 WRITE: both sinks emit zarr.json stores that roundtrip under every codec") {
+    val two = mkGrid(6.0).withColumn("w", col("z") * 0.25)
+    for (comp <- Seq("zlib", "zstd", "blosc")) {
+      val dirA = Files.createTempDirectory("zarr3w_").resolve(s"a_$comp.zarr").toString
+      val dirB = Files.createTempDirectory("zarr3w_").resolve(s"b_$comp.zarr").toString
+      ZarrGrid.writeGrid2d(two, dirA, "x", "y", Seq("z", "w"), chunkRows = 2,
+        compressor = comp, zarrFormat = 3)
+      ZarrGrid.writeGrid2dDistributed(two.repartition(5), dirB, "x", "y", Seq("z", "w"),
+        chunkRows = 2, compressor = comp, zarrFormat = 3)
+      for (dir <- Seq(dirA, dirB)) {
+        // v3 layout: zarr.json nodes, c/-prefixed chunk keys, NO v2 metadata
+        val root = new String(Files.readAllBytes(Paths.get(dir, "zarr.json")), "UTF-8")
+        assert(root.contains("\"zarr_format\":3") && root.contains("\"node_type\":\"group\""))
+        val zj = new String(Files.readAllBytes(Paths.get(dir, "z", "zarr.json")), "UTF-8")
+        assert(zj.contains("\"dimension_names\":[\"y\",\"x\"]"), zj)
+        val codecName = if (comp == "zlib") "gzip" else comp
+        assert(zj.contains(s""""name":"$codecName""""), s"$comp -> $zj")
+        assert(Files.exists(Paths.get(dir, "z", "c", "0", "0")), s"$dir chunk key")
+        assert(!Files.exists(Paths.get(dir, ".zgroup")) &&
+          !Files.exists(Paths.get(dir, "z", ".zarray")), "no v2 metadata in a v3 store")
+        val back = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w"))
+        assert(back.count() === 35, s"$dir")
+        assert(back.filter(col("w") =!= col("z") * 0.25).count() === 0, s"$dir")
+        assert(back.filter(col("x") === 30.0 && col("y") === 200.0)
+          .head().getDouble(2) === 6.0 + 2 * 7 + 3)
+      }
+      // driver and executor sinks byte-identical chunk-for-chunk
+      for (v <- Seq("z", "w"); ci <- 0 until 3)
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(Paths.get(dirA, v, "c", s"$ci", "0")),
+          Files.readAllBytes(Paths.get(dirB, v, "c", s"$ci", "0"))), s"$comp $v/c/$ci/0")
+    }
+  }
+
   test("unsupported stores raise errors naming the blocker") {
     val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))

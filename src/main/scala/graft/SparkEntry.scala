@@ -728,6 +728,23 @@ object SparkEntry {
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // 3-d (t, y, x) daily-cube roundtrip: per-date binned means written
+    // as one N-d zarr group (one chunk per t-slice per variable — the
+    // layout time-partitioned object-store archives use), read back by
+    // the rank-generic chunk-parallel scan via the .zarr dispatch
+    "q69_zarr_3d_roundtrip" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", byCols = Seq("t"), gridRes = 400000.0,
+        xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0),
+        statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("t", "y", "x", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q69_").toString + "/cube.zarr"
+      graft.sources.ZarrGrid.writeGridNdDistributed(binned, tmp, Seq("t", "y", "x"),
+        Seq("z_mean"))
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, colSelect = Seq("t", "x", "y", "z_mean")))
+    }),
+
     // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
     // array file (NEP-1 format via the pure-JVM NpyLite codec — the
     // reference's legacy array store, dataloader.py:782-1007), read back
@@ -1610,6 +1627,16 @@ object SparkEntry {
          |   FROM ($ObsSql)
          |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          | GROUP BY 1, 2""".stripMargin,
+
+    // per-date binned means — the (t, y, x) cube must be lossless
+    "q69_zarr_3d_roundtrip" ->
+      s"""SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/400000.0), 3) AS iy, t, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2, 3""".stripMargin,
 
     "q53_hdfstore_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,

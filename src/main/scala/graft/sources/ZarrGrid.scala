@@ -590,6 +590,260 @@ object ZarrGrid extends Serializable {
     }
   }
 
+  /** chunk-file name of a rank-R chunk index for this array's key encoding. */
+  private def chunkRelOfN(m: ZMeta, idx: Seq[Int]): String =
+    m.prefix + idx.mkString(m.sep)
+
+  /** Rank-R chunk index back out of a chunk path's relative name. */
+  private def parseChunkIdxN(m: ZMeta, rel: String, path: String, rank: Int): Seq[Int] = {
+    val r = if (m.prefix.nonEmpty && rel.startsWith(m.prefix)) rel.substring(m.prefix.length) else rel
+    val idx = r.split(if (m.sep == "/") "/" else "\\.").map(_.toInt).toSeq
+    require(idx.length == rank, s"$path: bad chunk name '$rel' (expected rank $rank)")
+    idx
+  }
+
+  /** Present chunk indices of a rank-R array directory — one driver
+    * listing walk (the same listing a binaryFile scan performs anyway).
+    */
+  private def presentChunksNd(spark: SparkSession, arrDir: String, m: ZMeta,
+                              rank: Int): Set[Seq[Int]] = {
+    val fs = fsFor(spark, arrDir)
+    val base = new org.apache.hadoop.fs.Path(
+      if (m.prefix.nonEmpty && m.sep == "/") s"$arrDir/c" else arrDir)
+    if (!fs.exists(base)) Set.empty
+    else if (m.sep == "/") {
+      def walk(p: org.apache.hadoop.fs.Path, acc: List[Int]): Seq[Seq[Int]] =
+        fs.listStatus(p).toSeq
+          .filter(s => !s.getPath.getName.startsWith(".") && s.getPath.getName.forall(_.isDigit))
+          .flatMap { s =>
+            val next = acc :+ s.getPath.getName.toInt
+            if (next.length == rank && s.isFile) Seq(next)
+            else if (next.length < rank && s.isDirectory) walk(s.getPath, next)
+            else Nil
+          }
+      walk(base, Nil).toSet
+    } else {
+      val prefixStr = if (m.prefix.nonEmpty) "c." else ""
+      fs.listStatus(base).map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && n.startsWith(prefixStr))
+        .flatMap { n =>
+          val parts = n.stripPrefix(prefixStr).split("\\.")
+          if (parts.length == rank && parts.forall(p => p.nonEmpty && p.forall(_.isDigit)))
+            Some(parts.map(_.toInt).toSeq)
+          else None
+        }.toSet
+    }
+  }
+
+  /** Read rank-R variables of a zarr group into long-form rows
+    * (dims..., vars...) — the xarray `to_dataframe().reset_index()`
+    * layout for N-d datasets; `(time, y, x)` daily-grid archives are the
+    * archetype. Dims are given in the arrays' own C-order
+    * (slowest-varying first). Chunk files stay the unit of parallelism
+    * exactly as in [[readGrid2d]]: aligned variables ride ONE binaryFile
+    * scan with sibling chunk reads in-task (zero shuffle); misaligned
+    * chunk grids fall back to per-variable scans equi-joined on the dim
+    * columns; absent chunk files synthesize fill_value cells.
+    */
+  def readGridNd(spark: SparkSession, dir: String, dims: Seq[String],
+                 varNames: Seq[String]): DataFrame = {
+    require(varNames.nonEmpty, "no variables requested")
+    require(dims.nonEmpty, "no dims given")
+    val rank = dims.length
+    val cons = consolidated(spark, dir)
+    val axes = dims.map(d => readArrayLocal(spark, dir, d, cons))
+    val shape = axes.map(_.length)
+    val metas = varNames.map { v =>
+      val m = arrayMeta(spark, dir, v, cons)
+      require(m.shape == shape,
+        s"$v shape ${m.shape} != $shape = (${dims.mkString(", ")})")
+      require(m.chunks.length == rank, s"$v: chunk rank ${m.chunks.length} != $rank")
+      v -> m
+    }.toMap
+    val m0 = metas(varNames.head)
+    val aligned = varNames.forall(v =>
+      metas(v).chunks == m0.chunks && metas(v).sep == m0.sep && metas(v).prefix == m0.prefix)
+
+    val axesB = axes.map(identity) // stable local capture for closures
+    val shapeB = shape.toArray
+    // odometer over one chunk's cells: chunk-local -> global indices,
+    // skipping the padded cells of edge chunks
+    def rowsOf(m: ZMeta, cidx: Seq[Int], all: Seq[Array[Double]]): Iterator[Row] = {
+      val k = m.chunks.toArray
+      val strides = new Array[Int](rank) // row-major strides within the chunk
+      var s = 1
+      var d = rank - 1
+      while (d >= 0) { strides(d) = s; s *= k(d); d -= 1 }
+      val cbase = cidx.toArray
+      Iterator.range(0, k.product).flatMap { p =>
+        val g = new Array[Int](rank)
+        var rem = p
+        var ok = true
+        var i = 0
+        while (i < rank) {
+          val ci = rem / strides(i); rem %= strides(i)
+          val gi = cbase(i) * k(i) + ci
+          if (gi >= shapeB(i)) ok = false
+          g(i) = gi
+          i += 1
+        }
+        if (!ok) None
+        else Some(Row.fromSeq(
+          (0 until rank).map(i => axesB(i)(g(i))) ++ all.map(_(p))))
+      }
+    }
+
+    if (aligned) {
+      val schema = StructType(
+        dims.map(d => StructField(d, DoubleType, nullable = false)) ++
+          varNames.map(v => StructField(v, DoubleType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val metasB = metas
+      val v0 = varNames.head; val others = varNames.tail; val dirB = dir
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      def siblingChunk(v: String, cidx: Seq[Int]): Array[Double] = {
+        val rel = chunkRelOfN(metasB(v), cidx)
+        readChunkFile(confB.value.value, s"$dirB/$v/$rel") match {
+          case Some(bytes) => decodeChunk(bytes, metasB(v), v)
+          case None => fillChunk(metasB(v), v, rel)
+        }
+      }
+      val scanned = spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(s"$dir/$v0")
+        .filter(!col("path").contains("/.") && !col("path").endsWith("zarr.json"))
+        .select(col("path"), col("content"))
+        .flatMap { r =>
+          val path = r.getString(0)
+          val rel = path.substring(path.lastIndexOf(s"/$v0/") + v0.length + 2)
+          val cidx = parseChunkIdxN(metasB(v0), rel, path, rank)
+          val all = decodeChunk(r.getAs[Array[Byte]](1), metasB(v0), v0) +:
+            others.map(v => siblingChunk(v, cidx))
+          rowsOf(metasB(v0), cidx, all)
+        }(enc)
+      val nPer = (0 until rank).map(i => (shape(i) + m0.chunks(i) - 1) / m0.chunks(i))
+      val expected = nPer.foldLeft(Seq(Seq.empty[Int])) { (acc, n) =>
+        acc.flatMap(pfx => (0 until n).map(pfx :+ _))
+      }
+      val missing = expected.filterNot(presentChunksNd(spark, s"$dir/$v0", m0, rank))
+      if (missing.isEmpty) scanned
+      else {
+        missing.foreach(c => if (m0.fill.isEmpty) fillChunk(m0, v0, chunkRelOfN(m0, c)))
+        import spark.implicits._
+        val synthesized = missing.toDS().repartition(math.min(missing.size, 32))
+          .flatMap { cidx =>
+            val all = fillChunk(metasB(v0), v0, chunkRelOfN(m0, cidx)) +:
+              others.map(v => siblingChunk(v, cidx))
+            rowsOf(metasB(v0), cidx, all)
+          }(enc)
+        scanned.unionAll(synthesized)
+      }
+    } else {
+      // fallback: per-variable chunk scans joined on the dim columns
+      def varDf(v: String): DataFrame = {
+        val m = metas(v)
+        val schema = StructType(
+          dims.map(d => StructField(d, DoubleType, nullable = false)) :+
+            StructField(v, DoubleType, nullable = false))
+        val enc = org.apache.spark.sql.Encoders.row(schema)
+        val mB = m; val vName = v
+        val scanned = spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true").load(s"$dir/$v")
+          .filter(!col("path").contains("/.") && !col("path").endsWith("zarr.json"))
+          .select(col("path"), col("content"))
+          .flatMap { r =>
+            val path = r.getString(0)
+            val rel = path.substring(path.lastIndexOf(s"/$vName/") + vName.length + 2)
+            val cidx = parseChunkIdxN(mB, rel, path, rank)
+            rowsOf(mB, cidx, Seq(decodeChunk(r.getAs[Array[Byte]](1), mB, vName)))
+          }(enc)
+        val nPer = (0 until rank).map(i => (shape(i) + m.chunks(i) - 1) / m.chunks(i))
+        val expected = nPer.foldLeft(Seq(Seq.empty[Int])) { (acc, n) =>
+          acc.flatMap(pfx => (0 until n).map(pfx :+ _))
+        }
+        val missing = expected.filterNot(presentChunksNd(spark, s"$dir/$v", m, rank))
+        if (missing.isEmpty) scanned
+        else {
+          import spark.implicits._
+          val synthesized = missing.toDS().repartition(math.min(missing.size, 32))
+            .flatMap { cidx =>
+              rowsOf(mB, cidx, Seq(fillChunk(mB, vName, chunkRelOfN(mB, cidx))))
+            }(enc)
+          scanned.unionAll(synthesized)
+        }
+      }
+      varNames.map(varDf).reduce((a, b) => a.join(b, dims))
+    }
+  }
+
+  /** Write a gridded table as one N-d zarr group with the CHUNK FILES
+    * written FROM THE EXECUTORS: dims in C-order (slowest first — for a
+    * daily cube `(t, y, x)`), chunk shape `(1, n2, ..., nR)` = one chunk
+    * per first-dim slice per variable, so a time-partitioned archive
+    * exports as embarrassingly parallel per-day writes (the layout
+    * object-store zarr archives actually use). Rows must cover the full
+    * dim lattice exactly once (validated by count, never collected).
+    */
+  def writeGridNdDistributed(df: DataFrame, dir: String, dimCols: Seq[String],
+                             varNames: Seq[String], compressor: String = "zlib",
+                             zarrFormat: Int = 2): Unit = {
+    require(dimCols.length >= 2, s"need >= 2 dims, got $dimCols")
+    require(zarrFormat == 2 || zarrFormat == 3, s"zarrFormat $zarrFormat (2 or 3)")
+    val spark = df.sparkSession
+    val rank = dimCols.length
+    // axes: dim-axis-sized driver work (the only driver-side data)
+    val axes = dimCols.map(d => df.select(d).distinct().collect().map(_.getDouble(0)).sorted)
+    val shape = axes.map(_.length)
+    val total = df.count()
+    require(total == shape.map(_.toLong).product,
+      s"rows $total != full ${shape.mkString(" x ")} lattice (duplicates or gaps)")
+    val chunks = 1 +: shape.tail
+    writeMetaNd(spark, dir, dimCols, axes, varNames, chunks, compressor, zarrFormat)
+
+    val idxMaps = axes.map(_.zipWithIndex.toMap)
+    val sliceSize = shape.tail.product
+    // row-major strides within one first-dim slice (dims 1..R-1)
+    val strides = shape.tail.scanRight(1)(_ * _).tail.toArray
+    val dirB = dir; val vars = varNames; val compB = compressor
+    val v3B = zarrFormat == 3; val rankB = rank
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val idxMapsB = idxMaps
+    df.select((dimCols ++ varNames).map(col): _*)
+      .repartition(shape.head, udfDimIdx(idxMaps.head)(col(dimCols.head)))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        // assemble the partition's slices (hash may co-locate several)
+        val slices = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+        rows.foreach { r =>
+          val i0 = idxMapsB.head(r.getDouble(0))
+          var off = 0
+          var d = 1
+          while (d < rankB) { off += idxMapsB(d)(r.getDouble(d)) * strides(d - 1); d += 1 }
+          val sl = slices.getOrElseUpdate(i0,
+            Array.fill(vars.length)(new Array[Double](sliceSize)))
+          var v = 0
+          while (v < vars.length) { sl(v)(off) = r.getDouble(rankB + v); v += 1 }
+        }
+        if (slices.nonEmpty) {
+          val conf = confB.value.value
+          slices.foreach { case (i0, sl) =>
+            vars.indices.foreach { v =>
+              val p = new org.apache.hadoop.fs.Path(
+                s"$dirB/${vars(v)}/${chunkKey(i0 +: Seq.fill(rankB - 1)(0), v3B)}")
+              val fs = rawFs(p.toString, conf)
+              val out = fs.create(p, true)
+              try out.write(encodeChunk(doubleLeBytes(sl(v)), compB, v3B)) finally out.close()
+            }
+          }
+        }
+      }
+  }
+
+  // row -> first-dim slice index (used only to co-locate a slice's rows)
+  private def udfDimIdx(idx: Map[Double, Int]) = udf((v: Double) => idx(v))
+
   /** Read a whole xarray-shaped zarr store: data variables are the 2-d
     * arrays, their dims come from `.zattrs` `_ARRAY_DIMENSIONS` (all 2-d
     * variables must share one (y, x) dim pair), coordinates are the dims'
@@ -633,15 +887,20 @@ object ZarrGrid extends Serializable {
         .extractOpt[Seq[String]].getOrElse(Seq.empty)).getOrElse(Seq.empty)
     }
     val withDims = arrays.map(a => a -> dimsOf(a)).toMap
-    val dataVars = arrays.filter(a => withDims(a).length == 2).toSeq
-    require(dataVars.nonEmpty,
-      s"$dir: no 2-d data variables with _ARRAY_DIMENSIONS/dimension_names found " +
+    // data variables = the arrays of the store's highest rank >= 2 (an
+    // xarray dataset's variables; aux 1-d arrays are the coordinates)
+    val maxRank = withDims.values.map(_.length).foldLeft(0)(math.max)
+    require(maxRank >= 2,
+      s"$dir: no data variables (rank >= 2) with _ARRAY_DIMENSIONS/dimension_names found " +
         s"(arrays: ${arrays.mkString(", ")})")
-    val dimPairs = dataVars.map(withDims).distinct
-    require(dimPairs.length == 1,
-      s"$dir: data variables disagree on dims: $dimPairs")
-    val Seq(yDim, xDim) = dimPairs.head
-    readGrid2d(spark, dir, xDim, yDim, dataVars)
+    val dataVars = arrays.filter(a => withDims(a).length == maxRank).toSeq
+    val dimSets = dataVars.map(withDims).distinct
+    require(dimSets.length == 1,
+      s"$dir: data variables disagree on dims: $dimSets")
+    if (maxRank == 2) {
+      val Seq(yDim, xDim) = dimSets.head
+      readGrid2d(spark, dir, xDim, yDim, dataVars)
+    } else readGridNd(spark, dir, dimSets.head, dataVars)
   }
 
   /** Re-encode one array's chunk files as blosc frames (the zarr-default
@@ -900,7 +1159,22 @@ object ZarrGrid extends Serializable {
   private def writeMeta(spark: SparkSession, dir: String, xCol: String, yCol: String,
                         varNames: Seq[String], xs: Array[Double], ys: Array[Double],
                         cr: Int, compressor: String = "zlib",
-                        zarrFormat: Int = 2): Unit = {
+                        zarrFormat: Int = 2): Unit =
+    writeMetaNd(spark, dir, Seq(yCol, xCol), Seq(ys, xs), varNames,
+      Seq(cr, xs.length), compressor, zarrFormat)
+
+  /** Rank-generic metadata + coordinate-array writer behind every grid
+    * sink: dims in C-order (slowest-varying first — `(t, y, x)` for the
+    * archetypal daily cube), one 1-d coordinate array per dim, each data
+    * variable shaped by the dim lengths and chunked as `varChunks`.
+    */
+  private def writeMetaNd(spark: SparkSession, dir: String, dimNames: Seq[String],
+                          dimVals: Seq[Array[Double]], varNames: Seq[String],
+                          varChunks: Seq[Int], compressor: String,
+                          zarrFormat: Int): Unit = {
+    require(dimNames.length == dimVals.length && dimNames.length == varChunks.length,
+      s"dims ${dimNames.length} / axes ${dimVals.length} / chunks ${varChunks.length} mismatch")
+    val shape = dimVals.map(_.length)
     val fs = fsFor(spark, dir)
     def writeFile(rel: String, bytes: Array[Byte]): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir, rel)
@@ -937,11 +1211,10 @@ object ZarrGrid extends Serializable {
         writeFile(s"$name/${chunkKey(Seq(0), v3 = true)}",
           encodeChunk(doubleLeBytes(vals), compressor, v3 = true))
       }
-      writeCoord3(xCol, xs)
-      writeCoord3(yCol, ys)
+      dimNames.zip(dimVals).foreach { case (n, vs) => writeCoord3(n, vs) }
       varNames.foreach { v =>
         writeFile(s"$v/zarr.json",
-          arrayJson(Seq(ys.length, xs.length), Seq(cr, xs.length), Seq(yCol, xCol)).getBytes("UTF-8"))
+          arrayJson(shape, varChunks, dimNames).getBytes("UTF-8"))
       }
       return
     }
@@ -968,11 +1241,11 @@ object ZarrGrid extends Serializable {
       writeMetaFile(s"$name/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$name"]}""")
       writeFile(s"$name/0", encodeChunk(doubleLeBytes(vals), compressor))
     }
-    writeCoord(xCol, xs)
-    writeCoord(yCol, ys)
+    dimNames.zip(dimVals).foreach { case (n, vs) => writeCoord(n, vs) }
+    val dimsJson = dimNames.map("\"" + _ + "\"").mkString(",")
     varNames.foreach { v =>
-      writeMetaFile(s"$v/.zarray", zarrayJson(Seq(ys.length, xs.length), Seq(cr, xs.length)))
-      writeMetaFile(s"$v/.zattrs", s"""{"_ARRAY_DIMENSIONS":["$yCol","$xCol"]}""")
+      writeMetaFile(s"$v/.zarray", zarrayJson(shape, varChunks))
+      writeMetaFile(s"$v/.zattrs", s"""{"_ARRAY_DIMENSIONS":[$dimsJson]}""")
     }
     // MERGE with any existing consolidated doc: appending a variable to a
     // store must not drop the entries of the arrays already there

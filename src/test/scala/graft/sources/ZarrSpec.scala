@@ -425,6 +425,81 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def mkCube(bias: Double) = {
+    import spark.implicits._
+    // (t, y, x) cube: 3 x 4 x 5 with v = bias + it*100 + iy*10 + ix
+    (for { it <- 0 until 3; iy <- 0 until 4; ix <- 0 until 5 }
+      yield (1000.0 + it, 100.0 * iy, 10.0 * ix,
+        bias + it * 100 + iy * 10 + ix)).toDF("t", "y", "x", "v")
+  }
+
+  test("N-d: 3-d (t, y, x) cube roundtrips through the distributed sink, v2 and v3") {
+    for (fmt <- Seq(2, 3)) {
+      val dir = Files.createTempDirectory("zarrNd_").resolve(s"cube$fmt.zarr").toString
+      val cube = mkCube(0.5).withColumn("w", col("v") * 2.0)
+      ZarrGrid.writeGridNdDistributed(cube.repartition(7), dir, Seq("t", "y", "x"),
+        Seq("v", "w"), compressor = if (fmt == 3) "zstd" else "zlib", zarrFormat = fmt)
+      // one chunk per (t-slice, var): chunk shape (1, 4, 5)
+      val key0 = if (fmt == 3) Paths.get(dir, "v", "c", "0", "0", "0")
+        else Paths.get(dir, "v", "0.0.0")
+      assert(Files.exists(key0), s"fmt=$fmt missing $key0")
+      val back = ZarrGrid.readGridNd(spark, dir, Seq("t", "y", "x"), Seq("v", "w"))
+      assert(back.columns.toSeq === Seq("t", "y", "x", "v", "w"))
+      assert(back.count() === 60, s"fmt=$fmt")
+      assert(back.filter(col("w") =!= col("v") * 2.0).count() === 0, s"fmt=$fmt")
+      val r = back.filter(col("t") === 1002.0 && col("y") === 300.0 && col("x") === 40.0).head()
+      assert(r.getDouble(3) === 0.5 + 234, s"fmt=$fmt")
+      // readStore discovers rank-3 vars from dimension metadata
+      val store = ZarrGrid.readStore(spark, dir)
+      assert(store.columns.sorted.toSeq === Seq("t", "v", "w", "x", "y"), s"fmt=$fmt")
+      assert(store.count() === 60, s"fmt=$fmt")
+    }
+  }
+
+  test("N-d: absent slice chunks synthesize fill_value; ConfigExpr dispatch works on cubes") {
+    val dir = Files.createTempDirectory("zarrNd_").resolve("fillcube.zarr").toString
+    ZarrGrid.writeGridNdDistributed(mkCube(1.0), dir, Seq("t", "y", "x"), Seq("v"))
+    Files.delete(Paths.get(dir, "v", "1.0.0")) // whole t=1001 slice absent -> 0.0
+    val back = ZarrGrid.readGridNd(spark, dir, Seq("t", "y", "x"), Seq("v"))
+    assert(back.count() === 60)
+    assert(back.filter(col("t") === 1001.0).agg(sum("v")).head().getDouble(0) === 0.0)
+    assert(back.filter(col("t") === 1000.0 && col("y") === 100.0 && col("x") === 20.0)
+      .head().getDouble(3) === 1.0 + 12)
+    // .zarr suffix dispatch + where + col_select over the cube
+    val via = ConfigExpr.load(spark, ConfigExpr.DataConfig(
+      source = dir, where = Seq(ConfigExpr.Where("t", ">=", 1002.0)),
+      colSelect = Seq("t", "x", "y", "v")))
+    assert(via.count() === 20)
+    assert(via.columns.toSeq === Seq("t", "x", "y", "v"))
+  }
+
+  test("N-d: misaligned chunk grids fall back to the dim-column join, same values") {
+    val dir = Files.createTempDirectory("zarrNd_").resolve("mis.zarr").toString
+    ZarrGrid.writeGridNdDistributed(mkCube(0.0), dir, Seq("t", "y", "x"), Seq("v"))
+    // second variable with a DIFFERENT chunking: whole-cube single chunk,
+    // hand-written as one v2 array
+    val cube = mkCube(0.0).orderBy("t", "y", "x").collect().map(_.getDouble(3) - 7.0)
+    val bb = java.nio.ByteBuffer.allocate(cube.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    cube.foreach(bb.putDouble)
+    val d = new java.util.zip.Deflater(5)
+    d.setInput(bb.array()); d.finish()
+    val outB = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) outB.write(tmp, 0, d.deflate(tmp))
+    Files.createDirectories(Paths.get(dir, "u"))
+    Files.write(Paths.get(dir, "u", ".zarray"),
+      ("""{"zarr_format":2,"shape":[3,4,5],"chunks":[3,4,5],"dtype":"<f8",""" +
+        """"compressor":{"id":"zlib","level":5},"fill_value":0.0,"order":"C","filters":null}""").getBytes)
+    Files.write(Paths.get(dir, "u", ".zattrs"), """{"_ARRAY_DIMENSIONS":["t","y","x"]}""".getBytes)
+    Files.write(Paths.get(dir, "u", "0.0.0"), outB.toByteArray)
+    Files.deleteIfExists(Paths.get(dir, ".zmetadata")) // hand-extended store
+    val back = ZarrGrid.readGridNd(spark, dir, Seq("t", "y", "x"), Seq("v", "u"))
+    assert(back.count() === 60)
+    assert(back.filter(col("u") =!= col("v") - 7.0).count() === 0)
+    assert(back.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("unsupported stores raise errors naming the blocker") {
     val dir = Files.createTempDirectory("zarr_").resolve("b.zarr").toString
     ZarrGrid.writeGrid2d(mkGrid(0.0), dir, "x", "y", Seq("z"))

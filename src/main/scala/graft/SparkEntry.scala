@@ -745,6 +745,23 @@ object SparkEntry {
         source = tmp, colSelect = Seq("t", "x", "y", "z_mean")))
     }),
 
+    // the SAME daily cube as a directory of per-date netCDF granules —
+    // one self-contained (t=1, y, x) CDF-1 file per date written from
+    // executors (the open_mfdataset archive layout), unioned back by the
+    // rank-generic granule scan
+    "q70_netcdf_3d_granules" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", byCols = Seq("t"), gridRes = 400000.0,
+        xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0),
+        statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("t", "y", "x", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q70_").toString
+      graft.sources.NetCdfGrid.writeGridNdDistributed(binned, tmp, Seq("t", "y", "x"),
+        Seq("z_mean"))
+      graft.sources.NetCdfGrid.readGridNd(s, s"$tmp/*.nc", Seq("t", "y", "x"), Seq("z_mean"))
+        .select("t", "x", "y", "z_mean")
+    }),
+
     // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
     // array file (NEP-1 format via the pure-JVM NpyLite codec — the
     // reference's legacy array store, dataloader.py:782-1007), read back
@@ -1630,6 +1647,16 @@ object SparkEntry {
 
     // per-date binned means — the (t, y, x) cube must be lossless
     "q69_zarr_3d_roundtrip" ->
+      s"""SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/400000.0), 3) AS iy, t, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2, 3""".stripMargin,
+
+    // same cube as q69 through the per-date granule container
+    "q70_netcdf_3d_granules" ->
       s"""SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
          | avg(z) AS z_mean FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,

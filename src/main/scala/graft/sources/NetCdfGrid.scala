@@ -73,6 +73,119 @@ object NetCdfGrid {
     }(enc)
   }
 
+  /** Read rank-R `(d1, ..., dR)` double variables from every granule
+    * matching `pathGlob` into long-form rows
+    * (source_file, dims..., vars...) — the N-d generalization of
+    * [[readGrid2d]] and the Spark analog of
+    * `xr.open_mfdataset(...).to_dataframe().reset_index()`. Each granule
+    * carries its OWN coordinate arrays (a daily-granule archive has a
+    * length-1 leading time dim per file), so the union of granule rows
+    * IS the whole cube — granule files stay the unit of parallelism,
+    * and both netCDF-3 and NetCDF-4/HDF5 containers decode in-task.
+    */
+  def readGridNd(spark: SparkSession, pathGlob: String, dims: Seq[String],
+                 varNames: Seq[String]): DataFrame = {
+    require(dims.nonEmpty && varNames.nonEmpty, "dims and varNames must be non-empty")
+    val rank = dims.length
+    val schema = StructType(
+      StructField("source_file", StringType, nullable = false) +:
+        dims.map(d => StructField(d, DoubleType, nullable = false)) ++:
+        varNames.map(v => StructField(v, DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+    files.flatMap { r =>
+      val path = r.getString(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val (readD, shapeOf): (String => Array[Double], String => Seq[Int]) =
+        if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F') {
+          val vars = Hdf5Lite.read(bytes).map(v => v.name -> v).toMap
+          def vGet(n: String) = vars.getOrElse(n, throw new IllegalArgumentException(
+            s"$path: no dataset '$n' (present: ${vars.keys.toSeq.sorted.mkString(", ")})"))
+          (n => vGet(n).asDoubles, n => vGet(n).shape)
+        } else {
+          val nc = NetCdf3.parse(bytes)
+          (n => nc.readDoubles(n), n => nc.shape(n))
+        }
+      val axes = dims.map(readD)
+      val shape = axes.map(_.length)
+      val data = varNames.map { v =>
+        require(shapeOf(v) == shape,
+          s"$path: $v shape ${shapeOf(v)} != $shape = (${dims.mkString(", ")})")
+        readD(v)
+      }
+      // row-major strides over the granule's own extent
+      val strides = new Array[Int](rank)
+      var s = 1
+      var d = rank - 1
+      while (d >= 0) { strides(d) = s; s *= shape(d); d -= 1 }
+      Iterator.range(0, shape.product).map { p =>
+        val coords = (0 until rank).map(i => axes(i)(p / strides(i) % shape(i)))
+        Row.fromSeq(path +: coords ++: data.map(_(p)))
+      }
+    }(enc)
+  }
+
+  /** Write a gridded N-d table as a DIRECTORY of classic netCDF-3
+    * granules FROM THE EXECUTORS — one granule per FIRST-dim slice (for
+    * a `(t, y, x)` cube: one file per date holding a length-1 t dim plus
+    * the full tail axes), i.e. the exact layout daily-granule archives
+    * ship in and [[readGridNd]] unions back. Dims in C-order (slowest
+    * first). Rows must cover the full lattice exactly once (validated by
+    * count, never collected).
+    */
+  def writeGridNdDistributed(df: DataFrame, dir: String, dimCols: Seq[String],
+                             valCols: Seq[String],
+                             gattrs: Map[String, String] = Map.empty): Unit = {
+    require(dimCols.length >= 2, s"need >= 2 dims, got $dimCols")
+    val spark = df.sparkSession
+    val rank = dimCols.length
+    val axes = dimCols.map(d => df.select(d).distinct().collect().map(_.getDouble(0)).sorted)
+    val shape = axes.map(_.length)
+    val total = df.count()
+    require(total == shape.map(_.toLong).product,
+      s"rows $total != full ${shape.mkString(" x ")} lattice (duplicates or gaps)")
+    val idxMaps = axes.map(_.zipWithIndex.toMap)
+    val sliceSize = shape.tail.product
+    val strides = shape.tail.scanRight(1)(_ * _).tail.toArray
+    val dirB = dir; val vars = valCols; val dimsB = dimCols
+    val axesB = axes; val gattrsB = gattrs; val rankB = rank
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val idxMapsB = idxMaps
+    val sliceOf = udf((v: Double) => idxMaps.head(v))
+    df.select((dimCols ++ valCols).map(col): _*)
+      .repartition(shape.head, sliceOf(col(dimCols.head)))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val slices = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+        rows.foreach { r =>
+          val i0 = idxMapsB.head(r.getDouble(0))
+          var off = 0
+          var d = 1
+          while (d < rankB) { off += idxMapsB(d)(r.getDouble(d)) * strides(d - 1); d += 1 }
+          val sl = slices.getOrElseUpdate(i0,
+            Array.fill(vars.length)(new Array[Double](sliceSize)))
+          var v = 0
+          while (v < vars.length) { sl(v)(off) = r.getDouble(rankB + v); v += 1 }
+        }
+        slices.foreach { case (i0, sl) =>
+          val dims = NetCdf3.NcDim(dimsB.head, 1) +:
+            dimsB.tail.zipWithIndex.map { case (n, i) => NetCdf3.NcDim(n, axesB(i + 1).length) }
+          val wvars =
+            NetCdf3.WVar(dimsB.head, Seq(dimsB.head), Array(axesB.head(i0))) +:
+              dimsB.tail.zipWithIndex.map { case (n, i) => NetCdf3.WVar(n, Seq(n), axesB(i + 1)) } ++:
+              vars.zipWithIndex.map { case (v, i) => NetCdf3.WVar(v, dimsB, sl(i)) }
+          val bytes = NetCdf3.write(dims, wvars, gattrsB)
+          val p = new org.apache.hadoop.fs.Path(dirB, f"part-$i0%05d.nc")
+          val fs = p.getFileSystem(confB.value.value)
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+  }
+
   /** Write a gridded table to ONE classic netCDF-3 file: rows must cover
     * the full (distinct xCol) x (distinct yCol) lattice. The output field
     * is grid-sized (the reference writes the final glued field this way),

@@ -153,6 +153,28 @@ class NetCdfSpec extends AnyFunSuite with SparkTestBase {
       Files.readAllBytes(Paths.get(single))), "one-band granule != driver-sink bytes")
   }
 
+  test("N-d: per-slice granule sink roundtrips a (t, y, x) cube through readGridNd") {
+    import spark.implicits._
+    val rows = for { it <- 0 until 3; iy <- 0 until 4; ix <- 0 until 5 }
+      yield (2000.0 + it, 100.0 * iy, 10.0 * ix, 0.25 + it * 100 + iy * 10 + ix)
+    val df = rows.toDF("t", "y", "x", "v").withColumn("w", org.apache.spark.sql.functions.col("v") * -1.5)
+    val dir = Files.createTempDirectory("graft_nc3_").toString
+    NetCdfGrid.writeGridNdDistributed(df.repartition(7), dir, Seq("t", "y", "x"),
+      Seq("v", "w"), Map("source" -> "graft"))
+    // one granule per t-slice, each a self-contained (t=1, y, x) dataset
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString).count(_.endsWith(".nc")) === 3)
+    val one = NetCdf3.parse(Files.readAllBytes(Paths.get(dir, "part-00001.nc")))
+    assert(one.shape("v") === Seq(1, 4, 5))
+    assert(one.readDoubles("t").toSeq === Seq(2001.0))
+    val back = NetCdfGrid.readGridNd(spark, s"$dir/*.nc", Seq("t", "y", "x"), Seq("v", "w"))
+    assert(back.columns.toSeq === Seq("source_file", "t", "y", "x", "v", "w"))
+    assert(back.count() === 60)
+    assert(back.filter(org.apache.spark.sql.functions.col("w") =!= org.apache.spark.sql.functions.col("v") * -1.5).count() === 0)
+    val got = back.select("t", "y", "x", "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === rows.toSet)
+  }
+
   test("writeGrid2d -> readGrid2d roundtrip preserves doubles bit-exactly") {
     import spark.implicits._
     val rows = for (y <- 0 until 4; x <- 0 until 3)

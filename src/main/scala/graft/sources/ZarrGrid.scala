@@ -1043,9 +1043,11 @@ object ZarrGrid extends Serializable {
     */
   def writeGrid2dDistributed(df: DataFrame, dir: String, xCol: String, yCol: String,
                              varNames: Seq[String], chunkRows: Int,
-                             compressor: String = "zlib", zarrFormat: Int = 2): Unit = {
+                             compressor: String = "zlib", zarrFormat: Int = 2,
+                             shardInnerRows: Int = 0): Unit = {
     require(chunkRows > 0, "chunkRows must be positive")
     require(zarrFormat == 2 || zarrFormat == 3, s"zarrFormat $zarrFormat (2 or 3)")
+    require(shardInnerRows == 0 || zarrFormat == 3, "sharding is a zarr v3 feature")
     val spark = df.sparkSession
     // axes: grid-axis-sized driver work (the only driver-side data)
     val xs = df.select(xCol).distinct().collect().map(_.getDouble(0)).sorted
@@ -1055,10 +1057,14 @@ object ZarrGrid extends Serializable {
       s"rows $total != full ${xs.length} x ${ys.length} lattice (duplicates or gaps)")
     val cr = math.min(chunkRows, ys.length)
     val nChunks = (ys.length + cr - 1) / cr
+    require(shardInnerRows == 0 || cr % shardInnerRows == 0,
+      s"shardInnerRows $shardInnerRows must divide chunkRows $cr")
+    val shardInner = if (shardInnerRows > 0) Seq(shardInnerRows, xs.length) else Nil
 
     // metadata + coordinate arrays (tiny, driver-side, via the Hadoop FS
     // API so the sink targets local paths, HDFS, or object stores alike)
-    writeMeta(spark, dir, xCol, yCol, varNames, xs, ys, cr, compressor, zarrFormat)
+    writeMetaNd(spark, dir, Seq(yCol, xCol), Seq(ys, xs), varNames,
+      Seq(cr, xs.length), compressor, zarrFormat, shardInner)
 
     val xIdx = xs.zipWithIndex.toMap
     val yIdx = ys.zipWithIndex.toMap
@@ -1067,6 +1073,7 @@ object ZarrGrid extends Serializable {
     val vars = varNames
     val compB = compressor
     val v3B = zarrFormat == 3
+    val shardB = shardInner
     // tasks write with the SESSION's Hadoop conf (credentials, fs.* tuning)
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -1095,7 +1102,11 @@ object ZarrGrid extends Serializable {
                 s"$dirB/${vars(v)}/${chunkKey(Seq(ci, 0), v3B)}")
               val fs = rawFs(p.toString, conf)
               val out = fs.create(p, true)
-              try out.write(encodeChunk(doubleLeBytes(band(v)), compB, v3B)) finally out.close()
+              val payload =
+                if (shardB.nonEmpty)
+                  encodeShard(doubleLeBytes(band(v)), Seq(cr, width), shardB, compB)
+                else encodeChunk(doubleLeBytes(band(v)), compB, v3B)
+              try out.write(payload) finally out.close()
             }
           }
         }
@@ -1128,6 +1139,47 @@ object ZarrGrid extends Serializable {
     */
   private def chunkKey(idx: Seq[Int], v3: Boolean): String =
     if (v3) "c/" + idx.mkString("/") else idx.mkString(".")
+
+  /** Encode one full-extent chunk as a zarr v3 `sharding_indexed` SHARD:
+    * the first dim is subdivided into `inner.head`-row inner chunks
+    * (inner tail dims must equal the chunk's — each inner chunk is then
+    * a CONTIGUOUS row band of `raw`), each coded through the inner codec
+    * chain, followed by the u64-LE (offset, nbytes) index plus its real
+    * CRC-32C (the spec's default `index_codecs`), index at the end.
+    * Object stores read the tiny index with one ranged GET and then only
+    * the inner chunks a query touches — the v3 scale feature.
+    */
+  private def encodeShard(raw: Array[Byte], chunkShape: Seq[Int], inner: Seq[Int],
+                          compressor: String): Array[Byte] = {
+    require(inner.length == chunkShape.length &&
+      inner.tail == chunkShape.tail && inner.head > 0 &&
+      chunkShape.head % inner.head == 0,
+      s"inner chunk $inner must divide the shard's first dim and match its tail $chunkShape")
+    val nI = chunkShape.head / inner.head
+    val innerBytes = inner.product * 8
+    require(raw.length == chunkShape.product * 8,
+      s"shard payload ${raw.length} != ${chunkShape.product * 8}")
+    val body = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val index = ByteBuffer.allocate(16 * nI).order(ByteOrder.LITTLE_ENDIAN)
+    var li = 0
+    while (li < nI) {
+      val enc = encodeChunk(
+        java.util.Arrays.copyOfRange(raw, li * innerBytes, (li + 1) * innerBytes),
+        compressor, v3 = true)
+      index.putLong(body.size().toLong).putLong(enc.length.toLong)
+      body.write(enc)
+      li += 1
+    }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(index.array())
+    val out = new java.io.ByteArrayOutputStream(body.size() + 16 * nI + 4)
+    body.writeTo(out)
+    out.write(index.array())
+    val crcLe = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).array()
+    out.write(crcLe)
+    out.toByteArray
+  }
 
   private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
@@ -1171,9 +1223,10 @@ object ZarrGrid extends Serializable {
   private def writeMetaNd(spark: SparkSession, dir: String, dimNames: Seq[String],
                           dimVals: Seq[Array[Double]], varNames: Seq[String],
                           varChunks: Seq[Int], compressor: String,
-                          zarrFormat: Int): Unit = {
+                          zarrFormat: Int, shardInner: Seq[Int] = Nil): Unit = {
     require(dimNames.length == dimVals.length && dimNames.length == varChunks.length,
       s"dims ${dimNames.length} / axes ${dimVals.length} / chunks ${varChunks.length} mismatch")
+    require(shardInner.isEmpty || zarrFormat == 3, "sharding is a zarr v3 feature")
     val shape = dimVals.map(_.length)
     val fs = fsFor(spark, dir)
     def writeFile(rel: String, bytes: Array[Byte]): Unit = {
@@ -1197,12 +1250,21 @@ object ZarrGrid extends Serializable {
           """[{"name":"bytes","configuration":{"endian":"little"}},""" +
             """{"name":"gzip","configuration":{"level":5}}]"""
       }
-      def arrayJson(shape: Seq[Int], chunks: Seq[Int], dims: Seq[String]): String =
+      // data variables may shard: the outer codec becomes sharding_indexed
+      // wrapping the plain chain, with the spec-default crc32c'd u64 index
+      val varCodecs =
+        if (shardInner.isEmpty) codecs
+        else s"""[{"name":"sharding_indexed","configuration":{""" +
+          s""""chunk_shape":[${shardInner.mkString(",")}],"codecs":$codecs,""" +
+          s""""index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+          s"""{"name":"crc32c"}],"index_location":"end"}}]"""
+      def arrayJson(shape: Seq[Int], chunks: Seq[Int], dims: Seq[String],
+                    codecsJson: String = codecs): String =
         s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
           s""""data_type":"float64","chunk_grid":{"name":"regular",""" +
           s""""configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
           s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
-          s""""fill_value":0.0,"codecs":$codecs,""" +
+          s""""fill_value":0.0,"codecs":$codecsJson,""" +
           s""""dimension_names":[${dims.map("\"" + _ + "\"").mkString(",")}],"attributes":{}}"""
       writeFile("zarr.json", """{"zarr_format":3,"node_type":"group","attributes":{}}""".getBytes("UTF-8"))
       def writeCoord3(name: String, vals: Array[Double]): Unit = {
@@ -1214,7 +1276,7 @@ object ZarrGrid extends Serializable {
       dimNames.zip(dimVals).foreach { case (n, vs) => writeCoord3(n, vs) }
       varNames.foreach { v =>
         writeFile(s"$v/zarr.json",
-          arrayJson(shape, varChunks, dimNames).getBytes("UTF-8"))
+          arrayJson(shape, varChunks, dimNames, varCodecs).getBytes("UTF-8"))
       }
       return
     }

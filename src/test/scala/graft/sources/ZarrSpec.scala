@@ -425,6 +425,33 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("v3 WRITE sharded: distributed sink emits real sharding_indexed shards") {
+    val two = mkGrid(6.0).withColumn("w", col("z") * 0.25)
+    val dir = Files.createTempDirectory("zarr3s_").resolve("s.zarr").toString
+    ZarrGrid.writeGrid2dDistributed(two.repartition(5), dir, "x", "y", Seq("z", "w"),
+      chunkRows = 2, compressor = "zstd", zarrFormat = 3, shardInnerRows = 1)
+    val zj = new String(Files.readAllBytes(Paths.get(dir, "z", "zarr.json")), "UTF-8")
+    assert(zj.contains("\"sharding_indexed\""), zj)
+    assert(zj.contains("\"chunk_shape\":[1,7]"), zj) // inner chunk inside the shard config
+    assert(zj.contains("\"crc32c\"") && zj.contains("\"index_location\":\"end\""), zj)
+    // shard binary structure: 2 inner chunks, u64 index at end + real crc32c
+    val shard = Files.readAllBytes(Paths.get(dir, "z", "c", "0", "0"))
+    val bb = java.nio.ByteBuffer.wrap(shard).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val idxBase = shard.length - (16 * 2 + 4)
+    val (o0, l0) = (bb.getLong(idxBase), bb.getLong(idxBase + 8))
+    val (o1, l1) = (bb.getLong(idxBase + 16), bb.getLong(idxBase + 24))
+    assert(o0 === 0L && l0 > 0L && o1 === l0 && o1 + l1 === idxBase.toLong, s"index ($o0,$l0,$o1,$l1)")
+    val crc = new java.util.zip.CRC32C()
+    crc.update(shard, idxBase, 32)
+    assert(bb.getInt(idxBase + 32) === crc.getValue.toInt, "index crc32c")
+    // roundtrip through the engine's own sharded reader
+    val back = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w"))
+    assert(back.count() === 35)
+    assert(back.filter(col("w") =!= col("z") * 0.25).count() === 0)
+    assert(back.filter(col("x") === 30.0 && col("y") === 200.0)
+      .head().getDouble(2) === 6.0 + 2 * 7 + 3)
+  }
+
   private def mkCube(bias: Double) = {
     import spark.implicits._
     // (t, y, x) cube: 3 x 4 x 5 with v = bias + it*100 + iy*10 + ix

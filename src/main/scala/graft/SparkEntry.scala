@@ -728,6 +728,30 @@ object SparkEntry {
         source = tmp, colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // windowed zarr scan: the binned grid as a SHARDED v3 store
+    // (sharding_indexed, 2-row inner chunks inside 4-row shards), read
+    // back through ConfigExpr with dim-range where triples PUSHED into
+    // the chunk window — only intersecting shard files are opened and
+    // only intersecting INNER chunks are fetched (ranged reads against
+    // the shard index); the strict > and < bounds are trimmed by the
+    // residual filter, so rows match the plain filtered read exactly
+    "q71_zarr_window" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", gridRes = 200000.0, xRange = (-800000.0, 800000.0),
+        yRange = (-800000.0, 800000.0), statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("x", "y", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q71_").toString + "/binned.zarr"
+      graft.sources.ZarrGrid.writeGrid2dDistributed(binned, tmp, "x", "y", Seq("z_mean"),
+        chunkRows = 4, compressor = "zstd", zarrFormat = 3, shardInnerRows = 2)
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp,
+        where = Seq(
+          graft.core.ConfigExpr.Where("y", ">=", -300000.0),
+          graft.core.ConfigExpr.Where("y", "<", 500000.0),
+          graft.core.ConfigExpr.Where("x", ">", -700000.0)),
+        colSelect = Seq("x", "y", "z_mean")))
+    }),
+
     // 3-d (t, y, x) daily-cube roundtrip: per-date binned means written
     // as one N-d zarr group (one chunk per t-slice per variable — the
     // layout time-partitioned object-store archives use), read back by
@@ -1644,6 +1668,19 @@ object SparkEntry {
          |   FROM ($ObsSql)
          |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          | GROUP BY 1, 2""".stripMargin,
+
+    // q54's binned grid under the sharded container, windowed: the pushed
+    // chunk window plus residual strict bounds must equal a plain WHERE
+    "q71_zarr_window" ->
+      s"""SELECT x, y, z_mean FROM (
+         | SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,
+         |  avg(z) AS z_mean FROM (
+         |    SELECT LEAST(FLOOR((x - (-800000.0))/200000.0), 7) AS ix,
+         |           LEAST(FLOOR((y - (-800000.0))/200000.0), 7) AS iy, z
+         |    FROM ($ObsSql)
+         |    WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         |  GROUP BY 1, 2)
+         | WHERE y >= -300000.0 AND y < 500000.0 AND x > -700000.0""".stripMargin,
 
     // per-date binned means — the (t, y, x) cube must be lossless
     "q69_zarr_3d_roundtrip" ->

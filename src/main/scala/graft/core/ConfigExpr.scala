@@ -31,6 +31,38 @@ object ConfigExpr {
   }
 
   /** AND (default) / OR fold (`combine_where`, dataloader.py:1172-1176). */
+  /** Closed-interval windows implied by AND-combined numeric triples, per
+    * column — the WIDENING a pruning scan may safely apply (strict </>
+    * become closed bounds; the caller's residual filter restores
+    * exactness). Non-range comps and non-numeric values contribute
+    * nothing.
+    */
+  def whereRanges(ws: Seq[Where]): Map[String, (Double, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case _ => None
+    }
+    ws.groupBy(_.col).flatMap { case (c, ts) =>
+      var lo = Double.NegativeInfinity
+      var hi = Double.PositiveInfinity
+      var any = false
+      ts.foreach { t =>
+        num(t.value).foreach { v =>
+          t.comp match {
+            case ">=" | ">" => lo = math.max(lo, v); any = true
+            case "<=" | "<" => hi = math.min(hi, v); any = true
+            case "==" => lo = math.max(lo, v); hi = math.min(hi, v); any = true
+            case _ => ()
+          }
+        }
+      }
+      if (any) Some(c -> (lo, hi)) else None
+    }
+  }
+
   def combineWhere(ws: Seq[Where], or: Boolean = false): Column =
     if (ws.isEmpty) lit(true)
     else ws.map(whereToColumn).reduce((a, b) => if (or) a || b else a && b)
@@ -289,9 +321,20 @@ object ConfigExpr {
       return df
     }
     // zarr store directory (dataloader.py:28-35 `zarr` -> xr.open_zarr):
-    // to_dataframe layout from the chunk-parallel scan
+    // to_dataframe layout from the chunk-parallel scan. Numeric range
+    // triples on DIM columns push into the scan as a chunk window (only
+    // intersecting chunk files / shard inner chunks are read) when no
+    // rename is pending; the residual filter below keeps the exact
+    // semantics (strict </> trim the closed-interval window).
     if (suffix == "zarr") {
-      var df = graft.sources.ZarrGrid.readStore(spark, cfg.source)
+      var df =
+        if (cfg.newColumnNames.isEmpty && cfg.where.nonEmpty) {
+          val dims = graft.sources.ZarrGrid.storeDims(spark, cfg.source).toSet
+          val ranges = whereRanges(cfg.where.filter(w => dims.contains(w.col)))
+          if (ranges.nonEmpty)
+            graft.sources.ZarrGrid.readStoreWindow(spark, cfg.source, ranges)
+          else graft.sources.ZarrGrid.readStore(spark, cfg.source)
+        } else graft.sources.ZarrGrid.readStore(spark, cfg.source)
       cfg.sourceColumn.foreach { c =>
         df = df.withColumn(c, regexp_extract(lit(cfg.source), "([^/]+)$", 1))
       }

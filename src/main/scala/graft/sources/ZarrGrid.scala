@@ -260,26 +260,33 @@ object ZarrGrid extends Serializable {
           s"$name: shard index entry $li (offset $off, $len bytes) outside the shard")
         val vals = decodePlain(
           java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), innerMeta, name)
-        inner.length match {
-          case 1 =>
-            val dst = li * inner.head
-            System.arraycopy(vals, 0, out, dst, math.min(inner.head, out.length - dst))
-          case 2 =>
-            val (ci, cj) = (li / nPer(1), li % nPer(1))
-            var r = 0
-            while (r < inner(0) && ci * inner(0) + r < m.chunks(0)) {
-              val cols = math.min(inner(1), m.chunks(1) - cj * inner(1))
-              System.arraycopy(vals, r * inner(1), out,
-                (ci * inner(0) + r) * m.chunks(1) + cj * inner(1), cols)
-              r += 1
-            }
-          case d => throw new IllegalArgumentException(s"$name: rank-$d shards not supported")
-        }
+        placeInner(vals, out, m.chunks, inner, nPer, li, name)
       }
       li += 1
     }
     out
   }
+
+  /** Place inner chunk `li`'s decoded values into the shard-extent output
+    * (row-major), clipping inner chunks that overhang the shard edge.
+    */
+  private def placeInner(vals: Array[Double], out: Array[Double], chunks: Seq[Int],
+                         inner: Seq[Int], nPer: Seq[Int], li: Int, name: String): Unit =
+    inner.length match {
+      case 1 =>
+        val dst = li * inner.head
+        System.arraycopy(vals, 0, out, dst, math.min(inner.head, out.length - dst))
+      case 2 =>
+        val (ci, cj) = (li / nPer(1), li % nPer(1))
+        var r = 0
+        while (r < inner(0) && ci * inner(0) + r < chunks(0)) {
+          val cols = math.min(inner(1), chunks(1) - cj * inner(1))
+          System.arraycopy(vals, r * inner(1), out,
+            (ci * inner(0) + r) * chunks(1) + cj * inner(1), cols)
+          r += 1
+        }
+      case d => throw new IllegalArgumentException(s"$name: rank-$d shards not supported")
+    }
 
   private def decodePlain(raw: Array[Byte], m: ZMeta, name: String): Array[Double] = {
     val bytes = m.comp match {
@@ -777,6 +784,246 @@ object ZarrGrid extends Serializable {
     }
   }
 
+  /** Pruning evidence for window reads: driver-side chunk planning counts
+    * plus executor-side accumulators for shard-selective ranged I/O.
+    */
+  final class WindowStats(spark: SparkSession) extends Serializable {
+    /** chunks in the full grid (driver-side plan). */
+    var chunksTotal = 0
+    /** chunks intersecting the window = files the scan touches. */
+    var chunksPlanned = 0
+    /** inner chunks materialized across all planned shards. */
+    val innerChunksRead: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("zarr.innerChunksRead")
+    /** inner chunks present across all planned shards. */
+    val innerChunksTotal: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("zarr.innerChunksTotal")
+    /** bytes fetched from chunk/shard files (indexes + payloads). */
+    val bytesRead: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("zarr.bytesRead")
+  }
+
+  /** Shard-selective read: fetch ONLY the index footer and the inner
+    * chunks whose global cells intersect the window — on an object store
+    * these are ranged GETs against one shard object, the access pattern
+    * `sharding_indexed` exists for. Returns the full-chunk-extent values
+    * (non-window cells hold fill) or None when the shard file is absent.
+    */
+  private def readShardWindow(conf: org.apache.hadoop.conf.Configuration, path: String,
+                              m: ZMeta, name: String, cidx: Seq[Int],
+                              keep: Array[Array[Boolean]], shape: Array[Int],
+                              innerRead: org.apache.spark.util.LongAccumulator,
+                              innerTotal: org.apache.spark.util.LongAccumulator,
+                              bytesAcc: org.apache.spark.util.LongAccumulator): Option[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = rawFs(path, conf)
+    if (!fs.exists(p)) return None
+    val inner = m.innerChunks
+    val rank = m.chunks.length
+    require(inner.length == rank, s"$name: inner chunk rank ${inner.length} != shard rank $rank")
+    val nPer = m.chunks.indices.map(i => (m.chunks(i) + inner(i) - 1) / inner(i))
+    val nInner = nPer.product
+    val indexLen = 16L * nInner + (if (m.indexCrc) 4 else 0)
+    val fileLen = fs.getFileStatus(p).getLen
+    require(fileLen >= indexLen, s"$name: shard of $fileLen bytes lacks its $indexLen-byte index")
+    val idxBase = if (m.indexAtEnd) fileLen - indexLen else 0L
+    // inner chunk li needed <=> every dim has a kept in-bounds global index
+    // inside li's global span
+    val strides = nPer.scanRight(1)(_ * _).tail.toArray
+    def needed(li: Int): Boolean = {
+      var rem = li
+      var d = 0
+      while (d < rank) {
+        val ii = rem / strides(d); rem %= strides(d)
+        val g0 = cidx(d) * m.chunks(d) + ii * inner(d)
+        val g1 = math.min(g0 + inner(d), math.min(cidx(d) * m.chunks(d) + m.chunks(d), shape(d)))
+        var hit = false
+        var g = g0
+        while (g < g1 && !hit) { if (keep(d)(g)) hit = true; g += 1 }
+        if (!hit) return false
+        d += 1
+      }
+      true
+    }
+    val idxBuf = new Array[Byte](16 * nInner)
+    val in = fs.open(p)
+    try {
+      in.readFully(idxBase, idxBuf, 0, 16 * nInner)
+      bytesAcc.add(indexLen)
+      val bb = ByteBuffer.wrap(idxBuf).order(ByteOrder.LITTLE_ENDIAN)
+      val innerMeta = m.copy(chunks = inner, comp = m.innerComp, innerChunks = Nil)
+      val out = new Array[Double](m.chunks.product)
+      m.fill.foreach(f => java.util.Arrays.fill(out, f))
+      var li = 0
+      while (li < nInner) {
+        val off = bb.getLong(li * 16)
+        val len = bb.getLong(li * 16 + 8)
+        if (!(off == -1L && len == -1L)) innerTotal.add(1L)
+        if (needed(li)) {
+          if (off == -1L && len == -1L) {
+            require(m.fill.nonEmpty, s"$name: absent inner chunk $li with no fill_value")
+          } else {
+            require(off >= 0 && len >= 0 && off + len <= fileLen,
+              s"$name: shard index entry $li (offset $off, $len bytes) outside the shard")
+            val buf = new Array[Byte](len.toInt)
+            in.readFully(off, buf, 0, len.toInt)
+            bytesAcc.add(len)
+            innerRead.add(1L)
+            placeInner(decodePlain(buf, innerMeta, name), out, m.chunks, inner, nPer, li, name)
+          }
+        }
+        li += 1
+      }
+      Some(out)
+    } finally in.close()
+  }
+
+  /** [[readGridNd]] with a coordinate WINDOW pushed into the scan — the
+    * zarr analog of parquet partition pruning: only chunk files whose
+    * coordinate spans intersect `ranges` (closed intervals keyed by dim
+    * name) enter the job at all, and `sharding_indexed` chunks fetch only
+    * the index footer plus the intersecting INNER chunks via ranged reads.
+    * Returns exactly the in-window rows (identical to
+    * `readGridNd(...).filter(lo <= dim && dim <= hi ...)`). Misaligned
+    * variable chunk grids fall back to the full scan + filter (no pruning,
+    * same rows). Pass `stats` to observe the pruning.
+    */
+  def readGridNdWindow(spark: SparkSession, dir: String, dims: Seq[String],
+                       varNames: Seq[String], ranges: Map[String, (Double, Double)],
+                       stats: WindowStats = null): DataFrame = {
+    require(varNames.nonEmpty, "no variables requested")
+    require(dims.nonEmpty, "no dims given")
+    val unknown = ranges.keySet -- dims.toSet
+    require(unknown.isEmpty, s"window ranges on non-dim columns: ${unknown.mkString(", ")}")
+    val rank = dims.length
+    val cons = consolidated(spark, dir)
+    val axes = dims.map(d => readArrayLocal(spark, dir, d, cons))
+    val shape = axes.map(_.length)
+    val metas = varNames.map { v =>
+      val m = arrayMeta(spark, dir, v, cons)
+      require(m.shape == shape, s"$v shape ${m.shape} != $shape = (${dims.mkString(", ")})")
+      require(m.chunks.length == rank, s"$v: chunk rank ${m.chunks.length} != $rank")
+      v -> m
+    }.toMap
+    val m0 = metas(varNames.head)
+    val aligned = varNames.forall(v =>
+      metas(v).chunks == m0.chunks && metas(v).sep == m0.sep && metas(v).prefix == m0.prefix)
+    if (!aligned) {
+      // no shared chunk grid to prune against: correct-but-unpruned path
+      var df = readGridNd(spark, dir, dims, varNames)
+      ranges.foreach { case (d, (lo, hi)) => df = df.filter(col(d) >= lo && col(d) <= hi) }
+      return df
+    }
+    val keep: Array[Array[Boolean]] = dims.indices.map { i =>
+      ranges.get(dims(i)) match {
+        case Some((lo, hi)) => axes(i).map(v => v >= lo && v <= hi)
+        case None => Array.fill(axes(i).length)(true)
+      }
+    }.toArray
+    val nPer = shape.indices.map(i => (shape(i) + m0.chunks(i) - 1) / m0.chunks(i))
+    // per dim: which chunk indices contain at least one kept coordinate
+    val chunkKeep: Seq[Array[Boolean]] = shape.indices.map { i =>
+      val ck = new Array[Boolean](nPer(i))
+      var g = 0
+      while (g < shape(i)) { if (keep(i)(g)) ck(g / m0.chunks(i)) = true; g += 1 }
+      ck
+    }
+    var needed: Seq[Seq[Int]] = Seq(Seq.empty)
+    chunkKeep.foreach { ck =>
+      needed = needed.flatMap(prefix => ck.indices.collect { case ci if ck(ci) => prefix :+ ci })
+    }
+    if (stats != null) {
+      stats.chunksTotal = nPer.product
+      stats.chunksPlanned = needed.size
+    }
+    val schema = StructType(
+      dims.map(d => StructField(d, DoubleType, nullable = false)) ++
+        varNames.map(v => StructField(v, DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val axesB = axes; val shapeB = shape.toArray; val keepB = keep
+    val metasB = metas; val dirB = dir; val varsB = varNames
+    val innerRead = if (stats != null) stats.innerChunksRead
+      else spark.sparkContext.longAccumulator("zarr.innerChunksRead")
+    val innerTotal = if (stats != null) stats.innerChunksTotal
+      else spark.sparkContext.longAccumulator("zarr.innerChunksTotal")
+    val bytesAcc = if (stats != null) stats.bytesRead
+      else spark.sparkContext.longAccumulator("zarr.bytesRead")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    import spark.implicits._
+    val neededDs = needed.map(_.toArray).toDS()
+      .repartition(math.min(math.max(needed.size, 1), 32))
+    neededDs.flatMap { cidxArr =>
+      val cidx = cidxArr.toSeq
+      val conf = confB.value.value
+      def chunkOf(v: String): Array[Double] = {
+        val m = metasB(v)
+        val path = s"$dirB/$v/${chunkRelOfN(m, cidx)}"
+        val got =
+          if (m.innerChunks.nonEmpty)
+            readShardWindow(conf, path, m, v, cidx, keepB, shapeB,
+              innerRead, innerTotal, bytesAcc)
+          else readChunkFile(conf, path).map { bytes =>
+            bytesAcc.add(bytes.length.toLong); decodeChunk(bytes, m, v)
+          }
+        got.getOrElse(fillChunk(m, v, chunkRelOfN(m, cidx)))
+      }
+      val all = varsB.map(chunkOf)
+      val m = metasB(varsB.head)
+      val k = m.chunks.toArray
+      val strides = new Array[Int](k.length)
+      var s = 1
+      var d = k.length - 1
+      while (d >= 0) { strides(d) = s; s *= k(d); d -= 1 }
+      Iterator.range(0, k.product).flatMap { pidx =>
+        val g = new Array[Int](k.length)
+        var rem = pidx
+        var ok = true
+        var i = 0
+        while (i < k.length) {
+          val ci = rem / strides(i); rem %= strides(i)
+          val gi = cidx(i) * k(i) + ci
+          if (gi >= shapeB(i) || !keepB(i)(gi)) ok = false
+          g(i) = gi
+          i += 1
+        }
+        if (!ok) None
+        else Some(Row.fromSeq(
+          (0 until k.length).map(i => axesB(i)(g(i))) ++ all.map(_(pidx))))
+      }
+    }(enc)
+  }
+
+  /** [[readGrid2d]] with an (x, y) window pushed into the scan; column
+    * order matches readGrid2d (xDim, yDim, vars...).
+    */
+  def readGrid2dWindow(spark: SparkSession, dir: String, xDim: String, yDim: String,
+                       varNames: Seq[String],
+                       xRange: Option[(Double, Double)] = None,
+                       yRange: Option[(Double, Double)] = None,
+                       stats: WindowStats = null): DataFrame = {
+    val ranges = Seq(xDim -> xRange, yDim -> yRange)
+      .collect { case (d, Some(r)) => d -> r }.toMap
+    readGridNdWindow(spark, dir, Seq(yDim, xDim), varNames, ranges, stats)
+      .select((Seq(xDim, yDim) ++ varNames).map(col): _*)
+  }
+
+  /** [[readStore]] with a coordinate window: same array/dim discovery,
+    * pruned scan. Range keys not naming a store dim raise (the caller's
+    * predicate would silently not prune otherwise).
+    */
+  def readStoreWindow(spark: SparkSession, dir: String,
+                      ranges: Map[String, (Double, Double)],
+                      stats: WindowStats = null): DataFrame = {
+    val (dims, dataVars) = storeLayout(spark, dir)
+    val df = readGridNdWindow(spark, dir, dims, dataVars, ranges, stats)
+    // match readStore's 2-d column order (xDim, yDim, vars...)
+    if (dims.length == 2)
+      df.select((Seq(dims(1), dims(0)) ++ dataVars).map(col): _*)
+    else df
+  }
+
   /** Write a gridded table as one N-d zarr group with the CHUNK FILES
     * written FROM THE EXECUTORS: dims in C-order (slowest first — for a
     * daily cube `(t, y, x)`), chunk shape `(1, n2, ..., nR)` = one chunk
@@ -851,6 +1098,23 @@ object ZarrGrid extends Serializable {
     * target — `xr.open_zarr(...).to_dataframe().reset_index()`.
     */
   def readStore(spark: SparkSession, dir: String): DataFrame = {
+    val (dims, dataVars) = storeLayout(spark, dir)
+    if (dims.length == 2) {
+      val Seq(yDim, xDim) = dims
+      readGrid2d(spark, dir, xDim, yDim, dataVars)
+    } else readGridNd(spark, dir, dims, dataVars)
+  }
+
+  /** The store's dim names in C-order (one consolidated-metadata read on
+    * consolidated stores) — lets callers decide which predicate columns
+    * are window-pushable before reading anything.
+    */
+  def storeDims(spark: SparkSession, dir: String): Seq[String] = storeLayout(spark, dir)._1
+
+  /** Array/dim discovery shared by [[readStore]] and [[readStoreWindow]]:
+    * (dims in C-order, data variable names).
+    */
+  private def storeLayout(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
     val fs = fsFor(spark, dir)
     val cons = consolidated(spark, dir)
     // array discovery: ONE .zmetadata read when consolidated (no listing,
@@ -897,10 +1161,7 @@ object ZarrGrid extends Serializable {
     val dimSets = dataVars.map(withDims).distinct
     require(dimSets.length == 1,
       s"$dir: data variables disagree on dims: $dimSets")
-    if (maxRank == 2) {
-      val Seq(yDim, xDim) = dimSets.head
-      readGrid2d(spark, dir, xDim, yDim, dataVars)
-    } else readGridNd(spark, dir, dimSets.head, dataVars)
+    (dimSets.head, dataVars)
   }
 
   /** Re-encode one array's chunk files as blosc frames (the zarr-default

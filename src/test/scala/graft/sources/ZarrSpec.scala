@@ -452,6 +452,64 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       .head().getDouble(2) === 6.0 + 2 * 7 + 3)
   }
 
+  test("windowed read prunes whole chunk files and matches the filtered full read") {
+    val base = mkGrid(1.0).withColumn("w", col("z") * 2.0)
+    val dir = Files.createTempDirectory("zarrw_").resolve("p.zarr").toString
+    ZarrGrid.writeGrid2dDistributed(base, dir, "x", "y", Seq("z", "w"), chunkRows = 2)
+    val stats = new ZarrGrid.WindowStats(spark)
+    val got = ZarrGrid.readGrid2dWindow(spark, dir, "x", "y", Seq("z", "w"),
+      xRange = Some((10.0, 40.0)), yRange = Some((100.0, 199.0)), stats = stats)
+    val want = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w"))
+      .filter(col("x") >= 10.0 && col("x") <= 40.0 && col("y") >= 100.0 && col("y") <= 199.0)
+    assert(got.columns.toSeq === want.columns.toSeq)
+    assert(got.collect().toSet === want.collect().toSet)
+    // y in [100, 199] hits only rows {1} -> 1 of the 3 row-band chunks
+    assert(stats.chunksTotal === 3 && stats.chunksPlanned === 1,
+      s"planned ${stats.chunksPlanned}/${stats.chunksTotal}")
+  }
+
+  test("windowed read on a SHARDED store fetches only intersecting inner chunks") {
+    val base = mkGrid(2.0).withColumn("w", col("z") * 0.5)
+    val dir = Files.createTempDirectory("zarrw_").resolve("s.zarr").toString
+    ZarrGrid.writeGrid2dDistributed(base, dir, "x", "y", Seq("z", "w"),
+      chunkRows = 2, compressor = "zstd", zarrFormat = 3, shardInnerRows = 1)
+    val stats = new ZarrGrid.WindowStats(spark)
+    // y == 200.0 -> global row 2 = shard chunk 1, inner chunk 0 of 2
+    val got = ZarrGrid.readGrid2dWindow(spark, dir, "x", "y", Seq("z", "w"),
+      yRange = Some((200.0, 200.0)), stats = stats)
+    val want = ZarrGrid.readGrid2d(spark, dir, "x", "y", Seq("z", "w"))
+      .filter(col("y") === 200.0)
+    assert(got.collect().toSet === want.collect().toSet)
+    assert(stats.chunksPlanned === 1 && stats.chunksTotal === 3)
+    // 2 vars x 1 needed inner chunk, of 2 vars x 2 present inner chunks
+    assert(stats.innerChunksRead.value === 2L, s"inner read ${stats.innerChunksRead.value}")
+    assert(stats.innerChunksTotal.value === 4L, s"inner total ${stats.innerChunksTotal.value}")
+    // ranged reads fetch strictly less than the planned shard files
+    val shardBytes = Seq("z", "w").map(v =>
+      Files.size(Paths.get(dir, v, "c", "1", "0"))).sum
+    assert(stats.bytesRead.value < shardBytes,
+      s"bytes ${stats.bytesRead.value} vs full shards $shardBytes")
+  }
+
+  test("ConfigExpr pushes dim-range where triples into the zarr chunk window") {
+    import graft.core.ConfigExpr
+    val dir = Files.createTempDirectory("zarrw_").resolve("c.zarr").toString
+    ZarrGrid.writeGrid2dDistributed(mkGrid(3.0), dir, "x", "y", Seq("z"), chunkRows = 2)
+    // strict > on a dim (window widens, residual trims) + a non-dim triple
+    val cfg = ConfigExpr.DataConfig(source = dir, where = Seq(
+      ConfigExpr.Where("y", ">", 100.0), ConfigExpr.Where("y", "<=", 300.0),
+      ConfigExpr.Where("z", ">=", 10.0)))
+    val got = ConfigExpr.load(spark, cfg)
+    val want = ZarrGrid.readStore(spark, dir)
+      .filter(col("y") > 100.0 && col("y") <= 300.0 && col("z") >= 10.0)
+    assert(got.columns.toSeq === want.columns.toSeq)
+    assert(got.collect().toSet === want.collect().toSet)
+    // the same window measured directly: rows 2-3 -> shard chunks 1 (+2 for row 3)
+    val stats = new ZarrGrid.WindowStats(spark)
+    ZarrGrid.readStoreWindow(spark, dir, Map("y" -> (100.0, 300.0)), stats).count()
+    assert(stats.chunksPlanned === 2 && stats.chunksTotal === 3)
+  }
+
   private def mkCube(bias: Double) = {
     import spark.implicits._
     // (t, y, x) cube: 3 x 4 x 5 with v = bias + it*100 + iy*10 + ix

@@ -752,6 +752,26 @@ object SparkEntry {
         colSelect = Seq("x", "y", "z_mean")))
     }),
 
+    // snapshot time travel (the Iceberg VERSION AS OF analog): three
+    // appends into the result-store catalog — event_id % 3 = 0, 1, 2 —
+    // then a read AS OF the second snapshot, reconstructed from the
+    // per-snapshot FILE MANIFESTS in _snapshots.jsonl (names + sizes +
+    // parquet-footer row counts); rows = the first two batches exactly
+    "q72_store_timetravel" -> ((s, dir) => {
+      val ev = pq(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .filter(col("event_id") < 3000)
+      val root = java.nio.file.Files.createTempDirectory("graft_q72_").toString
+      val store = new graft.io.ResultStore(s, root)
+      store.append("ev", ev.filter(col("event_id") % 3 === 0),
+        Map("batch" -> "0"))
+      val sid = store.append("ev", ev.filter(col("event_id") % 3 === 1),
+        Map("batch" -> "1"))
+      store.append("ev", ev.filter(col("event_id") % 3 === 2),
+        Map("batch" -> "2"))
+      store.tableAsOf("ev", sid).select("event_id", "user_id", "value")
+    }),
+
     // 3-d (t, y, x) daily-cube roundtrip: per-date binned means written
     // as one N-d zarr group (one chunk per t-slice per variable — the
     // layout time-partitioned object-store archives use), read back by
@@ -1681,6 +1701,11 @@ object SparkEntry {
          |    WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          |  GROUP BY 1, 2)
          | WHERE y >= -300000.0 AND y < 500000.0 AND x > -700000.0""".stripMargin,
+
+    // the second snapshot's state = the first two appended batches
+    "q72_store_timetravel" ->
+      """SELECT event_id, user_id, value FROM events
+        | WHERE event_id < 3000 AND event_id % 3 IN (0, 1)""".stripMargin,
 
     // per-date binned means — the (t, y, x) cube must be lossless
     "q69_zarr_3d_roundtrip" ->

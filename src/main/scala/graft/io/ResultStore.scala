@@ -2,7 +2,10 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
 
 /** Result-table catalog with snapshot-append semantics — the engine's
   * checkpoint store (reference: one HDF5 file of named tables with buffered
@@ -24,28 +27,156 @@ final class ResultStore(spark: SparkSession, root: String) {
 
   def table(name: String): DataFrame = spark.read.parquet(path(name))
 
-  private def logSnapshot(name: String, t0: Long, runInfo: Map[String, String]): Unit = {
-    val info = (runInfo ++ Map(
+  /** One data file of a snapshot's manifest: name relative to the table
+    * dir, size, and the parquet footer's row count (read driver-side from
+    * metadata only — no Spark job, the Iceberg-manifest analog of
+    * per-file record counts).
+    */
+  final case class ManifestFile(name: String, bytes: Long, rows: Long)
+
+  /** One line of `_snapshots.jsonl`: a committed snapshot with its file
+    * manifest (`files` = the data files THIS snapshot added) and run-info.
+    */
+  final case class Snapshot(id: Long, table: String, mode: String, tsMs: Long,
+                            wallMs: Long, files: Seq[ManifestFile],
+                            info: Map[String, String])
+
+  private def dataFiles(name: String): Set[String] = {
+    val d = Paths.get(path(name))
+    if (!Files.exists(d)) Set.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(f => f.endsWith(".parquet") && !f.startsWith(".") && !f.startsWith("_"))
+        .toSet
+      finally s.close()
+    }
+  }
+
+  private def footerRows(file: java.nio.file.Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** All committed snapshots, oldest first (empty log = none). Lines
+    * predating file manifests parse with an empty `files` list.
+    */
+  def snapshots(): Seq[Snapshot] = {
+    val log = Paths.get(root, "_snapshots.jsonl")
+    if (!Files.exists(log)) return Seq.empty
+    implicit val fmts: Formats = DefaultFormats
+    Files.readAllLines(log).asScala.toSeq.filter(_.nonEmpty).zipWithIndex.map {
+      case (line, i) =>
+        val j = JsonMethods.parse(line)
+        val known = Set("snapshot_id", "table", "mode", "ts_ms", "wall_ms", "files")
+        val info = j match {
+          case JObject(fs) => fs.collect {
+            case (k, JString(v)) if !known.contains(k) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Snapshot(
+          id = (j \ "snapshot_id").extractOpt[String].map(_.toLong).getOrElse(i.toLong),
+          table = (j \ "table").extract[String],
+          mode = (j \ "mode").extractOpt[String].getOrElse("append"),
+          tsMs = (j \ "ts_ms").extract[String].toLong,
+          wallMs = (j \ "wall_ms").extract[String].toLong,
+          files = (j \ "files") match {
+            case JArray(fs) => fs.map { f =>
+              ManifestFile((f \ "name").extract[String],
+                (f \ "bytes").extract[Long], (f \ "rows").extract[Long])
+            }
+            case _ => Nil
+          },
+          info = info)
+    }
+  }
+
+  private def logSnapshot(name: String, mode: String, t0: Long,
+                          files: Seq[ManifestFile],
+                          runInfo: Map[String, String]): Long = {
+    val id = snapshots().lastOption.map(_.id + 1).getOrElse(0L)
+    val kv = (runInfo ++ Map(
+      "snapshot_id" -> id.toString,
       "table" -> name,
+      "mode" -> mode,
       "ts_ms" -> t0.toString,
       "wall_ms" -> (System.currentTimeMillis() - t0).toString)).map {
       case (k, v) => s""""$k":"${v.replace("\"", "'")}""""
-    }.mkString("{", ",", "}")
-    Files.write(Paths.get(root, "_snapshots.jsonl"), (info + "\n").getBytes,
+    }.mkString(",")
+    val manifest = files.map(f =>
+      s"""{"name":"${f.name}","bytes":${f.bytes},"rows":${f.rows}}""").mkString("[", ",", "]")
+    Files.write(Paths.get(root, "_snapshots.jsonl"),
+      (s"""{$kv,"files":$manifest}""" + "\n").getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    id
   }
 
-  /** Append a batch (one Iceberg-snapshot analog) with lineage metadata. */
-  def append(name: String, df: DataFrame, runInfo: Map[String, String] = Map.empty): Unit = {
+  private def manifestOf(name: String, added: Set[String]): Seq[ManifestFile] =
+    added.toSeq.sorted.map { f =>
+      val p = Paths.get(path(name), f)
+      ManifestFile(f, Files.size(p), footerRows(p))
+    }
+
+  /** Append a batch (one Iceberg-snapshot analog) with lineage metadata;
+    * the committed snapshot records the ADDED parquet files with their
+    * sizes and footer row counts. Returns the snapshot id.
+    */
+  def append(name: String, df: DataFrame, runInfo: Map[String, String] = Map.empty): Long = {
     val t0 = System.currentTimeMillis()
+    val before = dataFiles(name)
     df.write.mode(SaveMode.Append).parquet(path(name))
-    logSnapshot(name, t0, runInfo)
+    logSnapshot(name, "append", t0, manifestOf(name, dataFiles(name) -- before), runInfo)
   }
 
-  def overwrite(name: String, df: DataFrame, runInfo: Map[String, String] = Map.empty): Unit = {
+  def overwrite(name: String, df: DataFrame, runInfo: Map[String, String] = Map.empty): Long = {
     val t0 = System.currentTimeMillis()
     df.write.mode(SaveMode.Overwrite).parquet(path(name))
-    logSnapshot(name, t0, runInfo + ("mode" -> "overwrite"))
+    logSnapshot(name, "overwrite", t0, manifestOf(name, dataFiles(name)), runInfo)
+  }
+
+  /** The table's valid data-file set as of snapshot `id` (manifest
+    * replay: overwrite resets, append accumulates), with the snapshots
+    * that contributed it.
+    */
+  private def filesAsOf(name: String, id: Long): Seq[String] = {
+    val mine = snapshots().filter(s => s.table == name && s.id <= id && s.mode != "rollback")
+    require(mine.nonEmpty, s"$name: no snapshot with id <= $id")
+    require(mine.forall(s => s.files.nonEmpty || s.mode == "rollback"),
+      s"$name: snapshots predate file manifests — time travel needs manifested snapshots")
+    mine.foldLeft(Seq.empty[String]) { (acc, s) =>
+      val names = s.files.map(f => f.name)
+      if (s.mode == "overwrite") names else acc ++ names
+    }
+  }
+
+  /** Time travel (the Iceberg `VERSION AS OF` analog): read the table as
+    * of snapshot `id`. Raises loudly when a required data file no longer
+    * exists (expired by a later overwrite/rollback — exactly Iceberg's
+    * expired-snapshot failure mode).
+    */
+  def tableAsOf(name: String, id: Long): DataFrame = {
+    val files = filesAsOf(name, id)
+    val missing = files.filterNot(f => Files.exists(Paths.get(path(name), f)))
+    require(missing.isEmpty,
+      s"$name@$id: data files expired by a later overwrite/rollback: ${missing.mkString(", ")}")
+    spark.read.parquet(files.map(f => s"${path(name)}/$f"): _*)
+  }
+
+  /** Roll the table back to snapshot `id`: data files added after it are
+    * DELETED and a `rollback` snapshot records the restored state, so a
+    * plain `table(name)` read equals `tableAsOf(name, id)`.
+    */
+  def rollback(name: String, id: Long): Long = {
+    val t0 = System.currentTimeMillis()
+    val keepSet = filesAsOf(name, id).toSet
+    val drop = dataFiles(name) -- keepSet
+    drop.foreach(f => Files.delete(Paths.get(path(name), f)))
+    logSnapshot(name, "rollback", t0, Nil,
+      Map("rolled_back_to" -> id.toString, "deleted_files" -> drop.size.toString))
   }
 
   /** Results reader (reference `get_results_from_h5file`,

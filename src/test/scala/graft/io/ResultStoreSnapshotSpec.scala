@@ -1,0 +1,74 @@
+package graft.io
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot manifests, time travel, and rollback — the Iceberg-analog
+  * semantics of the parquet + `_snapshots.jsonl` store.
+  */
+class ResultStoreSnapshotSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("store_snap_").toString
+
+  test("append snapshots carry file manifests with footer row counts") {
+    import spark.implicits._
+    val store = new ResultStore(spark, tmp())
+    val s0 = store.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s1 = store.append("t", Seq((3L, "c")).toDF("id", "v"))
+    assert(s0 === 0L && s1 === 1L)
+    val snaps = store.snapshots()
+    assert(snaps.map(_.id) === Seq(0L, 1L))
+    assert(snaps.forall(_.table == "t"))
+    assert(snaps(0).files.nonEmpty && snaps(1).files.nonEmpty)
+    // per-file rows come from parquet footers; sum = batch row count
+    assert(snaps(0).files.map(_.rows).sum === 2L)
+    assert(snaps(1).files.map(_.rows).sum === 1L)
+    assert(snaps.flatMap(_.files).forall(_.bytes > 0L))
+    // manifests are disjoint: each snapshot records only ITS files
+    val names0 = snaps(0).files.map(_.name).toSet
+    assert(snaps(1).files.map(_.name).forall(!names0.contains(_)))
+  }
+
+  test("tableAsOf reads the table as of each snapshot (VERSION AS OF analog)") {
+    import spark.implicits._
+    val store = new ResultStore(spark, tmp())
+    val s0 = store.append("t", Seq((1L, "a")).toDF("id", "v"))
+    val s1 = store.append("t", Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    val s2 = store.append("t", Seq((4L, "d")).toDF("id", "v"))
+    assert(store.tableAsOf("t", s0).collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(store.tableAsOf("t", s1).collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(store.tableAsOf("t", s2).collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+    // current read == latest snapshot
+    assert(store.table("t").count() === 4L)
+  }
+
+  test("overwrite resets the manifest chain; older snapshots expire loudly") {
+    import spark.implicits._
+    val store = new ResultStore(spark, tmp())
+    val s0 = store.append("t", Seq((1L, "a")).toDF("id", "v"))
+    val s1 = store.overwrite("t", Seq((9L, "z")).toDF("id", "v"))
+    assert(store.tableAsOf("t", s1).collect().map(_.getLong(0)).toSet === Set(9L))
+    // the overwrite physically removed snapshot 0's files — Iceberg's
+    // expired-snapshot failure mode, raised loudly rather than mis-read
+    val e = intercept[IllegalArgumentException](store.tableAsOf("t", s0).collect())
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("rollback deletes newer files so a plain read equals the target snapshot") {
+    import spark.implicits._
+    val store = new ResultStore(spark, tmp())
+    val s0 = store.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.append("t", Seq((3L, "c")).toDF("id", "v"))
+    store.append("t", Seq((4L, "d")).toDF("id", "v"))
+    assert(store.table("t").count() === 4L)
+    store.rollback("t", s0)
+    assert(store.table("t").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(store.tableAsOf("t", s0).collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    val rb = store.snapshots().last
+    assert(rb.mode === "rollback" && rb.info("rolled_back_to") === s0.toString)
+    // snapshots per table interleave safely: another table is untouched
+    store.append("u", Seq((7L, "x")).toDF("id", "v"))
+    assert(store.table("u").count() === 1L)
+  }
+}

@@ -806,6 +806,25 @@ object SparkEntry {
         .select("t", "x", "y", "z_mean")
     }),
 
+    // windowed granule scan: the q70 daily-granule archive read with a
+    // 3-of-9-day time window PUSHED to the granule level — tasks fetch
+    // each classic-CDF granule's header + coordinate axes via ranged
+    // reads and skip the data payload of out-of-window days entirely
+    // (the open_mfdataset analog of partition pruning)
+    "q73_netcdf_window" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", byCols = Seq("t"), gridRes = 400000.0,
+        xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0),
+        statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("t", "y", "x", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q73_").toString
+      graft.sources.NetCdfGrid.writeGridNdDistributed(binned, tmp, Seq("t", "y", "x"),
+        Seq("z_mean"))
+      graft.sources.NetCdfGrid.readGridNdWindow(s, s"$tmp/*.nc", Seq("t", "y", "x"),
+        Seq("z_mean"), Map("t" -> (18324.0, 18326.0)))
+        .select("t", "x", "y", "z_mean")
+    }),
+
     // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
     // array file (NEP-1 format via the pure-JVM NpyLite codec — the
     // reference's legacy array store, dataloader.py:782-1007), read back
@@ -1726,6 +1745,18 @@ object SparkEntry {
          |   FROM ($ObsSql)
          |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          | GROUP BY 1, 2, 3""".stripMargin,
+
+    // q70's cube restricted to the pushed 3-day window
+    "q73_netcdf_window" ->
+      s"""SELECT t, x, y, z_mean FROM (
+         | SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
+         |  avg(z) AS z_mean FROM (
+         |    SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,
+         |           LEAST(FLOOR((y - (-800000.0))/400000.0), 3) AS iy, t, z
+         |    FROM ($ObsSql)
+         |    WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         |  GROUP BY 1, 2, 3)
+         | WHERE t >= 18324.0 AND t <= 18326.0""".stripMargin,
 
     "q53_hdfstore_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,

@@ -31,19 +31,27 @@ object NetCdf3 {
     def readDoubles(name: String): Array[Double] = {
       val v = variable(name)
       val n = shape(name).foldLeft(1L)(_ * _).toInt
-      val buf = ByteBuffer.wrap(bytes, v.begin.toInt, v.vsize.toInt).order(ByteOrder.BIG_ENDIAN)
-      val out = new Array[Double](n)
-      var i = 0
-      v.ncType match {
-        case 1 => while (i < n) { out(i) = buf.get().toDouble; i += 1 }
-        case 3 => while (i < n) { out(i) = buf.getShort().toDouble; i += 1 }
-        case 4 => while (i < n) { out(i) = buf.getInt().toDouble; i += 1 }
-        case 5 => while (i < n) { out(i) = buf.getFloat().toDouble; i += 1 }
-        case 6 => while (i < n) { out(i) = buf.getDouble(); i += 1 }
-        case t => throw new IllegalArgumentException(s"nc_type $t not numeric")
-      }
-      out
+      decodeDoubles(v.ncType, n, bytes, v.begin.toInt, v.vsize.toInt)
     }
+  }
+
+  /** Decode `n` values of `ncType` from `raw[off, off+len)` (big-endian,
+    * the on-disk layout) — shared by [[NcFile.readDoubles]] and ranged
+    * readers that fetch a variable's byte extent without the whole file.
+    */
+  def decodeDoubles(ncType: Int, n: Int, raw: Array[Byte], off: Int, len: Int): Array[Double] = {
+    val buf = ByteBuffer.wrap(raw, off, len).order(ByteOrder.BIG_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    ncType match {
+      case 1 => while (i < n) { out(i) = buf.get().toDouble; i += 1 }
+      case 3 => while (i < n) { out(i) = buf.getShort().toDouble; i += 1 }
+      case 4 => while (i < n) { out(i) = buf.getInt().toDouble; i += 1 }
+      case 5 => while (i < n) { out(i) = buf.getFloat().toDouble; i += 1 }
+      case 6 => while (i < n) { out(i) = buf.getDouble(); i += 1 }
+      case t => throw new IllegalArgumentException(s"nc_type $t not numeric")
+    }
+    out
   }
 
   private val TagDim = 0x0A

@@ -127,6 +127,167 @@ object NetCdfGrid {
     }(enc)
   }
 
+  /** Pruning evidence for windowed granule scans (executor-side, so
+    * accumulators): files listed, files whose data payload was decoded,
+    * and bytes actually fetched.
+    */
+  final class GranuleWindowStats(spark: SparkSession) extends Serializable {
+    val filesPlanned: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("nc.filesPlanned")
+    val filesRead: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("nc.filesRead")
+    val bytesRead: org.apache.spark.util.LongAccumulator =
+      spark.sparkContext.longAccumulator("nc.bytesRead")
+  }
+
+  /** [[readGridNd]] with a coordinate WINDOW pushed to the granule level —
+    * the open_mfdataset archive analog of partition pruning. Tasks read
+    * each classic-CDF granule's HEADER and coordinate variables via
+    * RANGED reads (a few KB); a granule whose axes miss the window skips
+    * its data payload entirely, so a daily-granule archive with a time
+    * window fetches only in-window days. NetCDF-4/HDF5 granules read
+    * fully (their B-tree walk needs the file) but skip the DATA decode
+    * when disjoint. Rows equal `readGridNd(...).filter(lo <= dim <= hi)`.
+    */
+  def readGridNdWindow(spark: SparkSession, pathGlob: String, dims: Seq[String],
+                       varNames: Seq[String], ranges: Map[String, (Double, Double)],
+                       stats: GranuleWindowStats = null): DataFrame = {
+    require(dims.nonEmpty && varNames.nonEmpty, "dims and varNames must be non-empty")
+    val unknown = ranges.keySet -- dims.toSet
+    require(unknown.isEmpty, s"window ranges on non-dim columns: ${unknown.mkString(", ")}")
+    val rank = dims.length
+    val schema = StructType(
+      StructField("source_file", StringType, nullable = false) +:
+        dims.map(d => StructField(d, DoubleType, nullable = false)) ++:
+        varNames.map(v => StructField(v, DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val hconf = spark.sessionState.newHadoopConf()
+    val gp = new org.apache.hadoop.fs.Path(pathGlob)
+    val gfs = gp.getFileSystem(hconf)
+    val globbed = Option(gfs.globStatus(gp)).getOrElse(Array.empty)
+    val fileList: Seq[(String, Long)] = globbed.toSeq.flatMap { s =>
+      if (s.isDirectory) gfs.listStatus(s.getPath).toSeq.filter(_.isFile)
+      else Seq(s)
+    }.map(s => (s.getPath.toString, s.getLen))
+    require(fileList.nonEmpty, s"$pathGlob: no granules matched")
+    val filesPlanned = if (stats != null) stats.filesPlanned
+      else spark.sparkContext.longAccumulator("nc.filesPlanned")
+    val filesRead = if (stats != null) stats.filesRead
+      else spark.sparkContext.longAccumulator("nc.filesRead")
+    val bytesAcc = if (stats != null) stats.bytesRead
+      else spark.sparkContext.longAccumulator("nc.bytesRead")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    val dimsB = dims; val varsB = varNames; val rangesB = ranges; val rankB = rank
+    import spark.implicits._
+    spark.createDataset(fileList)
+      .repartition(math.min(fileList.size, 32))
+      .flatMap { case (path, fileLen) =>
+        filesPlanned.add(1L)
+        val conf = confB.value.value
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        def keepsOf(axes: Seq[Array[Double]]): Array[Array[Boolean]] =
+          dimsB.indices.map { i =>
+            rangesB.get(dimsB(i)) match {
+              case Some((lo, hi)) => axes(i).map(v => v >= lo && v <= hi)
+              case None => Array.fill(axes(i).length)(true)
+            }
+          }.toArray
+        def emit(axes: Seq[Array[Double]], keeps: Array[Array[Boolean]],
+                 data: Seq[Array[Double]]): Iterator[Row] = {
+          val shape = axes.map(_.length).toArray
+          val strides = new Array[Int](rankB)
+          var s = 1
+          var d = rankB - 1
+          while (d >= 0) { strides(d) = s; s *= shape(d); d -= 1 }
+          Iterator.range(0, shape.product).flatMap { pI =>
+            var ok = true
+            val g = new Array[Int](rankB)
+            var i = 0
+            while (i < rankB) {
+              g(i) = pI / strides(i) % shape(i)
+              if (!keeps(i)(g(i))) ok = false
+              i += 1
+            }
+            if (!ok) None
+            else Some(Row.fromSeq(
+              path +: (0 until rankB).map(i => axes(i)(g(i))) ++: data.map(_(pI))))
+          }
+        }
+        val in = fs.open(p)
+        try {
+          // container sniff from the first 4 bytes
+          val magic = new Array[Byte](math.min(4, fileLen).toInt)
+          in.readFully(0, magic, 0, magic.length)
+          val isHdf5 = magic.length == 4 && (magic(0) & 0xff) == 0x89 &&
+            magic(1) == 'H' && magic(2) == 'D' && magic(3) == 'F'
+          if (isHdf5) {
+            // NetCDF-4: the HDF5 B-tree walk needs the file — read fully,
+            // but decode ONLY the coordinate datasets unless in-window
+            val bytes = new Array[Byte](fileLen.toInt)
+            in.readFully(0, bytes, 0, bytes.length)
+            bytesAcc.add(fileLen)
+            val dimSet = dimsB.toSet
+            val coords = Hdf5Lite.read(bytes, dimSet.contains).map(v => v.name -> v).toMap
+            val axes = dimsB.map(d => coords.getOrElse(d, throw new IllegalArgumentException(
+              s"$path: no dataset '$d'")).asDoubles)
+            val keeps = keepsOf(axes)
+            if (keeps.exists(!_.exists(identity))) Iterator.empty
+            else {
+              filesRead.add(1L)
+              val want = dimSet ++ varsB
+              val vars = Hdf5Lite.read(bytes, want.contains).map(v => v.name -> v).toMap
+              val shape = axes.map(_.length)
+              val data = varsB.map { v =>
+                val h = vars.getOrElse(v, throw new IllegalArgumentException(
+                  s"$path: no dataset '$v'"))
+                require(h.shape == shape, s"$path: $v shape ${h.shape} != $shape")
+                h.asDoubles
+              }
+              emit(axes, keeps, data)
+            }
+          } else {
+            // classic CDF: ranged reads — header chunk (grow on demand),
+            // then only the variables the window needs
+            var chunk = math.min(fileLen, 8192L).toInt
+            var nc: NetCdf3.NcFile = null
+            while (nc == null) {
+              val head = new Array[Byte](chunk)
+              in.readFully(0, head, 0, chunk)
+              try nc = NetCdf3.parse(head)
+              catch {
+                case _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException
+                  if chunk < fileLen =>
+                  chunk = math.min(fileLen, chunk * 8L).toInt
+              }
+            }
+            bytesAcc.add(chunk.toLong)
+            def rangedVar(name: String): Array[Double] = {
+              val v = nc.variable(name)
+              val n = nc.shape(name).foldLeft(1L)(_ * _).toInt
+              val raw = new Array[Byte](v.vsize.toInt)
+              in.readFully(v.begin, raw, 0, raw.length)
+              bytesAcc.add(v.vsize)
+              NetCdf3.decodeDoubles(v.ncType, n, raw, 0, raw.length)
+            }
+            val axes = dimsB.map(rangedVar)
+            val keeps = keepsOf(axes)
+            if (keeps.exists(!_.exists(identity))) Iterator.empty
+            else {
+              filesRead.add(1L)
+              val shape = axes.map(_.length)
+              val data = varsB.map { v =>
+                require(nc.shape(v) == shape, s"$path: $v shape ${nc.shape(v)} != $shape")
+                rangedVar(v)
+              }
+              emit(axes, keeps, data)
+            }
+          }
+        } finally in.close()
+      }(enc)
+  }
+
   /** Write a gridded N-d table as a DIRECTORY of classic netCDF-3
     * granules FROM THE EXECUTORS — one granule per FIRST-dim slice (for
     * a `(t, y, x)` cube: one file per date holding a length-1 t dim plus

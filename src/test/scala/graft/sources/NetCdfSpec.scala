@@ -175,6 +175,61 @@ class NetCdfSpec extends AnyFunSuite with SparkTestBase {
     assert(got === rows.toSet)
   }
 
+  test("windowed granule scan: out-of-window granules skip their data payload") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // payloads (100x100 doubles = 80 KB/granule) dwarf the 8 KB header
+    // chunk so the byte accounting shows real skipping
+    val rows = for { it <- 0 until 4; iy <- 0 until 100; ix <- 0 until 100 }
+      yield (2000.0 + it, 100.0 * iy, 10.0 * ix, 0.5 + it * 100 + iy * 10 + ix)
+    val df = rows.toDF("t", "y", "x", "v")
+    val dir = Files.createTempDirectory("graft_ncw_").toString
+    NetCdfGrid.writeGridNdDistributed(df.repartition(5), dir, Seq("t", "y", "x"), Seq("v"))
+    val stats = new NetCdfGrid.GranuleWindowStats(spark)
+    // t in [2001, 2002] -> 2 of the 4 per-date granules carry data
+    val got = NetCdfGrid.readGridNdWindow(spark, s"$dir/*.nc", Seq("t", "y", "x"),
+      Seq("v"), Map("t" -> (2001.0, 2002.0), "y" -> (0.0, 250.0)), stats)
+    val want = NetCdfGrid.readGridNd(spark, s"$dir/*.nc", Seq("t", "y", "x"), Seq("v"))
+      .filter(col("t") >= 2001.0 && col("t") <= 2002.0 && col("y") <= 250.0)
+    assert(got.columns.toSeq === want.columns.toSeq)
+    // ONE action: accumulators count a single pass
+    val gotRows = got.collect()
+    assert(gotRows.map(_.toSeq.drop(1)).toSet ===
+      want.collect().map(_.toSeq.drop(1)).toSet)
+    assert(gotRows.length === 2 * 3 * 100)
+    assert(stats.filesPlanned.value === 4L && stats.filesRead.value === 2L,
+      s"read ${stats.filesRead.value}/${stats.filesPlanned.value}")
+    // skipped granules fetched only header + axes, not their payloads
+    val totalBytes = Files.list(Paths.get(dir)).toArray.map(p =>
+      Files.size(p.asInstanceOf[java.nio.file.Path])).sum
+    assert(stats.bytesRead.value < totalBytes,
+      s"bytes ${stats.bytesRead.value} vs archive $totalBytes")
+  }
+
+  test("windowed granule scan prunes NetCDF-4 (HDF5) granules by coords too") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_ncw4_").toString
+    // two HDF5-container granules, each a (y, x) tile at a different y band
+    def granule(name: String, y0: Double, bias: Double): Unit =
+      Files.write(Paths.get(s"$dir/$name"), Hdf5Lite.write(Seq(
+        Hdf5Lite.H5Var("y", Seq(2), doubles = Array(y0, y0 + 1.0)),
+        Hdf5Lite.H5Var("x", Seq(3), doubles = Array(10.0, 20.0, 30.0)),
+        Hdf5Lite.H5Var("z", Seq(2, 3), doubles = Array.tabulate(6)(i => bias + i))),
+        chunkRows = 1, deflate = 6))
+    granule("lo.nc", 0.0, 100.0)
+    granule("hi.nc", 50.0, 900.0)
+    val stats = new NetCdfGrid.GranuleWindowStats(spark)
+    val got = NetCdfGrid.readGridNdWindow(spark, s"$dir/*.nc", Seq("y", "x"),
+      Seq("z"), Map("y" -> (40.0, 60.0), "x" -> (20.0, 30.0)), stats)
+    // ONE action: accumulators count a single pass
+    val g = got.collect()
+    assert(g.length === 4 && g.forall(_.getString(0).endsWith("hi.nc")))
+    assert(!g.exists(_.getDouble(2) === 10.0), "x=10 outside the window")
+    assert(g.map(_.getDouble(3)).sum === (901.0 + 902.0 + 904.0 + 905.0))
+    // lo.nc was fetched (HDF5 needs the file) but its DATA never decoded
+    assert(stats.filesPlanned.value === 2L && stats.filesRead.value === 1L)
+  }
+
   test("writeGrid2d -> readGrid2d roundtrip preserves doubles bit-exactly") {
     import spark.implicits._
     val rows = for (y <- 0 until 4; x <- 0 until 3)

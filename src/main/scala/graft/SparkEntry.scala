@@ -825,6 +825,28 @@ object SparkEntry {
         .select("t", "x", "y", "z_mean")
     }),
 
+    // the reference's DataLoader.load('.nc') path: the daily archive
+    // loaded through ConfigExpr's .nc dispatch — granule layout discovered
+    // from one ranged header read, the t-range triples PUSHED to the
+    // granule window, the z_mean triple left to the residual filter
+    "q74_netcdf_config" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", byCols = Seq("t"), gridRes = 400000.0,
+        xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0),
+        statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("t", "y", "x", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q74_").toString
+      graft.sources.NetCdfGrid.writeGridNdDistributed(binned, tmp, Seq("t", "y", "x"),
+        Seq("z_mean"))
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = s"$tmp/*.nc",
+        where = Seq(
+          graft.core.ConfigExpr.Where("t", ">=", 18324.0),
+          graft.core.ConfigExpr.Where("t", "<=", 18326.0),
+          graft.core.ConfigExpr.Where("z_mean", ">", 0.0)),
+        colSelect = Seq("t", "x", "y", "z_mean")))
+    }),
+
     // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
     // array file (NEP-1 format via the pure-JVM NpyLite codec — the
     // reference's legacy array store, dataloader.py:782-1007), read back
@@ -1757,6 +1779,18 @@ object SparkEntry {
          |    WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          |  GROUP BY 1, 2, 3)
          | WHERE t >= 18324.0 AND t <= 18326.0""".stripMargin,
+
+    // q73's window with the residual z_mean predicate on top
+    "q74_netcdf_config" ->
+      s"""SELECT t, x, y, z_mean FROM (
+         | SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
+         |  avg(z) AS z_mean FROM (
+         |    SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,
+         |           LEAST(FLOOR((y - (-800000.0))/400000.0), 3) AS iy, t, z
+         |    FROM ($ObsSql)
+         |    WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         |  GROUP BY 1, 2, 3)
+         | WHERE t >= 18324.0 AND t <= 18326.0 AND z_mean > 0.0""".stripMargin,
 
     "q53_hdfstore_roundtrip" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 200000.0 AS x, -800000.0 + (iy + 0.5) * 200000.0 AS y,

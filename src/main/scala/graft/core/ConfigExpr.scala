@@ -320,6 +320,39 @@ object ConfigExpr {
       if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
       return df
     }
+    // netCDF granules (dataloader.py:1124-1158 `netcdf` -> xr.open_dataset
+    // -> to_dataframe -> reset_index): layout discovered from the first
+    // granule's header, then the chunk-parallel granule scan. Numeric
+    // range triples on DIM columns push a granule-level window (ranged
+    // header reads skip out-of-window payloads) when no rename is
+    // pending; the residual filter keeps exact semantics.
+    if (suffix == "nc") {
+      val (dims, vars) = graft.sources.NetCdfGrid.granuleLayout(spark, cfg.source)
+      var df =
+        if (cfg.newColumnNames.isEmpty && cfg.where.nonEmpty) {
+          val ranges = whereRanges(cfg.where.filter(w => dims.contains(w.col)))
+          if (ranges.nonEmpty)
+            graft.sources.NetCdfGrid.readGridNdWindow(spark, cfg.source, dims, vars, ranges)
+          else graft.sources.NetCdfGrid.readGridNd(spark, cfg.source, dims, vars)
+        } else graft.sources.NetCdfGrid.readGridNd(spark, cfg.source, dims, vars)
+      // positional rename covers the DATA columns (dims + vars), like the
+      // flat-file dispatch renames scanned columns before provenance
+      cfg.newColumnNames.foreach { ns =>
+        val dataCols = df.columns.filter(_ != "source_file").toSeq
+        require(ns.length == dataCols.length,
+          s"new_column_names has ${ns.length} names for ${dataCols.length} columns")
+        df = df.select(dataCols.zip(ns).map { case (o, n) => col(o).as(n) } :+
+          col("source_file"): _*)
+      }
+      cfg.sourceColumn.foreach(c => df = df.withColumn(c,
+        regexp_extract(col("source_file"), "([^/]+)$", 1)))
+      df = df.drop("source_file")
+      if (cfg.where.nonEmpty) df = df.filter(combineWhere(cfg.where))
+      df = applyColFuncs(df, cfg.colFuncs)
+      if (cfg.rowSelect.nonEmpty) df = df.filter(rowSelectColumn(cfg.rowSelect))
+      if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
+      return df
+    }
     // zarr store directory (dataloader.py:28-35 `zarr` -> xr.open_zarr):
     // to_dataframe layout from the chunk-parallel scan. Numeric range
     // triples on DIM columns push into the scan as a chunk window (only

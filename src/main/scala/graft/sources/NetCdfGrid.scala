@@ -288,6 +288,63 @@ object NetCdfGrid {
       }(enc)
   }
 
+  /** Discover (dims in C-order, data variable names) from the FIRST
+    * granule matching `pathGlob` — the xarray `open_dataset` layout
+    * convention: coordinate variables are 1-d and named like their dim,
+    * data variables are the granule's highest-rank (>= 2) variables and
+    * must agree on one dim tuple. Classic CDF granules discover from a
+    * ranged header read (a few KB, any granule size); NetCDF-4/HDF5
+    * granules raise — pass dims/vars explicitly to [[readGridNd]] there.
+    */
+  def granuleLayout(spark: SparkSession, pathGlob: String): (Seq[String], Seq[String]) = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val gp = new org.apache.hadoop.fs.Path(pathGlob)
+    val gfs = gp.getFileSystem(hconf)
+    val globbed = Option(gfs.globStatus(gp)).getOrElse(Array.empty)
+    val first = globbed.toSeq.flatMap { s =>
+      if (s.isDirectory) gfs.listStatus(s.getPath).toSeq.filter(_.isFile) else Seq(s)
+    }.sortBy(_.getPath.toString).headOption.getOrElse(
+      throw new IllegalArgumentException(s"$pathGlob: no granules matched"))
+    val p = first.getPath
+    val len = first.getLen
+    val in = gfs.open(p)
+    val nc =
+      try {
+        val magic = new Array[Byte](math.min(4, len).toInt)
+        in.readFully(0, magic, 0, magic.length)
+        require(!(magic.length == 4 && (magic(0) & 0xff) == 0x89 &&
+          magic(1) == 'H' && magic(2) == 'D' && magic(3) == 'F'),
+          s"$p: NetCDF-4/HDF5 granule — layout discovery needs classic CDF; " +
+            "pass dims/vars explicitly to readGridNd")
+        var chunk = math.min(len, 8192L).toInt
+        var parsed: NetCdf3.NcFile = null
+        while (parsed == null) {
+          val head = new Array[Byte](chunk)
+          in.readFully(0, head, 0, chunk)
+          try parsed = NetCdf3.parse(head)
+          catch {
+            case _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException
+              if chunk < len =>
+              chunk = math.min(len, chunk * 8L).toInt
+          }
+        }
+        parsed
+      } finally in.close()
+    val dimNames = nc.dims.map(d => d.name)
+    val maxRank = nc.vars.map(v => v.dimIds.length).foldLeft(0)(math.max)
+    require(maxRank >= 2, s"$p: no data variables (rank >= 2) found")
+    val dataVars = nc.vars.filter(_.dimIds.length == maxRank)
+    val dimTuples = dataVars.map(_.dimIds).distinct
+    require(dimTuples.length == 1,
+      s"$p: data variables disagree on dims: ${dimTuples.map(_.map(dimNames))}")
+    val dims = dimTuples.head.map(dimNames)
+    dims.foreach { d =>
+      require(nc.vars.exists(v => v.name == d && v.dimIds.length == 1),
+        s"$p: dim '$d' has no 1-d coordinate variable")
+    }
+    (dims, dataVars.map(v => v.name).sorted)
+  }
+
   /** Write a gridded N-d table as a DIRECTORY of classic netCDF-3
     * granules FROM THE EXECUTORS — one granule per FIRST-dim slice (for
     * a `(t, y, x)` cube: one file per date holding a length-1 t dim plus

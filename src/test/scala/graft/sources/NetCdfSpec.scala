@@ -230,6 +230,37 @@ class NetCdfSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.filesPlanned.value === 2L && stats.filesRead.value === 1L)
   }
 
+  test("ConfigExpr dispatches .nc globs: layout discovery, window pushdown, provenance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.ConfigExpr
+    val rows = for { it <- 0 until 3; iy <- 0 until 3; ix <- 0 until 4 }
+      yield (10.0 + it, 100.0 * iy, 10.0 * ix, it * 100.0 + iy * 10 + ix)
+    val df = rows.toDF("t", "y", "x", "v")
+    val dir = Files.createTempDirectory("graft_nccfg_").toString
+    NetCdfGrid.writeGridNdDistributed(df, dir, Seq("t", "y", "x"), Seq("v"))
+    // dim-range triples (pushed) + a non-dim triple (residual only)
+    val got = ConfigExpr.load(spark, ConfigExpr.DataConfig(
+      source = s"$dir/*.nc",
+      where = Seq(ConfigExpr.Where("t", ">=", 11.0), ConfigExpr.Where("v", "<", 150.0)),
+      sourceColumn = Some("granule"),
+      colSelect = Seq("t", "y", "x", "v", "granule")))
+    val g = got.collect()
+    assert(got.columns.toSeq === Seq("t", "y", "x", "v", "granule"))
+    assert(g.forall(r => r.getDouble(0) >= 11.0 && r.getDouble(3) < 150.0))
+    assert(g.map(_.getString(4)).forall(_.endsWith(".nc")))
+    val want = rows.filter(r => r._1 >= 11.0 && r._4 < 150.0).map(r => (r._1, r._2, r._3, r._4))
+    assert(g.map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+      === want.toSet)
+    // positional rename disables the pushdown but not correctness
+    val renamed = ConfigExpr.load(spark, ConfigExpr.DataConfig(
+      source = s"$dir/*.nc",
+      newColumnNames = Some(Seq("tt", "yy", "xx", "vv")),
+      where = Seq(ConfigExpr.Where("tt", "==", 12.0))))
+    assert(renamed.columns.toSeq === Seq("tt", "yy", "xx", "vv"))
+    assert(renamed.count() === 12L)
+  }
+
   test("writeGrid2d -> readGrid2d roundtrip preserves doubles bit-exactly") {
     import spark.implicits._
     val rows = for (y <- 0 until 4; x <- 0 until 3)

@@ -269,24 +269,44 @@ object ZarrGrid extends Serializable {
 
   /** Place inner chunk `li`'s decoded values into the shard-extent output
     * (row-major), clipping inner chunks that overhang the shard edge.
+    * Rank-generic: copies contiguous runs along the last dim.
     */
   private def placeInner(vals: Array[Double], out: Array[Double], chunks: Seq[Int],
-                         inner: Seq[Int], nPer: Seq[Int], li: Int, name: String): Unit =
-    inner.length match {
-      case 1 =>
-        val dst = li * inner.head
-        System.arraycopy(vals, 0, out, dst, math.min(inner.head, out.length - dst))
-      case 2 =>
-        val (ci, cj) = (li / nPer(1), li % nPer(1))
-        var r = 0
-        while (r < inner(0) && ci * inner(0) + r < chunks(0)) {
-          val cols = math.min(inner(1), chunks(1) - cj * inner(1))
-          System.arraycopy(vals, r * inner(1), out,
-            (ci * inner(0) + r) * chunks(1) + cj * inner(1), cols)
-          r += 1
-        }
-      case d => throw new IllegalArgumentException(s"$name: rank-$d shards not supported")
+                         inner: Seq[Int], nPer: Seq[Int], li: Int, name: String): Unit = {
+    val rank = chunks.length
+    // inner-grid coords of this inner chunk (row-major over nPer)
+    val ii = new Array[Int](rank)
+    var rem = li
+    var d = rank - 1
+    while (d >= 0) { ii(d) = rem % nPer(d); rem /= nPer(d); d -= 1 }
+    // row-major strides over the shard extent
+    val cStr = new Array[Int](rank)
+    var s = 1
+    d = rank - 1
+    while (d >= 0) { cStr(d) = s; s *= chunks(d); d -= 1 }
+    val lastBase = ii(rank - 1) * inner(rank - 1)
+    val runLen = math.min(inner(rank - 1), chunks(rank - 1) - lastBase)
+    if (runLen <= 0) return
+    val outerDims = rank - 1
+    val outerCells = inner.take(outerDims).product
+    var oc = 0
+    while (oc < outerCells) {
+      var r2 = oc
+      var dstCell = lastBase
+      var inBounds = true
+      var dd = outerDims - 1
+      while (dd >= 0) {
+        val pd = r2 % inner(dd); r2 /= inner(dd)
+        val gd = ii(dd) * inner(dd) + pd
+        if (gd >= chunks(dd)) inBounds = false
+        dstCell += gd * cStr(dd)
+        dd -= 1
+      }
+      if (inBounds)
+        System.arraycopy(vals, oc * inner(rank - 1), out, dstCell, runLen)
+      oc += 1
     }
+  }
 
   private def decodePlain(raw: Array[Byte], m: ZMeta, name: String): Array[Double] = {
     val bytes = m.comp match {
@@ -1034,9 +1054,10 @@ object ZarrGrid extends Serializable {
     */
   def writeGridNdDistributed(df: DataFrame, dir: String, dimCols: Seq[String],
                              varNames: Seq[String], compressor: String = "zlib",
-                             zarrFormat: Int = 2): Unit = {
+                             zarrFormat: Int = 2, shardInnerRows: Int = 0): Unit = {
     require(dimCols.length >= 2, s"need >= 2 dims, got $dimCols")
     require(zarrFormat == 2 || zarrFormat == 3, s"zarrFormat $zarrFormat (2 or 3)")
+    require(shardInnerRows == 0 || zarrFormat == 3, "sharding is a zarr v3 feature")
     val spark = df.sparkSession
     val rank = dimCols.length
     // axes: dim-axis-sized driver work (the only driver-side data)
@@ -1046,7 +1067,15 @@ object ZarrGrid extends Serializable {
     require(total == shape.map(_.toLong).product,
       s"rows $total != full ${shape.mkString(" x ")} lattice (duplicates or gaps)")
     val chunks = 1 +: shape.tail
-    writeMetaNd(spark, dir, dimCols, axes, varNames, chunks, compressor, zarrFormat)
+    // sharding subdivides each first-dim slice along the SECOND dim: a
+    // daily (t, y, x) archive gets one shard per day of y-band inner
+    // chunks — the ranged-read object-store layout
+    require(shardInnerRows == 0 || shape(1) % shardInnerRows == 0,
+      s"shardInnerRows $shardInnerRows must divide dim '${dimCols(1)}' (${shape(1)})")
+    val shardInner =
+      if (shardInnerRows > 0) 1 +: shardInnerRows +: shape.drop(2) else Nil
+    writeMetaNd(spark, dir, dimCols, axes, varNames, chunks, compressor, zarrFormat,
+      shardInner)
 
     val idxMaps = axes.map(_.zipWithIndex.toMap)
     val sliceSize = shape.tail.product
@@ -1054,6 +1083,7 @@ object ZarrGrid extends Serializable {
     val strides = shape.tail.scanRight(1)(_ * _).tail.toArray
     val dirB = dir; val vars = varNames; val compB = compressor
     val v3B = zarrFormat == 3; val rankB = rank
+    val shardB = shardInner; val chunksB = chunks
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
@@ -1081,7 +1111,11 @@ object ZarrGrid extends Serializable {
                 s"$dirB/${vars(v)}/${chunkKey(i0 +: Seq.fill(rankB - 1)(0), v3B)}")
               val fs = rawFs(p.toString, conf)
               val out = fs.create(p, true)
-              try out.write(encodeChunk(doubleLeBytes(sl(v)), compB, v3B)) finally out.close()
+              val payload =
+                if (shardB.nonEmpty)
+                  encodeShard(doubleLeBytes(sl(v)), chunksB, shardB, compB)
+                else encodeChunk(doubleLeBytes(sl(v)), compB, v3B)
+              try out.write(payload) finally out.close()
             }
           }
         }
@@ -1402,31 +1436,56 @@ object ZarrGrid extends Serializable {
     if (v3) "c/" + idx.mkString("/") else idx.mkString(".")
 
   /** Encode one full-extent chunk as a zarr v3 `sharding_indexed` SHARD:
-    * the first dim is subdivided into `inner.head`-row inner chunks
-    * (inner tail dims must equal the chunk's — each inner chunk is then
-    * a CONTIGUOUS row band of `raw`), each coded through the inner codec
-    * chain, followed by the u64-LE (offset, nbytes) index plus its real
-    * CRC-32C (the spec's default `index_codecs`), index at the end.
-    * Object stores read the tiny index with one ranged GET and then only
-    * the inner chunks a query touches — the v3 scale feature.
+    * the chunk is subdivided into `inner`-shaped inner chunks (each dim
+    * of `inner` must divide the chunk's — rank-generic), each coded
+    * through the inner codec chain, followed by the u64-LE
+    * (offset, nbytes) index plus its real CRC-32C (the spec's default
+    * `index_codecs`), index at the end. Object stores read the tiny
+    * index with one ranged GET and then only the inner chunks a query
+    * touches — the v3 scale feature.
     */
   private def encodeShard(raw: Array[Byte], chunkShape: Seq[Int], inner: Seq[Int],
                           compressor: String): Array[Byte] = {
-    require(inner.length == chunkShape.length &&
-      inner.tail == chunkShape.tail && inner.head > 0 &&
-      chunkShape.head % inner.head == 0,
-      s"inner chunk $inner must divide the shard's first dim and match its tail $chunkShape")
-    val nI = chunkShape.head / inner.head
-    val innerBytes = inner.product * 8
+    val rank = chunkShape.length
+    require(inner.length == rank &&
+      inner.indices.forall(d => inner(d) > 0 && chunkShape(d) % inner(d) == 0),
+      s"inner chunk $inner must divide the shard shape $chunkShape in every dim")
     require(raw.length == chunkShape.product * 8,
       s"shard payload ${raw.length} != ${chunkShape.product * 8}")
+    val nPer = chunkShape.indices.map(d => chunkShape(d) / inner(d))
+    val nI = nPer.product
+    // row-major strides over the shard extent
+    val cStr = new Array[Int](rank)
+    var s = 1
+    var d = rank - 1
+    while (d >= 0) { cStr(d) = s; s *= chunkShape(d); d -= 1 }
+    val runBytes = inner(rank - 1) * 8
+    val outerDims = rank - 1
+    val outerCells = inner.take(outerDims).product
     val body = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val index = ByteBuffer.allocate(16 * nI).order(ByteOrder.LITTLE_ENDIAN)
     var li = 0
     while (li < nI) {
-      val enc = encodeChunk(
-        java.util.Arrays.copyOfRange(raw, li * innerBytes, (li + 1) * innerBytes),
-        compressor, v3 = true)
+      // gather this inner chunk's cells (row-major), runs along last dim
+      val ii = new Array[Int](rank)
+      var rem = li
+      d = rank - 1
+      while (d >= 0) { ii(d) = rem % nPer(d); rem /= nPer(d); d -= 1 }
+      val innerRaw = new Array[Byte](inner.product * 8)
+      var oc = 0
+      while (oc < outerCells) {
+        var r2 = oc
+        var srcCell = ii(rank - 1) * inner(rank - 1)
+        var dd = outerDims - 1
+        while (dd >= 0) {
+          val pd = r2 % inner(dd); r2 /= inner(dd)
+          srcCell += (ii(dd) * inner(dd) + pd) * cStr(dd)
+          dd -= 1
+        }
+        System.arraycopy(raw, srcCell * 8, innerRaw, oc * runBytes, runBytes)
+        oc += 1
+      }
+      val enc = encodeChunk(innerRaw, compressor, v3 = true)
       index.putLong(body.size().toLong).putLong(enc.length.toLong)
       body.write(enc)
       li += 1

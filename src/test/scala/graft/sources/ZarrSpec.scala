@@ -510,6 +510,37 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.chunksPlanned === 2 && stats.chunksTotal === 3)
   }
 
+  test("N-d sharded WRITE: per-day shards of y-band inner chunks, windowed ranged reads") {
+    val cube = mkCube(5.0)
+    val dir = Files.createTempDirectory("zarr3s_").resolve("cube.zarr").toString
+    ZarrGrid.writeGridNdDistributed(cube, dir, Seq("t", "y", "x"), Seq("v"),
+      compressor = "zstd", zarrFormat = 3, shardInnerRows = 2)
+    val zj = new String(Files.readAllBytes(Paths.get(dir, "v", "zarr.json")), "UTF-8")
+    assert(zj.contains("\"sharding_indexed\"") && zj.contains("\"chunk_shape\":[1,2,5]"), zj)
+    // one shard per day; 2 inner chunks (y bands) each; index = 2*16 + 4 crc
+    val shard = Files.readAllBytes(Paths.get(dir, "v", "c", "1", "0", "0"))
+    val bb = java.nio.ByteBuffer.wrap(shard).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val idxBase = shard.length - (16 * 2 + 4)
+    assert(bb.getLong(idxBase) === 0L && bb.getLong(idxBase + 16) === bb.getLong(idxBase + 8))
+    // full roundtrip through the rank-3 shard decoder
+    val back = ZarrGrid.readGridNd(spark, dir, Seq("t", "y", "x"), Seq("v"))
+    assert(back.count() === 60)
+    val want = cube.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(back.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet === want)
+    // windowed: one day, one y band -> 1 of 3 shards, 1 of its 2 inners
+    val stats = new ZarrGrid.WindowStats(spark)
+    val got = ZarrGrid.readGridNdWindow(spark, dir, Seq("t", "y", "x"), Seq("v"),
+      Map("t" -> (1001.0, 1001.0), "y" -> (0.0, 150.0)), stats).collect()
+    assert(got.length === 2 * 5)
+    assert(got.map(_.getDouble(3)).sum ===
+      (for { iy <- 0 until 2; ix <- 0 until 5 } yield 5.0 + 100 + iy * 10 + ix).sum)
+    assert(stats.chunksPlanned === 1 && stats.chunksTotal === 3)
+    assert(stats.innerChunksRead.value === 1L && stats.innerChunksTotal.value === 2L,
+      s"inner ${stats.innerChunksRead.value}/${stats.innerChunksTotal.value}")
+  }
+
   private def mkCube(bias: Double) = {
     import spark.implicits._
     // (t, y, x) cube: 3 x 4 x 5 with v = bias + it*100 + iy*10 + ix

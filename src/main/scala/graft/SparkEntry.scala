@@ -789,6 +789,26 @@ object SparkEntry {
         source = tmp, colSelect = Seq("t", "x", "y", "z_mean")))
     }),
 
+    // growing archive: the q69 cube written as 6 days then APPENDED with
+    // the remaining 3 (the xarray to_zarr(append_dim='t') analog) —
+    // executor-written slice chunks at offset indices, dim-0 axis and
+    // shapes patched in place, .zmetadata kept in sync; the read of the
+    // grown store must equal the one-shot 9-day cube
+    "q75_zarr_append" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", byCols = Seq("t"), gridRes = 400000.0,
+        xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0),
+        statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("t", "y", "x", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q75_").toString + "/cube.zarr"
+      graft.sources.ZarrGrid.writeGridNdDistributed(
+        binned.filter(col("t") <= 18327.0), tmp, Seq("t", "y", "x"), Seq("z_mean"))
+      graft.sources.ZarrGrid.appendGridNdDistributed(
+        binned.filter(col("t") > 18327.0), tmp, Seq("t", "y", "x"), Seq("z_mean"))
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = tmp, colSelect = Seq("t", "x", "y", "z_mean")))
+    }),
+
     // the SAME daily cube as a directory of per-date netCDF granules —
     // one self-contained (t=1, y, x) CDF-1 file per date written from
     // executors (the open_mfdataset archive layout), unioned back by the
@@ -1750,6 +1770,16 @@ object SparkEntry {
 
     // per-date binned means — the (t, y, x) cube must be lossless
     "q69_zarr_3d_roundtrip" ->
+      s"""SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/400000.0), 3) AS iy, t, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2, 3""".stripMargin,
+
+    // the grown store must equal the one-shot cube (same SQL as q69)
+    "q75_zarr_append" ->
       s"""SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
          | avg(z) AS z_mean FROM (
          |   SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,

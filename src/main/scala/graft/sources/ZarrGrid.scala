@@ -1125,6 +1125,145 @@ object ZarrGrid extends Serializable {
   // row -> first-dim slice index (used only to co-locate a slice's rows)
   private def udfDimIdx(idx: Map[Double, Int]) = udf((v: Double) => idx(v))
 
+  /** Append new FIRST-dim slices to a store written by
+    * [[writeGridNdDistributed]] — the xarray `to_zarr(append_dim=dim0)`
+    * analog, the way growing archives actually grow. New rows must cover
+    * (new dim-0 values) x (the store's tail lattice) exactly; dim-0
+    * values must be new. Chunk files for the new slices write FROM THE
+    * EXECUTORS with the store's own codec and shard geometry; only the
+    * dim-0 coordinate array and per-array `shape` metadata rewrite
+    * driver-side (axis-sized work), `.zmetadata` kept in sync. Existing
+    * chunk files are never touched — a crashed append leaves the store
+    * readable at its old shape.
+    */
+  def appendGridNdDistributed(df: DataFrame, dir: String, dimCols: Seq[String],
+                              varNames: Seq[String]): Unit = {
+    require(dimCols.length >= 2, s"need >= 2 dims, got $dimCols")
+    val spark = df.sparkSession
+    val rank = dimCols.length
+    val fs = fsFor(spark, dir)
+    val v3 = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/zarr.json"))
+    val cons = consolidated(spark, dir)
+    val oldAxes = dimCols.map(d => readArrayLocal(spark, dir, d, cons))
+    val metas = varNames.map(v => v -> arrayMeta(spark, dir, v, cons)).toMap
+    val m0 = metas(varNames.head)
+    require(varNames.forall(v => metas(v).chunks == m0.chunks && metas(v).comp == m0.comp &&
+      metas(v).innerChunks == m0.innerChunks),
+      s"$dir: variables disagree on chunk/codec layout — cannot append uniformly")
+    require(m0.shape == oldAxes.map(_.length),
+      s"$dir: ${varNames.head} shape ${m0.shape} != axis lengths ${oldAxes.map(_.length)}")
+    require(m0.chunks == 1 +: oldAxes.tail.map(_.length),
+      s"$dir: append supports the per-first-dim-slice chunk layout, got chunks ${m0.chunks}")
+    // sharded arrays carry the codec on the INNER chain
+    val comp = (if (m0.innerChunks.nonEmpty) m0.innerComp else m0.comp) match {
+      case "zlib" | "gzip3" => "zlib"
+      case "zstd" => "zstd"
+      case "blosc" => "blosc"
+      case o => throw new IllegalArgumentException(
+        s"$dir: cannot append with compressor '$o' (zlib/gzip/zstd/blosc)")
+    }
+    // new dim-0 values + tail-lattice equality (axis-sized driver work)
+    val newVals = df.select(dimCols.head).distinct().collect().map(_.getDouble(0)).sorted
+    require(newVals.nonEmpty, "nothing to append")
+    val oldSet = oldAxes.head.toSet
+    require(!newVals.exists(oldSet.contains),
+      s"append ${dimCols.head} values overlap the store: ${newVals.filter(oldSet.contains).take(3).mkString(", ")}")
+    dimCols.tail.zipWithIndex.foreach { case (d, i) =>
+      val got = df.select(d).distinct().collect().map(_.getDouble(0)).sorted
+      require(java.util.Arrays.equals(got, oldAxes(i + 1)),
+        s"append $d axis differs from the store's")
+    }
+    val tailShape = oldAxes.tail.map(_.length)
+    val total = df.count()
+    require(total == newVals.length.toLong * tailShape.map(_.toLong).product,
+      s"rows $total != full ${newVals.length} x ${tailShape.mkString(" x ")} lattice")
+
+    // new slice chunks from the executors, indices offset past the store
+    val base = oldAxes.head.length
+    val idxMaps = newVals.zipWithIndex.toMap +: oldAxes.tail.map(_.zipWithIndex.toMap)
+    val sliceSize = tailShape.product
+    val strides = tailShape.scanRight(1)(_ * _).tail.toArray
+    val dirB = dir; val vars = varNames; val compB = comp
+    val v3B = v3; val rankB = rank; val baseB = base
+    val metasB = metas
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val idxMapsB = idxMaps
+    df.select((dimCols ++ varNames).map(col): _*)
+      .repartition(newVals.length, udfDimIdx(idxMaps.head)(col(dimCols.head)))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val slices = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+        rows.foreach { r =>
+          val i0 = idxMapsB.head(r.getDouble(0))
+          var off = 0
+          var d = 1
+          while (d < rankB) { off += idxMapsB(d)(r.getDouble(d)) * strides(d - 1); d += 1 }
+          val sl = slices.getOrElseUpdate(i0,
+            Array.fill(vars.length)(new Array[Double](sliceSize)))
+          var v = 0
+          while (v < vars.length) { sl(v)(off) = r.getDouble(rankB + v); v += 1 }
+        }
+        if (slices.nonEmpty) {
+          val conf = confB.value.value
+          slices.foreach { case (i0, sl) =>
+            vars.indices.foreach { v =>
+              val m = metasB(vars(v))
+              val rel = chunkRelOfN(m, (baseB + i0) +: Seq.fill(rankB - 1)(0))
+              val p = new org.apache.hadoop.fs.Path(s"$dirB/${vars(v)}/$rel")
+              val fsT = rawFs(p.toString, conf)
+              val out = fsT.create(p, true)
+              val payload =
+                if (m.innerChunks.nonEmpty)
+                  encodeShard(doubleLeBytes(sl(v)), m.chunks, m.innerChunks, compB)
+                else encodeChunk(doubleLeBytes(sl(v)), compB, v3B)
+              try out.write(payload) finally out.close()
+            }
+          }
+        }
+      }
+
+    // metadata LAST (commit point): grown dim-0 axis + per-array shapes
+    val newAxis0 = oldAxes.head ++ newVals
+    val newShape = newAxis0.length +: tailShape
+    def writeFile(rel: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, rel), true)
+      try out.write(bytes) finally out.close()
+    }
+    def patchShape(json: String, shape: Seq[Int], alsoChunks: Boolean): String = {
+      var j = JsonMethods.parse(json).transformField {
+        case ("shape", _) => ("shape", JArray(shape.map(n => JInt(n)).toList))
+      }
+      if (alsoChunks) j = j.transformField {
+        case ("chunks", _) => ("chunks", JArray(shape.map(n => JInt(n)).toList))
+        case ("chunk_grid", _) => ("chunk_grid", JsonMethods.parse(
+          s"""{"name":"regular","configuration":{"chunk_shape":[${shape.mkString(",")}]}}"""))
+      }
+      JsonMethods.compact(JsonMethods.render(j))
+    }
+    val d0 = dimCols.head
+    val metaRel = (a: String) => if (v3) s"$a/zarr.json" else s"$a/.zarray"
+    val newEntries = scala.collection.mutable.Map.empty[String, String]
+    // dim-0 coordinate: single-chunk array — rewrite metadata + chunk
+    val d0meta = patchShape(metaJson(spark, dir, metaRel(d0), cons),
+      Seq(newAxis0.length), alsoChunks = true)
+    writeFile(metaRel(d0), d0meta.getBytes("UTF-8"))
+    newEntries += (metaRel(d0) -> d0meta)
+    val d0m = arrayMeta(spark, dir, d0, Map.empty) // re-read PATCHED meta
+    writeFile(s"$d0/${chunkRelOfN(d0m, Seq(0))}",
+      encodeChunk(doubleLeBytes(newAxis0), comp, v3))
+    varNames.foreach { v =>
+      val patched = patchShape(metaJson(spark, dir, metaRel(v), cons),
+        newShape, alsoChunks = false)
+      writeFile(metaRel(v), patched.getBytes("UTF-8"))
+      newEntries += (metaRel(v) -> patched)
+    }
+    if (!v3 && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.zmetadata"))) {
+      val merged = consolidated(spark, dir) ++ newEntries
+      writeFile(".zmetadata", consolidatedJson(merged.toSeq).getBytes("UTF-8"))
+    }
+  }
+
   /** Read a whole xarray-shaped zarr store: data variables are the 2-d
     * arrays, their dims come from `.zattrs` `_ARRAY_DIMENSIONS` (all 2-d
     * variables must share one (y, x) dim pair), coordinates are the dims'

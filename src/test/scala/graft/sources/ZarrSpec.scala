@@ -541,6 +541,41 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
       s"inner ${stats.innerChunksRead.value}/${stats.innerChunksTotal.value}")
   }
 
+  test("append grows the first dim in place: v2, v3, and v3-sharded stores") {
+    import spark.implicits._
+    def cube(ts: Seq[Double]) =
+      (for { t <- ts; iy <- 0 until 4; ix <- 0 until 5 }
+        yield (t, 100.0 * iy, 10.0 * ix, t + iy * 10 + ix)).toDF("t", "y", "x", "v")
+    for ((fmt, shard) <- Seq((2, 0), (3, 0), (3, 2))) {
+      val dir = Files.createTempDirectory("zarr_app_").resolve(s"a$fmt$shard.zarr").toString
+      ZarrGrid.writeGridNdDistributed(cube(Seq(1000.0, 1001.0)), dir, Seq("t", "y", "x"),
+        Seq("v"), compressor = "zstd", zarrFormat = fmt, shardInnerRows = shard)
+      ZarrGrid.appendGridNdDistributed(cube(Seq(1002.0, 1003.0)), dir, Seq("t", "y", "x"),
+        Seq("v"))
+      val back = ZarrGrid.readGridNd(spark, dir, Seq("t", "y", "x"), Seq("v"))
+      assert(back.count() === 4 * 4 * 5, s"fmt $fmt shard $shard")
+      val want = cube(Seq(1000.0, 1001.0, 1002.0, 1003.0)).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(back.collect().map(r =>
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet === want,
+        s"fmt $fmt shard $shard")
+      // a second append composes; the .zarr dispatch reads the grown store
+      ZarrGrid.appendGridNdDistributed(cube(Seq(1004.0)), dir, Seq("t", "y", "x"), Seq("v"))
+      assert(graft.core.ConfigExpr.load(spark,
+        graft.core.ConfigExpr.DataConfig(source = dir)).count() === 5 * 4 * 5)
+      // overlapping / misshapen appends raise loudly
+      val e1 = intercept[IllegalArgumentException](
+        ZarrGrid.appendGridNdDistributed(cube(Seq(1002.0)), dir, Seq("t", "y", "x"), Seq("v")))
+      assert(e1.getMessage.contains("overlap"))
+    }
+    // v2 keeps .zmetadata consistent: consolidated-only read sees the growth
+    val dir2 = Files.createTempDirectory("zarr_app_").resolve("zm.zarr").toString
+    ZarrGrid.writeGridNdDistributed(cube(Seq(1.0)), dir2, Seq("t", "y", "x"), Seq("v"))
+    ZarrGrid.appendGridNdDistributed(cube(Seq(2.0)), dir2, Seq("t", "y", "x"), Seq("v"))
+    val zm = new String(Files.readAllBytes(Paths.get(dir2, ".zmetadata")), "UTF-8")
+    assert(zm.contains("\"shape\":[2,4,5]"), zm)
+  }
+
   private def mkCube(bias: Double) = {
     import spark.implicits._
     // (t, y, x) cube: 3 x 4 x 5 with v = bias + it*100 + iy*10 + ix

@@ -867,6 +867,25 @@ object SparkEntry {
         colSelect = Seq("t", "x", "y", "z_mean")))
     }),
 
+    // growing granule archive: 6 days of per-date .nc granules APPENDED
+    // with the remaining 3 as NEW files (existing granules untouched,
+    // overlap validated via ranged header reads) — the natural growth
+    // mode of a daily archive; the union read must equal q70's one-shot
+    "q76_netcdf_append" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", byCols = Seq("t"), gridRes = 400000.0,
+        xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0),
+        statistics = Seq("mean")))
+        .withColumnRenamed("z", "z_mean").select("t", "y", "x", "z_mean")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q76_").toString
+      graft.sources.NetCdfGrid.writeGridNdDistributed(
+        binned.filter(col("t") <= 18327.0), tmp, Seq("t", "y", "x"), Seq("z_mean"))
+      graft.sources.NetCdfGrid.appendGridNdDistributed(
+        binned.filter(col("t") > 18327.0), tmp, Seq("t", "y", "x"), Seq("z_mean"))
+      graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
+        source = s"$tmp/*.nc", colSelect = Seq("t", "x", "y", "z_mean")))
+    }),
+
     // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
     // array file (NEP-1 format via the pure-JVM NpyLite codec — the
     // reference's legacy array store, dataloader.py:782-1007), read back
@@ -1809,6 +1828,16 @@ object SparkEntry {
          |    WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          |  GROUP BY 1, 2, 3)
          | WHERE t >= 18324.0 AND t <= 18326.0""".stripMargin,
+
+    // the grown archive must equal the one-shot cube (same SQL as q70)
+    "q76_netcdf_append" ->
+      s"""SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
+         | avg(z) AS z_mean FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/400000.0), 3) AS iy, t, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2, 3""".stripMargin,
 
     // q73's window with the residual z_mean predicate on top
     "q74_netcdf_config" ->

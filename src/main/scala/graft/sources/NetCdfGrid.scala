@@ -357,9 +357,86 @@ object NetCdfGrid {
                              valCols: Seq[String],
                              gattrs: Map[String, String] = Map.empty): Unit = {
     require(dimCols.length >= 2, s"need >= 2 dims, got $dimCols")
+    val axes = dimCols.map(d => df.select(d).distinct().collect().map(_.getDouble(0)).sorted)
+    writeSlices(df, dir, dimCols, valCols, gattrs, axes, indexOffset = 0)
+  }
+
+  /** Append new FIRST-dim slices to an existing granule archive written
+    * by [[writeGridNdDistributed]] — new dates become NEW granule files
+    * at offset part numbers; existing granules are never touched (the
+    * natural growth mode of a daily-granule archive). Validates against
+    * the archive via ranged header reads: tail axes must equal the first
+    * granule's, new first-dim values must not collide with any granule's.
+    */
+  def appendGridNdDistributed(df: DataFrame, dir: String, dimCols: Seq[String],
+                              valCols: Seq[String],
+                              gattrs: Map[String, String] = Map.empty): Unit = {
+    require(dimCols.length >= 2, s"need >= 2 dims, got $dimCols")
+    val spark = df.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val fs = dp.getFileSystem(hconf)
+    val existing = fs.listStatus(dp).toSeq.filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".nc"))
+    require(existing.nonEmpty, s"$dir: no existing granules — use writeGridNdDistributed")
+    // archive metadata via ranged header reads (a few KB per granule —
+    // the same cost as listing; payloads are never fetched)
+    def headerOf(st: org.apache.hadoop.fs.FileStatus): NetCdf3.NcFile = {
+      val in = fs.open(st.getPath)
+      try {
+        var chunk = math.min(st.getLen, 8192L).toInt
+        var parsed: NetCdf3.NcFile = null
+        while (parsed == null) {
+          val head = new Array[Byte](chunk)
+          in.readFully(0, head, 0, chunk)
+          try parsed = NetCdf3.parse(head)
+          catch {
+            case _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException
+              if chunk < st.getLen =>
+              chunk = math.min(st.getLen, chunk * 8L).toInt
+          }
+        }
+        parsed
+      } finally in.close()
+    }
+    def rangedCoord(st: org.apache.hadoop.fs.FileStatus, nc: NetCdf3.NcFile,
+                    name: String): Array[Double] = {
+      val v = nc.variable(name)
+      val n = nc.shape(name).foldLeft(1L)(_ * _).toInt
+      val raw = new Array[Byte](v.vsize.toInt)
+      val in = fs.open(st.getPath)
+      try in.readFully(v.begin, raw, 0, raw.length) finally in.close()
+      NetCdf3.decodeDoubles(v.ncType, n, raw, 0, raw.length)
+    }
+    val first = existing.minBy(_.getPath.getName)
+    val firstNc = headerOf(first)
+    val tailAxes = dimCols.tail.map(d => rangedCoord(first, firstNc, d))
+    dimCols.tail.zip(tailAxes).foreach { case (d, ax) =>
+      val got = df.select(d).distinct().collect().map(_.getDouble(0)).sorted
+      require(java.util.Arrays.equals(got, ax), s"append $d axis differs from the archive's")
+    }
+    val existingD0: Set[Double] = existing.flatMap { st =>
+      val nc = headerOf(st)
+      rangedCoord(st, nc, dimCols.head).toSeq
+    }.toSet
+    val newVals = df.select(dimCols.head).distinct().collect().map(_.getDouble(0)).sorted
+    require(!newVals.exists(existingD0.contains),
+      s"append ${dimCols.head} values overlap the archive: " +
+        newVals.filter(existingD0.contains).take(3).mkString(", "))
+    // next free part number, so filenames never collide
+    val partRe = "part-(\\d+)\\.nc".r
+    val offset = existing.map(_.getPath.getName).foldLeft(-1) {
+      case (m, partRe(n)) => math.max(m, n.toInt)
+      case (m, _) => m
+    } + 1
+    writeSlices(df, dir, dimCols, valCols, gattrs, newVals +: tailAxes, offset)
+  }
+
+  private def writeSlices(df: DataFrame, dir: String, dimCols: Seq[String],
+                          valCols: Seq[String], gattrs: Map[String, String],
+                          axes: Seq[Array[Double]], indexOffset: Int): Unit = {
     val spark = df.sparkSession
     val rank = dimCols.length
-    val axes = dimCols.map(d => df.select(d).distinct().collect().map(_.getDouble(0)).sorted)
     val shape = axes.map(_.length)
     val total = df.count()
     require(total == shape.map(_.toLong).product,
@@ -369,6 +446,7 @@ object NetCdfGrid {
     val strides = shape.tail.scanRight(1)(_ * _).tail.toArray
     val dirB = dir; val vars = valCols; val dimsB = dimCols
     val axesB = axes; val gattrsB = gattrs; val rankB = rank
+    val offB = indexOffset
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
@@ -396,7 +474,7 @@ object NetCdfGrid {
               dimsB.tail.zipWithIndex.map { case (n, i) => NetCdf3.WVar(n, Seq(n), axesB(i + 1)) } ++:
               vars.zipWithIndex.map { case (v, i) => NetCdf3.WVar(v, dimsB, sl(i)) }
           val bytes = NetCdf3.write(dims, wvars, gattrsB)
-          val p = new org.apache.hadoop.fs.Path(dirB, f"part-$i0%05d.nc")
+          val p = new org.apache.hadoop.fs.Path(dirB, f"part-${offB + i0}%05d.nc")
           val fs = p.getFileSystem(confB.value.value)
           val out = fs.create(p, true)
           try out.write(bytes) finally out.close()

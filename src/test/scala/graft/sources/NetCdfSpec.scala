@@ -261,6 +261,37 @@ class NetCdfSpec extends AnyFunSuite with SparkTestBase {
     assert(renamed.count() === 12L)
   }
 
+  test("granule append: new dates become new files, existing granules untouched") {
+    import spark.implicits._
+    def cube(ts: Seq[Double]) =
+      (for { t <- ts; iy <- 0 until 3; ix <- 0 until 4 }
+        yield (t, 10.0 * iy, 1.0 * ix, t + iy + ix)).toDF("t", "y", "x", "v")
+    val dir = Files.createTempDirectory("graft_nca_").toString
+    NetCdfGrid.writeGridNdDistributed(cube(Seq(5.0, 6.0)), dir, Seq("t", "y", "x"), Seq("v"))
+    val before = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".nc")).sorted
+    val mtimes = before.map(p => Files.getLastModifiedTime(Paths.get(p)))
+    NetCdfGrid.appendGridNdDistributed(cube(Seq(7.0)), dir, Seq("t", "y", "x"), Seq("v"))
+    val after = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".nc")).sorted
+    assert(after.length === 3 && after.startsWith(before))
+    assert(before.map(p => Files.getLastModifiedTime(Paths.get(p))).toSeq === mtimes.toSeq,
+      "existing granules untouched")
+    val back = NetCdfGrid.readGridNd(spark, s"$dir/*.nc", Seq("t", "y", "x"), Seq("v"))
+    assert(back.count() === 3 * 3 * 4)
+    assert(back.select("t").distinct().collect().map(_.getDouble(0)).sorted.toSeq
+      === Seq(5.0, 6.0, 7.0))
+    // overlap and mismatched tail axes raise loudly
+    val e1 = intercept[IllegalArgumentException](
+      NetCdfGrid.appendGridNdDistributed(cube(Seq(6.0)), dir, Seq("t", "y", "x"), Seq("v")))
+    assert(e1.getMessage.contains("overlap"))
+    val bad = (for { iy <- 0 until 2; ix <- 0 until 4 }
+      yield (8.0, 10.0 * iy, 1.0 * ix, 0.0)).toDF("t", "y", "x", "v")
+    val e2 = intercept[IllegalArgumentException](
+      NetCdfGrid.appendGridNdDistributed(bad, dir, Seq("t", "y", "x"), Seq("v")))
+    assert(e2.getMessage.contains("axis differs"))
+  }
+
   test("writeGrid2d -> readGrid2d roundtrip preserves doubles bit-exactly") {
     import spark.implicits._
     val rows = for (y <- 0 until 4; x <- 0 until 3)

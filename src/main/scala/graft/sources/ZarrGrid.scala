@@ -1284,6 +1284,12 @@ object ZarrGrid extends Serializable {
     */
   def storeDims(spark: SparkSession, dir: String): Seq[String] = storeLayout(spark, dir)._1
 
+  /** One dim's coordinate values (driver-side, axis-sized) — e.g. the
+    * already-archived dates, for idempotent append sinks.
+    */
+  def dimAxis(spark: SparkSession, dir: String, dim: String): Array[Double] =
+    readArrayLocal(spark, dir, dim, consolidated(spark, dir))
+
   /** Array/dim discovery shared by [[readStore]] and [[readStoreWindow]]:
     * (dims in C-order, data variable names).
     */

@@ -108,4 +108,41 @@ object ObsDocStream {
         min("z").as("z_min"), max("z").as("z_max"))
   }
 
+  /** Streaming ARCHIVE sink: each micro-batch's first-dim slices append
+    * to a growing zarr store through the SAME executor-parallel
+    * [[graft.sources.ZarrGrid.appendGridNdDistributed]] as batch — and
+    * idempotently: slices whose dim-0 value is already archived are
+    * dropped before the append, so at-least-once replay after a restart
+    * cannot double-append a day. Batches must carry COMPLETE slices
+    * (upstream, a watermark/window close is what finalizes a day); a
+    * gapped lattice raises the batch sink's loud error.
+    */
+  def archiveToZarr(slices: DataFrame, dir: String, dimCols: Seq[String],
+                    varNames: Seq[String], checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    slices.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.zgroup")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/zarr.json"))
+        val fresh =
+          if (!exists) batch.toDF()
+          else {
+            val have = graft.sources.ZarrGrid.dimAxis(spark, dir, dimCols.head).toSeq
+            if (have.isEmpty) batch.toDF()
+            else batch.toDF().filter(!col(dimCols.head).isin(have: _*))
+          }
+        if (!fresh.isEmpty) {
+          if (!exists)
+            graft.sources.ZarrGrid.writeGridNdDistributed(fresh, dir, dimCols, varNames)
+          else
+            graft.sources.ZarrGrid.appendGridNdDistributed(fresh, dir, dimCols, varNames)
+        }
+      }
+      .start()
+
 }

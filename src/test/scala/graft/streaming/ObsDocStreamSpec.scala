@@ -50,6 +50,34 @@ class ObsDocStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("archiveToZarr: micro-batches append days idempotently under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    def day(t: Double) =
+      for { iy <- 0 until 3; ix <- 0 until 4 }
+        yield (t, 10.0 * iy, 1.0 * ix, t + iy * 10 + ix)
+    val input = MemoryStream[(Double, Double, Double, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("stream_zarr_")
+      .resolve("arch.zarr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt_").toString
+    val slices = input.toDF().toDF("t", "y", "x", "v")
+    val q = ObsDocStream.archiveToZarr(slices, dir, Seq("t", "y", "x"), Seq("v"), ckpt)
+    try {
+      input.addData(day(100.0): _*)
+      q.processAllAvailable()
+      assert(graft.sources.ZarrGrid.dimAxis(spark, dir, "t").toSeq === Seq(100.0))
+      // at-least-once replay: day 100 arrives AGAIN alongside day 101
+      input.addData(day(101.0) ++ day(100.0): _*)
+      q.processAllAvailable()
+      input.addData(day(102.0): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = graft.sources.ZarrGrid.readGridNd(spark, dir, Seq("t", "y", "x"), Seq("v"))
+    assert(back.count() === 3 * 3 * 4)
+    val want = (day(100.0) ++ day(101.0) ++ day(102.0)).toSet
+    assert(back.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet === want)
+  }
+
   test("streaming exact dedup: same content within the watermark drops, batch-parity key") {
     implicit val sqlCtx = spark.sqlContext
     val ts = new Timestamp(1700000000000L)

@@ -49,6 +49,45 @@ object SparkEntry {
       |  (l_quantity - 25.0) / 100.0 + l_discount AS z
       |FROM lineitem""".stripMargin
 
+  /** Raster↔vector demo zones over the ±800 km obs plane: a concave
+    * L-shaped west zone, a convex east pentagon, and a triangle
+    * overlapping the pentagon (painter's order proves first-match
+    * precedence in both engines).
+    */
+  private val RvZones = Seq(
+    operators.RasterVector.Zone("west_l", Array(Array(
+      -700000.0, -700000.0, -100000.0, -700000.0, -100000.0, -300000.0,
+      -400000.0, -300000.0, -400000.0, 500000.0, -700000.0, 500000.0))),
+    operators.RasterVector.Zone("east_pent", Array(Array(
+      100000.0, -500000.0, 700000.0, -500000.0, 760000.0, 100000.0,
+      400000.0, 600000.0, 60000.0, 150000.0))),
+    operators.RasterVector.Zone("tri_overlap", Array(Array(
+      300000.0, -600000.0, 750000.0, 300000.0, 150000.0, 400000.0))))
+
+  /** SQL replica of [[graft.functions.PointInPolygonKernel.containsRing]]
+    * (identical operand order, so doubles match bit-for-bit): per-edge
+    * crossing terms summed, parity odd = inside. Horizontal edges divide
+    * by zero → NULL in DuckDB, but the first conjunct is already false
+    * there, and `false AND NULL` is false.
+    */
+  private def ringInsideSql(ring: Array[Double], xE: String, yE: String): String = {
+    val n = ring.length / 2
+    val terms = (0 until n).map { i =>
+      val j = (i + n - 1) % n
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      s"(CASE WHEN (($yi > $yE) <> ($yj > $yE)) AND " +
+        s"($xE < ($xj - $xi) * ($yE - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** First-match zone CASE over [[RvZones]] (rings OR together). */
+  private def zoneCaseSql(xE: String, yE: String): String =
+    "CASE " + RvZones.map(z =>
+      s"WHEN ${z.rings.map(r => ringInsideSql(r, xE, yE)).mkString(" OR ")} THEN '${z.id}'")
+      .mkString(" ") + " END"
+
   /** 5x5 expert grid at 200 km over +-500 km, t = 18326. */
   private def expertsDerived(s: SparkSession): DataFrame = {
     val ix = s.range(5).select((col("id").cast("double") * 200000.0 - 400000.0).as("ex"))
@@ -885,6 +924,19 @@ object SparkEntry {
       graft.core.ConfigExpr.load(s, graft.core.ConfigExpr.DataConfig(
         source = s"$tmp/*.nc", colSelect = Seq("t", "x", "y", "z_mean")))
     }),
+
+    // zonal statistics (raster↔vector): ray-cast zone assignment over the
+    // obs table — concave ring, overlap precedence — then grouped stats;
+    // the oracle replays the crossing-parity test edge by edge in SQL
+    "q77_zonal_stats" -> ((s, dir) =>
+      operators.RasterVector.zonalStats(obsDerived(s, dir), RvZones, "z",
+        statistics = Seq("mean", "count", "min", "max", "std"))),
+
+    // polygon rasterization (vector→raster): zones burned onto the
+    // 15x15 cell-center lattice, outside-all-zones cells dropped
+    "q78_rasterize" -> ((s, _) =>
+      operators.RasterVector.rasterize(s, RvZones,
+        (-750000.0, 750000.0), (-750000.0, 750000.0), 100000.0)),
 
     // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
     // array file (NEP-1 format via the pure-JVM NpyLite codec — the
@@ -1838,6 +1890,23 @@ object SparkEntry {
          |   FROM ($ObsSql)
          |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          | GROUP BY 1, 2, 3""".stripMargin,
+
+    // ray-cast zone assignment replayed edge-by-edge (crossing parity),
+    // then the same grouped statistics
+    "q77_zonal_stats" ->
+      s"""SELECT zone, avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS z_count,
+         | min(z) AS z_min, max(z) AS z_max, stddev_samp(z) AS z_std FROM (
+         |   SELECT ${zoneCaseSql("x", "y")} AS zone, z FROM ($ObsSql))
+         | WHERE zone IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // the 15x15 cell-center lattice with the same zone CASE
+    "q78_rasterize" ->
+      s"""SELECT px AS x, py AS y, zone FROM (
+         | SELECT px, py, ${zoneCaseSql("px", "py")} AS zone FROM (
+         |   SELECT -750000.0 + ((t1.range + 0.5) * 100000.0) AS px,
+         |          -750000.0 + ((t2.range + 0.5) * 100000.0) AS py
+         |   FROM range(15) t1, range(15) t2))
+         | WHERE zone IS NOT NULL""".stripMargin,
 
     // q73's window with the residual z_mean predicate on top
     "q74_netcdf_config" ->

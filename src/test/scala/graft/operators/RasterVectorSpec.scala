@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.PointInPolygonKernel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RasterVectorSpec extends AnyFunSuite with SparkTestBase {
+
+  // the SparkEntry q77/q78 zones, repeated here: concave L, convex
+  // pentagon, and a triangle overlapping the pentagon
+  private val L = Array(
+    -700000.0, -700000.0, -100000.0, -700000.0, -100000.0, -300000.0,
+    -400000.0, -300000.0, -400000.0, 500000.0, -700000.0, 500000.0)
+  private val Pent = Array(
+    100000.0, -500000.0, 700000.0, -500000.0, 760000.0, 100000.0,
+    400000.0, 600000.0, 60000.0, 150000.0)
+  private val Tri = Array(
+    300000.0, -600000.0, 750000.0, 300000.0, 150000.0, 400000.0)
+  private val zones = Seq(
+    RasterVector.Zone("west_l", Array(L)),
+    RasterVector.Zone("east_pent", Array(Pent)),
+    RasterVector.Zone("tri_overlap", Array(Tri)))
+
+  private def lattice: Seq[(Double, Double)] =
+    for { i <- 0 until 31; j <- 0 until 31 }
+      yield (-750000.0 + i * 50000.0, -750000.0 + j * 50000.0)
+
+  test("assignZones: concave ring honors the notch; overlap takes painter's order") {
+    import spark.implicits._
+    // the L's notch (between bar and arm) is OUTSIDE; bar and arm inside
+    val probes = Seq(
+      (-250000.0, 0.0, null), (-250000.0, -500000.0, "west_l"),
+      (-550000.0, 300000.0, "west_l"))
+    val got = RasterVector.assignZones(
+      probes.map(p => (p._1, p._2)).toDF("x", "y"), zones)
+      .orderBy("x", "y").collect().map(_.getAs[String]("zone"))
+    // sorted by (x, y): (-550k,300k), (-250k,-500k), (-250k,0)
+    assert(got.toSeq === Seq("west_l", "west_l", null))
+
+    // every lattice point in BOTH pentagon and triangle labels east_pent
+    val both = lattice.filter { case (x, y) =>
+      PointInPolygonKernel.containsRing(x, y, Pent) &&
+        PointInPolygonKernel.containsRing(x, y, Tri) }
+    assert(both.size > 5) // the overlap is real
+    val labels = RasterVector.assignZones(both.toDF("x", "y"), zones)
+      .select("zone").distinct().collect().map(_.getString(0)).toSeq
+    assert(labels === Seq("east_pent"))
+    // and some triangle points outside the pentagon DO label tri_overlap
+    val triOnly = lattice.filter { case (x, y) =>
+      PointInPolygonKernel.containsRing(x, y, Tri) &&
+        !PointInPolygonKernel.containsRing(x, y, Pent) }
+    assert(triOnly.nonEmpty)
+    val triLabels = RasterVector.assignZones(triOnly.toDF("x", "y"), zones)
+      .select("zone").distinct().collect().map(_.getString(0)).toSeq
+    assert(triLabels === Seq("tri_overlap"))
+  }
+
+  test("multi-ring zone: disjoint rings OR together") {
+    import spark.implicits._
+    val two = Seq(RasterVector.Zone("both", Array(
+      Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0),
+      Array(100.0, 0.0, 110.0, 0.0, 110.0, 10.0, 0.0 + 100.0, 10.0))))
+    val got = RasterVector.assignZones(
+      Seq((5.0, 5.0), (105.0, 5.0), (55.0, 5.0)).toDF("x", "y"), two)
+      .orderBy("x").collect().map(_.getAs[String]("zone")).toSeq
+    assert(got === Seq("both", null, "both"))
+  }
+
+  test("zonalStats matches a driver-side brute-force replay") {
+    import spark.implicits._
+    val pts = lattice.zipWithIndex.map { case ((x, y), i) =>
+      (x, y, math.sin(i * 0.7) * 10.0) }
+    val got = RasterVector.zonalStats(pts.toDF("x", "y", "z"), zones, "z",
+      statistics = Seq("mean", "count", "sum", "min", "max"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val want = pts.groupBy { case (x, y, _) =>
+      zones.find(z => z.rings.exists(PointInPolygonKernel.containsRing(x, y, _)))
+        .map(_.id).orNull }
+      .collect { case (zone, rows) if zone != null =>
+        val vs = rows.map(_._3)
+        zone -> ((vs.sum / vs.size, vs.size.toLong, vs.sum, vs.min, vs.max)) }
+    assert(got.keySet === want.keySet)
+    for ((z, (m, n, s, lo, hi)) <- want) {
+      val (gm, gn, gs, glo, ghi) = got(z)
+      assert(gn === n); assert(math.abs(gm - m) < 1e-9)
+      assert(math.abs(gs - s) < 1e-9); assert(glo === lo); assert(ghi === hi)
+    }
+  }
+
+  test("rasterize burns the zone map onto cell centers, sparse") {
+    val got = RasterVector.rasterize(spark, zones,
+      (-750000.0, 750000.0), (-750000.0, 750000.0), 100000.0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getString(2)).toMap
+    val centers = for { i <- 0 until 15; j <- 0 until 15 }
+      yield (-750000.0 + (i + 0.5) * 100000.0, -750000.0 + (j + 0.5) * 100000.0)
+    val want = centers.flatMap { case (x, y) =>
+      zones.find(z => z.rings.exists(PointInPolygonKernel.containsRing(x, y, _)))
+        .map(z => (x, y) -> z.id) }.toMap
+    assert(got === want)
+    assert(got.size < 15 * 15) // outside-all-zones cells dropped
+    assert(got.values.toSet === Set("west_l", "east_pent", "tri_overlap"))
+  }
+}

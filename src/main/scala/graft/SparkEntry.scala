@@ -938,6 +938,26 @@ object SparkEntry {
       operators.RasterVector.rasterize(s, RvZones,
         (-750000.0, 750000.0), (-750000.0, 750000.0), 100000.0)),
 
+    // pickled pandas DATAFRAME granules (pd.to_pickle stores,
+    // dataloader.py:563-624): per-date binned grids written as one
+    // DataFrame pickle per t from the EXECUTORS (BlockManager/
+    // _unpickle_block reduce graph, real-pandas-readable), read back
+    // through the pure-JVM frame unpickler — floats, a bigint, and an
+    // object-dtype string column all roundtrip losslessly
+    "q79_pkl_frame" -> ((s, dir) => {
+      val binned = Binning.binDataBy(obsDerived(s, dir), Binning.BinConfig(
+        valCol = "z", byCols = Seq("t"), gridRes = 400000.0,
+        xRange = (-800000.0, 800000.0), yRange = (-800000.0, 800000.0),
+        statistics = Seq("mean", "count")))
+        .select(col("t"), col("x"), col("y"), col("z_mean"),
+          col("z_count").cast("long").as("n_obs"))
+        .withColumn("label", when(col("z_mean") > 0, "pos").otherwise("neg"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q79_").toString
+      graft.sources.PklLegacy.writePklFramesDistributed(binned, tmp, "t")
+      graft.sources.PklLegacy.readPklFrames(s, Seq(tmp + "/*.pkl"))
+        .select("t", "x", "y", "z_mean", "n_obs", "label")
+    }),
+
     // legacy .npy roundtrip: the binned grid as one (n, 3) float64 numpy
     // array file (NEP-1 format via the pure-JVM NpyLite codec — the
     // reference's legacy array store, dataloader.py:782-1007), read back
@@ -1890,6 +1910,20 @@ object SparkEntry {
          |   FROM ($ObsSql)
          |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          | GROUP BY 1, 2, 3""".stripMargin,
+
+    // per-date binned grids through the DataFrame-pickle granule sink:
+    // q76's lattice plus a bigint count and a string label — the pickle
+    // container must roundtrip all three dtypes losslessly
+    "q79_pkl_frame" ->
+      s"""SELECT t, x, y, z_mean, n_obs,
+         | CASE WHEN z_mean > 0 THEN 'pos' ELSE 'neg' END AS label FROM (
+         | SELECT t, -800000.0 + (ix + 0.5) * 400000.0 AS x, -800000.0 + (iy + 0.5) * 400000.0 AS y,
+         |  avg(z) AS z_mean, CAST(count(z) AS BIGINT) AS n_obs FROM (
+         |   SELECT LEAST(FLOOR((x - (-800000.0))/400000.0), 3) AS ix,
+         |          LEAST(FLOOR((y - (-800000.0))/400000.0), 3) AS iy, t, z
+         |   FROM ($ObsSql)
+         |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
+         | GROUP BY 1, 2, 3)""".stripMargin,
 
     // ray-cast zone assignment replayed edge-by-edge (crossing parity),
     // then the same grouped statistics

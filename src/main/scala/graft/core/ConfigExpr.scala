@@ -305,11 +305,24 @@ object ConfigExpr {
       if (cfg.colSelect.nonEmpty) df = df.select(cfg.colSelect.map(col): _*)
       return df
     }
-    // legacy pickled dict-of-2d-arrays store (read_from_pkl_dict,
-    // dataloader.py:782-932): (idx0, idx1, date, obs, source) rows,
-    // NaN cells dropped at the source
+    // legacy pickled stores: either a dict-of-2d-arrays store
+    // (read_from_pkl_dict, dataloader.py:782-932 — (idx0, idx1, date,
+    // obs, source) rows, NaN cells dropped at the source) or a pickled
+    // pandas DataFrame (`pd.read_pickle`, dataloader.py:563-624) —
+    // told apart by the DataFrame class GLOBAL in the head bytes
     if (suffix == "pkl") {
-      var df = graft.sources.PklLegacy.readPklDict(spark, Seq(cfg.source))
+      val head = {
+        val p = new org.apache.hadoop.fs.Path(cfg.source)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val n = math.min(fs.getFileStatus(p).getLen, 512L).toInt
+        val in = fs.open(p)
+        try { val b = new Array[Byte](n); in.readFully(0, b, 0, n); b }
+        finally in.close()
+      }
+      var df =
+        if (graft.sources.PklLegacy.isFramePickle(head))
+          graft.sources.PklLegacy.readPklFrames(spark, Seq(cfg.source))
+        else graft.sources.PklLegacy.readPklDict(spark, Seq(cfg.source))
       cfg.sourceColumn.foreach { c =>
         df = df.withColumn(c, regexp_extract(lit(cfg.source), "([^/]+)$", 1))
       }

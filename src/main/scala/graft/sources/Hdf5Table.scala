@@ -324,7 +324,7 @@ object Hdf5Table {
             s"$path: array member '${m.name}' (arity ${m.arity}) has no " +
               s"'${m.name}_kind' attribute naming its columns"))
         val names = PickleLite.unpickle(kind.bytesVal) match {
-          case xs: Seq[_] => xs.map(String.valueOf(_))
+          case xs: scala.collection.Seq[_] => xs.toSeq.map(String.valueOf(_))
           case other => throw new IllegalArgumentException(
             s"$path: ${m.name}_kind unpickled to $other, expected a list of names")
         }

@@ -50,9 +50,42 @@ object PickleLite {
     }
   }
 
+  /** An object-dtype ndarray: the items ride as a pickled list (numpy's
+    * own representation — raw buffers can't hold PyObject pointers).
+    */
+  final case class ObjArray(shape: Seq[Int], values: Seq[Any],
+                            fortran: Boolean = false)
+
+  /** `builtins.slice(start, stop, step)` — pandas block placements. */
+  final case class PySlice(start: Long, stop: Long, step: Long)
+
+  /** One pandas Block: `values` is an [[NdArray]] (2-d, block-column
+    * major) or [[ObjArray]]; `placement` a [[PySlice]] or index array
+    * locating its rows among the frame's columns.
+    */
+  final case class PdBlock(values: Any, placement: Any)
+
+  /** A pandas Index: `cls` is the terminal class name ("RangeIndex",
+    * "Index", ...), `values` an [[NdArray]]/[[ObjArray]]/[[PdRange]].
+    */
+  final case class PdIndex(cls: String, name: Option[String], values: Any)
+  final case class PdRange(start: Long, stop: Long, step: Long)
+
+  /** A decoded pandas DataFrame: BlockManager blocks + axes
+    * (axes(0) = column labels, axes(1) = row index).
+    */
+  final case class PdFrame(blocks: Seq[PdBlock], axes: Seq[PdIndex])
+
   private final case class GlobalRef(module: String, name: String)
-  private final class NdStub { var value: NdArray = _ }
-  private final class DtypeStub(val descr: String) { var byteorder = "<" }
+  private final class NdStub { var value: Any = _ }
+  private final class DtypeStub(val descr: String) {
+    var byteorder = "<"
+    var unit: String = _ // datetime64 resolution from the dtype metadata
+    def full: String = if (unit == null) descr else s"$descr[$unit]"
+  }
+  private final class PdFrameStub { var value: PdFrame = _ }
+  private final class MgrStub { var value: PdFrame = _ } // legacy 0.14.1 states
+  private final class NdBackedStub { var value: Any = _ } // DatetimeArray et al.
 
   /** Pickle (protocol 2) a value tree of String / Int / Long / Boolean /
     * None / Seq[Any] / (Any, Any) / Map[String, Any] / [[NdArray]].
@@ -117,6 +150,69 @@ object PickleLite {
       enc(out, a.fortran)
       encBytes(out, a.data)
       out.write('t'); out.write('b')   // ndarray.__setstate__
+    case a: ObjArray =>
+      // object ndarray: same _reconstruct/__setstate__ dance, dtype 'O8'
+      // ('|' byteorder, hash 63), items as a pickled list
+      global(out, "numpy.core.multiarray", "_reconstruct")
+      global(out, "numpy", "ndarray")
+      out.write('K'); out.write(0); out.write(0x85) // (0,)
+      encBytes(out, Array('b'.toByte))
+      out.write(0x87); out.write('R')
+      out.write('(')
+      enc(out, 1L)
+      out.write('(')
+      a.shape.foreach(d => enc(out, d.toLong))
+      out.write('t')
+      global(out, "numpy", "dtype")
+      enc(out, "O8")
+      out.write(0x89); out.write(0x88)
+      out.write(0x87); out.write('R')
+      out.write('(')
+      enc(out, 3L); enc(out, "|"); enc(out, None); enc(out, None); enc(out, None)
+      enc(out, -1L); enc(out, -1L); enc(out, 63L)
+      out.write('t'); out.write('b')
+      enc(out, a.fortran)
+      enc(out, a.values.toVector)
+      out.write('t'); out.write('b')
+    case f: PdFrame =>
+      // DataFrame.__reduce_ex__(2): NEWOBJ + __setstate__({"_mgr": ...});
+      // the manager via its own BlockManager((blocks...), [axes]) reduce
+      global(out, "pandas.core.frame", "DataFrame")
+      out.write(')'); out.write(0x81) // NEWOBJ
+      out.write('}'); out.write('(')
+      enc(out, "_mgr")
+      global(out, "pandas.core.internals.managers", "BlockManager")
+      out.write('(')
+      f.blocks.foreach(enc(out, _))
+      out.write('t')
+      enc(out, f.axes.toVector)
+      out.write(0x86); out.write('R')
+      enc(out, "_typ"); enc(out, "dataframe")
+      out.write('u'); out.write('b')
+    case b: PdBlock =>
+      global(out, "pandas._libs.internals", "_unpickle_block")
+      enc(out, b.values)
+      enc(out, b.placement)
+      enc(out, 2L)
+      out.write(0x87); out.write('R')
+    case s: PySlice =>
+      global(out, "__builtin__", "slice")
+      enc(out, s.start); enc(out, s.stop); enc(out, s.step)
+      out.write(0x87); out.write('R')
+    case ix: PdIndex =>
+      global(out, "pandas.core.indexes.base", "_new_Index")
+      ix.values match {
+        case PdRange(start, stop, step) =>
+          global(out, "pandas.core.indexes.range", "RangeIndex")
+          enc(out, scala.collection.mutable.LinkedHashMap[Any, Any](
+            "name" -> ix.name.orNull, "start" -> start, "stop" -> stop,
+            "step" -> step))
+        case v =>
+          global(out, "pandas.core.indexes.base", "Index")
+          enc(out, scala.collection.mutable.LinkedHashMap[Any, Any](
+            "data" -> v, "name" -> ix.name.orNull))
+      }
+      out.write(0x86); out.write('R')
     case m: scala.collection.Map[_, _] =>
       out.write('}') // EMPTY_DICT
       if (m.nonEmpty) {
@@ -210,29 +306,168 @@ object PickleLite {
           case "i4" => bb.getInt.toLong
           case o => throw new IllegalArgumentException(s"numpy scalar dtype '$o' not supported")
         }
+      // ---- pandas DataFrame pickles (pd.to_pickle / pickle.dumps(df)) ----
+      case GlobalRef("pandas.core.frame", "DataFrame") =>
+        require(args.isEmpty, s"DataFrame NEWOBJ args $args")
+        new PdFrameStub // filled by BUILD with {"_mgr": ...} state
+      case GlobalRef("pandas.core.internals.managers", "BlockManager") =>
+        if (args.isEmpty) new MgrStub // legacy NEWOBJ + 0.14.1 BUILD state
+        else { // modern __reduce__: BlockManager((block...), [axes])
+          require(args.length >= 2, s"BlockManager arity ${args.length}")
+          val blocks = tupleSeq(args.head).asInstanceOf[Seq[Any]].map {
+            case b: PdBlock => b
+            case o => throw new IllegalArgumentException(s"BlockManager block: $o")
+          }
+          PdFrame(blocks, tupleSeq(args(1)).asInstanceOf[Seq[Any]].map(asIndex))
+        }
+      case GlobalRef("pandas._libs.internals", "_unpickle_block") =>
+        require(args.length == 3, s"_unpickle_block arity ${args.length}")
+        PdBlock(unwrapArr(args.head), args(1))
+      case GlobalRef("builtins" | "__builtin__", "slice") =>
+        PySlice(asLong(args(0)), asLong(args(1)), asLong(args(2)))
+      case GlobalRef("pandas._libs.arrays", "__pyx_unpickle_NDArrayBacked") =>
+        new NdBackedStub // (cls, checksum, None); BUILD state carries the array
+      case GlobalRef("pandas.core.indexes.base", "_new_Index") =>
+        val cls = args.head match {
+          case GlobalRef(_, n) => n
+          case o => throw new IllegalArgumentException(s"_new_Index class: $o")
+        }
+        val d = args(1).asInstanceOf[scala.collection.Map[Any, Any]]
+        val name = d.get("name").filter(v => v != None && v != null).map(String.valueOf)
+        if (cls == "RangeIndex")
+          PdIndex(cls, name,
+            PdRange(asLong(d("start")), asLong(d("stop")), asLong(d("step"))))
+        else {
+          val data = d.getOrElse("data", throw new IllegalArgumentException(
+            s"_new_Index($cls) without data"))
+          PdIndex(cls, name, unwrapArr(data))
+        }
       case GlobalRef(m, n) => throw new IllegalArgumentException(
-        s"pickle REDUCE of $m.$n not supported (numpy ndarray/dtype/scalar and " +
-          "_codecs.encode only)")
+        s"pickle REDUCE of $m.$n not supported (numpy ndarray/dtype/scalar, " +
+          "_codecs.encode, and the pandas DataFrame constructors only)")
       case other => throw new IllegalArgumentException(s"pickle REDUCE of $other")
+    }
+
+    def asLong(v: Any): Long = v match {
+      case l: Long => l; case i: Int => i.toLong
+      case o => throw new IllegalArgumentException(s"expected int, got $o")
+    }
+    def unwrapArr(v: Any): Any = v match {
+      case s: NdStub => s.value
+      case s: NdBackedStub => s.value
+      case o => o
+    }
+    def asIndex(v: Any): PdIndex = v match {
+      case i: PdIndex => i
+      case o => throw new IllegalArgumentException(s"expected a pandas Index, got $o")
     }
 
     def build(obj: Any, state: Any): Any = obj match {
       case s: NdStub =>
-        // ndarray.__setstate__((version, shape, dtype, fortran, data))
+        // ndarray.__setstate__((version, shape, dtype, fortran, data));
+        // object dtypes carry a list of items instead of a byte buffer
         val st = state.asInstanceOf[Seq[Any]]
         require(st.length == 5, s"ndarray state arity ${st.length}")
         val shape = tupleSeq(st(1)).asInstanceOf[Seq[Any]].map(asInt)
         val dt = st(2).asInstanceOf[DtypeStub]
-        require(dt.byteorder == "<" || dt.byteorder == "|" || dt.byteorder == "=",
-          s"big-endian ndarray ('${dt.byteorder}${dt.descr}') not supported")
-        s.value = NdArray(shape, s"<${dt.descr}", st(3) == true, asBytes(st(4)))
+        s.value = st(4) match {
+          case items: scala.collection.Seq[_] =>
+            ObjArray(shape, items.toSeq.asInstanceOf[Seq[Any]], st(3) == true)
+          case data =>
+            require(dt.byteorder == "<" || dt.byteorder == "|" || dt.byteorder == "=",
+              s"big-endian ndarray ('${dt.byteorder}${dt.descr}') not supported")
+            NdArray(shape, s"<${dt.full}", st(3) == true, asBytes(data))
+        }
         s.value
       case d: DtypeStub =>
-        // dtype.__setstate__((ver, byteorder, subdescr, names, fields, ...))
-        state.asInstanceOf[Seq[Any]].lift(1).foreach(bo => d.byteorder = String.valueOf(bo))
+        // dtype.__setstate__((ver, byteorder, subdescr, names, fields, ...));
+        // datetime dtypes bury the unit in the metadata tail as bytes
+        val st = state.asInstanceOf[Seq[Any]]
+        st.lift(1).foreach(bo => d.byteorder = String.valueOf(bo))
+        if (d.descr.startsWith("M8") || d.descr.startsWith("m8")) {
+          val units = Set("ns", "us", "ms", "s", "m", "h", "D")
+          def scan(v: Any): Unit = v match {
+            case b: Array[Byte] =>
+              val u = new String(b, "US-ASCII")
+              if (units(u) && d.unit == null) d.unit = u
+            case p: Product => p.productIterator.foreach(scan)
+            case xs: Iterable[_] => xs.foreach(scan)
+            case _ => ()
+          }
+          scan(st.drop(2))
+        }
         d
+      case s: NdBackedStub =>
+        // NDArrayBacked.__setstate__((dtype, values, attrs)) — DatetimeArray
+        // and friends; the payload is the backing ndarray (position varies
+        // across pandas versions, so take the first array in the state)
+        val st = tupleSeq(state).asInstanceOf[Seq[Any]]
+        s.value = st.collectFirst {
+          case nd: NdArray => nd
+          case o: ObjArray => o
+        }.getOrElse(throw new IllegalArgumentException(
+          s"NDArrayBacked state without a backing ndarray: $st"))
+        s.value
+      case s: PdFrameStub =>
+        // NDFrame.__setstate__({"_mgr"|"_data": manager, ...})
+        val st = state.asInstanceOf[scala.collection.Map[Any, Any]]
+        val mgr = st.get("_mgr").orElse(st.get("_data")).getOrElse(
+          throw new IllegalArgumentException(
+            s"DataFrame state without _mgr/_data: keys ${st.keys.mkString(",")}"))
+        s.value = mgr match {
+          case f: PdFrame => f
+          case m: MgrStub => m.value
+          case other => throw new IllegalArgumentException(
+            s"DataFrame manager is ${other.getClass.getName}")
+        }
+        s.value
+      case s: MgrStub =>
+        // legacy BlockManager.__setstate__((axes, block_values, block_items,
+        // extra)) — the pre-1.x wire format. The authoritative payload is
+        // extra["0.14.1"] = {"axes": [...], "blocks": [{"values", "mgr_locs"}]}
+        // (what pandas' own __setstate__ reads); the leading tuple elements
+        // are the pre-0.14.1 fallback, recovered by item-label lookup.
+        val st = tupleSeq(state).asInstanceOf[Seq[Any]]
+        require(st.length >= 3, s"BlockManager legacy state arity ${st.length}")
+        val modern = st.lift(3).collect {
+          case m: scala.collection.Map[Any @unchecked, Any @unchecked] => m.get("0.14.1")
+        }.flatten.collect {
+          case m: scala.collection.Map[Any @unchecked, Any @unchecked]
+            if m.contains("axes") && m.contains("blocks") => m
+        }
+        s.value = modern match {
+          case Some(m) =>
+            val axes = asSeq(m("axes")).map(asIndex)
+            val blocks = asSeq(m("blocks")).map { b =>
+              val bd = b.asInstanceOf[scala.collection.Map[Any, Any]]
+              PdBlock(unwrapArr(bd("values")), unwrapArr(bd("mgr_locs")))
+            }
+            PdFrame(blocks, axes)
+          case scala.None =>
+            val axes = asSeq(st(0)).map(asIndex)
+            val bvals = asSeq(st(1)).map(unwrapArr)
+            val bitems = asSeq(st(2)).map(asIndex)
+            val colLabels = indexLabels(axes.head)
+            val blocks = bvals.lazyZip(bitems).map { (v, items) =>
+              val placement = indexLabels(items).map { l =>
+                val i = colLabels.indexOf(l)
+                require(i >= 0, s"block item '$l' not among columns $colLabels")
+                i.toLong
+              }
+              PdBlock(v, placement)
+            }
+            PdFrame(blocks.toSeq, axes)
+        }
+        s.value
       case other => throw new IllegalArgumentException(
         s"pickle BUILD on ${other.getClass.getName} not supported")
+    }
+
+    def indexLabels(ix: PdIndex): Seq[Any] = ix.values match {
+      case o: ObjArray => o.values
+      case nd: NdArray => nd.doubles.toSeq
+      case PdRange(start, stop, step) => (start until stop by step).toSeq
+      case other => throw new IllegalArgumentException(s"index values: $other")
     }
 
     // tuples are modeled as Seq (TUPLE/TUPLE1) or Product (TUPLE2/3); give
@@ -240,8 +475,12 @@ object PickleLite {
     def tupleSeq(v: Any): Any = v match {
       case p2: (_, _) => Seq(p2._1, p2._2)
       case p3: (_, _, _) => Seq(p3._1, p3._2, p3._3)
-      case s: Seq[_] => s
+      case s: scala.collection.Seq[_] => s.toSeq // lists are mutable buffers
       case other => other
+    }
+    def asSeq(v: Any): Seq[Any] = v match {
+      case s: scala.collection.Seq[_] => s.toSeq.asInstanceOf[Seq[Any]]
+      case other => throw new IllegalArgumentException(s"expected a list, got $other")
     }
 
     while (true) {
@@ -284,11 +523,14 @@ object PickleLite {
           val s = line()
           stack += s.substring(1, s.length - 1)
         case 'V' => stack += line() // protocol-0 UNICODE
-        case ']' => stack += Vector.empty[Any] // EMPTY_LIST
+        // lists MUST be mutated in place: BINPUT memoizes the (empty) list
+        // before APPENDS fills it, and shared references BINGET it later
+        case ']' => stack += scala.collection.mutable.ArrayBuffer.empty[Any] // EMPTY_LIST
         case ')' => stack += Vector.empty[Any] // EMPTY_TUPLE (as a Seq)
         case '}' => stack += scala.collection.mutable.LinkedHashMap.empty[Any, Any]
         case '(' => marks += stack.length // MARK
-        case 'l' => stack += popToMark().toVector // protocol-0 LIST
+        case 'l' => // protocol-0 LIST
+          stack += scala.collection.mutable.ArrayBuffer(popToMark(): _*)
         case 't' => stack += popToMark().toVector // TUPLE (as a Seq)
         case 0x85 => val a = pop(); stack += Vector(a) // TUPLE1
         case 0x86 => // TUPLE2
@@ -297,14 +539,12 @@ object PickleLite {
         case 0x87 => // TUPLE3
           val c = pop(); val b = pop(); val a = pop()
           stack += ((a, b, c))
-        case 'e' => // APPENDS
+        case 'e' => // APPENDS (in place — the list may be memo-shared)
           val items = popToMark()
-          val xs = pop().asInstanceOf[Seq[Any]]
-          stack += (xs ++ items)
-        case 'a' => // APPEND
+          stack.last.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] ++= items
+        case 'a' => // APPEND (in place)
           val item = pop()
-          val xs = pop().asInstanceOf[Seq[Any]]
-          stack += (xs :+ item)
+          stack.last.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += item
         case 's' => // SETITEM
           val v = pop(); val k = pop()
           stack.last.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]].put(k, v)

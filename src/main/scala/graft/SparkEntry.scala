@@ -938,6 +938,17 @@ object SparkEntry {
       operators.RasterVector.rasterize(s, RvZones,
         (-750000.0, 750000.0), (-750000.0, 750000.0), 100000.0)),
 
+    // raster→vector region extraction: the q78 zone raster's 4-adjacent
+    // same-zone cells labeled by connected component (min cell id), the
+    // polygonization primitive; isolated cells keep their own id
+    "q80_label_regions" -> ((s, _) =>
+      operators.RasterVector.labelRegions(
+        operators.RasterVector.rasterize(s, RvZones,
+          (-750000.0, 750000.0), (-750000.0, 750000.0), 100000.0),
+        res = 100000.0, x0 = -750000.0, y0 = -750000.0,
+        valueCol = Some("zone"))
+        .select("x", "y", "zone", "region")),
+
     // pickled pandas DATAFRAME granules (pd.to_pickle stores,
     // dataloader.py:563-624): per-date binned grids written as one
     // DataFrame pickle per t from the EXECUTORS (BlockManager/
@@ -1910,6 +1921,37 @@ object SparkEntry {
          |   FROM ($ObsSql)
          |   WHERE x >= -800000.0 AND x <= 800000.0 AND y >= -800000.0 AND y <= 800000.0)
          | GROUP BY 1, 2, 3""".stripMargin,
+
+    // the q78 lattice, ids packed with the engine's cell arithmetic
+    // ((ix + 2^20) * 2^21 + (iy + 2^20)), 4-adjacent same-zone edges,
+    // then min-label propagation via a recursive CTE
+    "q80_label_regions" ->
+      s"""WITH RECURSIVE ids AS (
+         | SELECT px, py, zone,
+         |  (CAST(FLOOR((px - (-750000.0))/100000.0) AS BIGINT) + 1048576) * 2097152
+         |   + (CAST(FLOOR((py - (-750000.0))/100000.0) AS BIGINT) + 1048576) AS id,
+         |  CAST(FLOOR((px - (-750000.0))/100000.0) AS BIGINT) AS ix,
+         |  CAST(FLOOR((py - (-750000.0))/100000.0) AS BIGINT) AS iy
+         | FROM (
+         |  SELECT px, py, ${zoneCaseSql("px", "py")} AS zone FROM (
+         |   SELECT -750000.0 + ((t1.range + 0.5) * 100000.0) AS px,
+         |          -750000.0 + ((t2.range + 0.5) * 100000.0) AS py
+         |   FROM range(15) t1, range(15) t2))
+         | WHERE zone IS NOT NULL),
+         |pairs AS (
+         | SELECT a.id AS idA, b.id AS idB FROM ids a JOIN ids b
+         |  ON ((b.ix = a.ix + 1 AND b.iy = a.iy) OR (b.ix = a.ix AND b.iy = a.iy + 1))
+         |   AND b.zone = a.zone),
+         |edges AS (SELECT idA AS src, idB AS dst FROM pairs
+         |          UNION SELECT idB, idA FROM pairs),
+         |reach(id, label) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+         |SELECT i.px AS x, i.py AS y, i.zone AS zone,
+         |       COALESCE(l.label, i.id) AS region
+         |FROM ids i LEFT JOIN labels l ON l.id = i.id""".stripMargin,
 
     // per-date binned grids through the DataFrame-pickle granule sink:
     // q76's lattice plus a bigint count and a string label — the pickle

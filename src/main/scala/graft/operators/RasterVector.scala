@@ -91,4 +91,42 @@ object RasterVector {
     assignZones(Grids.grid2dFlatten(spark, xRange, yRange, step), zones)
       .filter(col("zone").isNotNull)
       .select("x", "y", "zone")
+
+  /** Raster→vector region extraction: label 4-adjacent raster cells with
+    * their connected component (the polygonization primitive — each
+    * region is one output polygon's cell set). `valueCol` restricts
+    * adjacency to equal-valued cells (classic same-class labeling);
+    * isolated cells keep their own cell id as the region label.
+    *
+    * Scale shape: cells get the engine's int64 cell id
+    * ([[graft.functions.cell_encode]]); 4-adjacency becomes two
+    * long-key equi-joins (east neighbor = id + stride, north = id + 1 —
+    * no geometry in the shuffle), and labeling reuses
+    * [[Dedup.connectedComponents]] — driver union-find for small edge
+    * sets, distributed hash-min label propagation above the cutoff. The
+    * region label is the component's MINIMUM cell id (deterministic).
+    */
+  def labelRegions(cells: DataFrame, res: Double, x0: Double, y0: Double,
+                   xCol: String = "x", yCol: String = "y",
+                   valueCol: Option[String] = None,
+                   driverMaxEdges: Long = 5000000L): DataFrame = {
+    import graft.functions.{cell_encode, Cells}
+    val withId = cells.withColumn("_cell",
+      cell_encode(col(xCol), col(yCol), res, x0, y0))
+    val left = withId.select(
+      col("_cell").as("idA") +: valueCol.map(c => col(c).as("_vA")).toSeq: _*)
+    val right = withId.select(
+      col("_cell").as("idB") +: valueCol.map(c => col(c).as("_vB")).toSeq: _*)
+    def adjacent(offset: Long): DataFrame = {
+      var j = left.withColumn("_nb", col("idA") + lit(offset))
+        .join(right, col("_nb") === col("idB"))
+      valueCol.foreach(_ => j = j.filter(col("_vA") === col("_vB")))
+      j.select("idA", "idB")
+    }
+    val pairs = adjacent(Cells.Stride).unionByName(adjacent(1L)) // east, north
+    val labels = Dedup.connectedComponents(pairs, driverMaxEdges)
+    withId.join(labels, withId("_cell") === labels("id"), "left")
+      .withColumn("region", coalesce(col("label"), col("_cell")))
+      .drop("id", "label", "_cell")
+  }
 }

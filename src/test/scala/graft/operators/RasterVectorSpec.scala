@@ -89,6 +89,65 @@ class RasterVectorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("labelRegions: 4-adjacency components, value constraint, isolated cells") {
+    import spark.implicits._
+    // lattice res=1 with origin 0: cells at centers (i+0.5, j+0.5)
+    def c(i: Int, j: Int, v: String) = (i + 0.5, j + 0.5, v)
+    // region A: L-shaped 3 cells; region B: same value but diagonal only
+    // (NOT connected under 4-adjacency); region C: different value,
+    // adjacent to A; D: isolated far cell
+    val cells = Seq(
+      c(0, 0, "a"), c(1, 0, "a"), c(1, 1, "a"), // A
+      c(2, 2, "a"),                             // B (diagonal from (1,1))
+      c(0, 1, "b"),                             // C (adjacent to A, other value)
+      c(7, 7, "a"))                             // D isolated
+    val got = RasterVector.labelRegions(
+      cells.toDF("x", "y", "zone"), res = 1.0, x0 = 0.0, y0 = 0.0,
+      valueCol = Some("zone"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(3)).toMap
+    def id(i: Int, j: Int) = graft.functions.Cells.pack(i, j)
+    assert(got((0.5, 0.5)) === id(0, 0))
+    assert(got((1.5, 0.5)) === id(0, 0)) // min id in component A
+    assert(got((1.5, 1.5)) === id(0, 0))
+    assert(got((2.5, 2.5)) === id(2, 2)) // diagonal: own region
+    assert(got((0.5, 1.5)) === id(0, 1)) // other value: own region
+    assert(got((7.5, 7.5)) === id(7, 7)) // isolated keeps own id
+    // without the value constraint, C merges into A
+    val merged = RasterVector.labelRegions(
+      cells.toDF("x", "y", "zone"), res = 1.0, x0 = 0.0, y0 = 0.0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(3)).toMap
+    assert(merged((0.5, 1.5)) === id(0, 0))
+  }
+
+  test("labelRegions matches a brute-force union-find on the zone raster") {
+    val raster = RasterVector.rasterize(spark, zones,
+      (-750000.0, 750000.0), (-750000.0, 750000.0), 100000.0)
+    val got = RasterVector.labelRegions(raster,
+      res = 100000.0, x0 = -750000.0, y0 = -750000.0, valueCol = Some("zone"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(3)).toMap
+    // brute force over collected cells
+    val cells = raster.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getString(2)))
+    def key(x: Double, y: Double) = (((x + 750000.0) / 100000.0 - 0.5).round.toInt,
+      ((y + 750000.0) / 100000.0 - 0.5).round.toInt)
+    val byIdx = cells.map { case (x, y, z) => key(x, y) -> (x, y, z) }.toMap
+    val parent = scala.collection.mutable.Map.empty[(Int, Int), (Int, Int)]
+    def find(k: (Int, Int)): (Int, Int) = {
+      var r = k; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    def union(a: (Int, Int), b: (Int, Int)): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(rb) = ra
+    }
+    for (((i, j), (_, _, z)) <- byIdx; (di, dj) <- Seq((1, 0), (0, 1)))
+      byIdx.get((i + di, j + dj)).foreach { case (_, _, z2) =>
+        if (z2 == z) union((i, j), (i + di, j + dj)) }
+    val want = cells.map { case (x, y, _) =>
+      val members = byIdx.keys.filter(k => find(k) == find(key(x, y)))
+      (x, y) -> members.map { case (i, j) => graft.functions.Cells.pack(i, j) }.min
+    }.toMap
+    assert(got === want)
+    assert(got.values.toSet.size > 1) // multiple regions exist
+  }
+
   test("rasterize burns the zone map onto cell centers, sparse") {
     val got = RasterVector.rasterize(spark, zones,
       (-750000.0, 750000.0), (-750000.0, 750000.0), 100000.0)

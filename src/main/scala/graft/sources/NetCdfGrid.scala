@@ -361,6 +361,54 @@ object NetCdfGrid {
     writeSlices(df, dir, dimCols, valCols, gattrs, axes, indexOffset = 0)
   }
 
+  /** The dim-0 coordinate values already present across a granule
+    * archive, via a DISTRIBUTED ranged-read sweep (one tiny job; a
+    * 10^5-granule archive must not serialize its header reads through
+    * the driver) — only headers and the dim-0 coordinate payload are
+    * fetched. Empty when the directory is missing or holds no granules
+    * (idempotent streaming sinks probe before their first write).
+    */
+  def archivedDim0(spark: SparkSession, dir: String, d0Col: String): Set[Double] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val fs = dp.getFileSystem(hconf)
+    if (!fs.exists(dp)) return Set.empty
+    val existing = fs.listStatus(dp).toSeq.filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".nc"))
+    if (existing.isEmpty) return Set.empty
+    import spark.implicits._
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    val paths = existing.map(st => (st.getPath.toString, st.getLen))
+    spark.createDataset(paths)
+      .repartition(math.min(paths.size, 32))
+      .flatMap { case (pathStr, fileLen) =>
+        val conf = confB.value.value
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        val tfs = p.getFileSystem(conf)
+        val in = tfs.open(p)
+        try {
+          var chunk = math.min(fileLen, 8192L).toInt
+          var nc: NetCdf3.NcFile = null
+          while (nc == null) {
+            val head = new Array[Byte](chunk)
+            in.readFully(0, head, 0, chunk)
+            try nc = NetCdf3.parse(head)
+            catch {
+              case _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException
+                if chunk < fileLen =>
+                chunk = math.min(fileLen, chunk * 8L).toInt
+            }
+          }
+          val v = nc.variable(d0Col)
+          val n = nc.shape(d0Col).foldLeft(1L)(_ * _).toInt
+          val raw = new Array[Byte](v.vsize.toInt)
+          in.readFully(v.begin, raw, 0, raw.length)
+          NetCdf3.decodeDoubles(v.ncType, n, raw, 0, raw.length).toSeq
+        } finally in.close()
+      }.collect().toSet
+  }
+
   /** Append new FIRST-dim slices to an existing granule archive written
     * by [[writeGridNdDistributed]] — new dates become NEW granule files
     * at offset part numbers; existing granules are never touched (the
@@ -415,43 +463,7 @@ object NetCdfGrid {
       val got = df.select(d).distinct().collect().map(_.getDouble(0)).sorted
       require(java.util.Arrays.equals(got, ax), s"append $d axis differs from the archive's")
     }
-    // per-granule dim-0 values via a DISTRIBUTED ranged-read sweep (one
-    // tiny job; a 10^5-granule archive must not serialize its header
-    // reads through the driver), collecting only the coordinate values
-    val existingD0: Set[Double] = {
-      import spark.implicits._
-      val d0Col = dimCols.head
-      val confB = spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(hconf))
-      val paths = existing.map(st => (st.getPath.toString, st.getLen))
-      spark.createDataset(paths)
-        .repartition(math.min(paths.size, 32))
-        .flatMap { case (pathStr, fileLen) =>
-          val conf = confB.value.value
-          val p = new org.apache.hadoop.fs.Path(pathStr)
-          val tfs = p.getFileSystem(conf)
-          val in = tfs.open(p)
-          try {
-            var chunk = math.min(fileLen, 8192L).toInt
-            var nc: NetCdf3.NcFile = null
-            while (nc == null) {
-              val head = new Array[Byte](chunk)
-              in.readFully(0, head, 0, chunk)
-              try nc = NetCdf3.parse(head)
-              catch {
-                case _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException
-                  if chunk < fileLen =>
-                  chunk = math.min(fileLen, chunk * 8L).toInt
-              }
-            }
-            val v = nc.variable(d0Col)
-            val n = nc.shape(d0Col).foldLeft(1L)(_ * _).toInt
-            val raw = new Array[Byte](v.vsize.toInt)
-            in.readFully(v.begin, raw, 0, raw.length)
-            NetCdf3.decodeDoubles(v.ncType, n, raw, 0, raw.length).toSeq
-          } finally in.close()
-        }.collect().toSet
-    }
+    val existingD0 = archivedDim0(spark, dir, dimCols.head)
     val newVals = df.select(dimCols.head).distinct().collect().map(_.getDouble(0)).sorted
     require(!newVals.exists(existingD0.contains),
       s"append ${dimCols.head} values overlap the archive: " +

@@ -145,4 +145,32 @@ object ObsDocStream {
       }
       .start()
 
+  /** [[archiveToZarr]]'s netCDF twin: micro-batches append per-slice
+    * granule files through the batch
+    * [[graft.sources.NetCdfGrid.appendGridNdDistributed]] sink,
+    * idempotently — already-archived dim-0 values (probed by the
+    * distributed ranged-header sweep) drop before the append, so
+    * at-least-once replay cannot double-append a granule.
+    */
+  def archiveToNetCdf(slices: DataFrame, dir: String, dimCols: Seq[String],
+                      varNames: Seq[String], checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    slices.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val have = graft.sources.NetCdfGrid.archivedDim0(spark, dir, dimCols.head)
+        val fresh =
+          if (have.isEmpty) batch.toDF()
+          else batch.toDF().filter(!col(dimCols.head).isin(have.toSeq: _*))
+        if (!fresh.isEmpty) {
+          if (have.isEmpty)
+            graft.sources.NetCdfGrid.writeGridNdDistributed(fresh, dir, dimCols, varNames)
+          else
+            graft.sources.NetCdfGrid.appendGridNdDistributed(fresh, dir, dimCols, varNames)
+        }
+      }
+      .start()
+
 }

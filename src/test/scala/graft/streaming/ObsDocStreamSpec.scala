@@ -78,6 +78,33 @@ class ObsDocStreamSpec extends AnyFunSuite with SparkTestBase {
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet === want)
   }
 
+  test("archiveToNetCdf: granule files append idempotently under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    def day(t: Double) =
+      for { iy <- 0 until 3; ix <- 0 until 4 }
+        yield (t, 10.0 * iy, 1.0 * ix, t - iy * 2 + ix)
+    val input = MemoryStream[(Double, Double, Double, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("stream_nc_").toString + "/arch"
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_nc_ckpt_").toString
+    val slices = input.toDF().toDF("t", "y", "x", "v")
+    val q = ObsDocStream.archiveToNetCdf(slices, dir, Seq("t", "y", "x"), Seq("v"), ckpt)
+    try {
+      input.addData(day(200.0): _*)
+      q.processAllAvailable()
+      assert(graft.sources.NetCdfGrid.archivedDim0(spark, dir, "t") === Set(200.0))
+      // at-least-once replay: day 200 arrives AGAIN alongside day 201
+      input.addData(day(201.0) ++ day(200.0): _*)
+      q.processAllAvailable()
+      assert(graft.sources.NetCdfGrid.archivedDim0(spark, dir, "t") === Set(200.0, 201.0))
+    } finally q.stop()
+    val back = graft.sources.NetCdfGrid.readGridNd(spark, dir + "/*.nc",
+      Seq("t", "y", "x"), Seq("v"))
+    assert(back.count() === 2 * 3 * 4)
+    val want = (day(200.0) ++ day(201.0)).toSet
+    assert(back.select("t", "y", "x", "v").collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet === want)
+  }
+
   test("streaming exact dedup: same content within the watermark drops, batch-parity key") {
     implicit val sqlCtx = spark.sqlContext
     val ts = new Timestamp(1700000000000L)

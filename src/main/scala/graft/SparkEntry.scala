@@ -294,6 +294,25 @@ object SparkEntry {
         .select(col("doc_id"), col("pos"), col("s.kind").as("kind"),
           col("s.text").as("text"), col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))),
 
+    // span-sequence roundtrip: explode -> adversarial shuffle (kind
+    // interleaves docs across partitions) -> reassemble from each span's
+    // own position -> re-explode; the oracle is q21's span synthesis, so
+    // hash equality PROVES order survived the shuffle
+    "q81_span_roundtrip" -> ((s, dir) => {
+      val exploded = ObsDocs.extractObs(docsDerived(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(col("spans")).as(Seq("pos", "sp")))
+        .select(col("doc_id"), col("pos"), col("sp.kind").as("kind"),
+          col("sp.text").as("text"), col("sp.media_ref").as("media_ref"),
+          col("sp.offset").as("offset"))
+        .repartition(col("kind")) // destroys any residual row order
+      ObsDocs.reassembleSpans(exploded)
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "sp")))
+        .select(col("doc_id"), col("pos"), col("sp.kind").as("kind"),
+          col("sp.text").as("text"), col("sp.media_ref").as("media_ref"),
+          col("sp.offset").as("offset"))
+    }),
+
     // ----- dedup (training-data ops) -----
     "q22_dedup_exact" -> ((s, dir) =>
       Dedup.exact(pq(s, dir, "documents"), "doc_id", "text")),
@@ -433,6 +452,15 @@ object SparkEntry {
       val e = pq(s, dir, "embeddings")
       SimilaritySearch.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id",
         "embedding", "vec_id", k = 3, m = 8, ksub = 16)
+        .select("query_id", "item_id", "rank")
+    }),
+
+    // scalar quantization (FAISS SQ8 analog): per-dim [min,max] bounds,
+    // one byte per component, asymmetric cosine against reconstructions
+    "q82_ann_sq8" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      SimilaritySearch.sqTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", "vec_id", k = 3)
         .select("query_id", "item_id", "rank")
     }),
 
@@ -808,6 +836,22 @@ object SparkEntry {
         Map("batch" -> "1"))
       store.append("ev", ev.filter(col("event_id") % 3 === 2),
         Map("batch" -> "2"))
+      store.tableAsOf("ev", sid).select("event_id", "user_id", "value")
+    }),
+
+    // store compaction (the Iceberg rewrite_data_files analog): three
+    // multi-file appends bin-packed into one file — the read AFTER the
+    // swap must still equal all three batches, and time travel to the
+    // post-compaction snapshot must reconstruct from the NEW manifest
+    "q83_store_compact" -> ((s, dir) => {
+      val ev = pq(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .filter(col("event_id") < 3000)
+      val root = java.nio.file.Files.createTempDirectory("graft_q83_").toString
+      val store = new graft.io.ResultStore(s, root)
+      (0 to 2).foreach(b => store.append("ev",
+        ev.filter(col("event_id") % 3 === b).repartition(4), Map("batch" -> b.toString)))
+      val sid = store.compact("ev")
       store.tableAsOf("ev", sid).select("event_id", "user_id", "value")
     }),
 
@@ -1428,6 +1472,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 2, 'media', '', 'swath://' || CAST(doc_id AS VARCHAR), 2 FROM d""".stripMargin,
 
+    // q21's synthesis without the filter: the roundtripped spans must
+    // come back IDENTICAL (kind, text, media_ref, order) after the
+    // explode -> shuffle -> reassemble cycle
+    "q81_span_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 1440 AS DOUBLE) / 4.0 - 180.0 AS lon,
+        |    60.0 + CAST(doc_id % 116 AS DOUBLE) / 4.0 AS lat,
+        |    CAST(18322 + doc_id % 9 AS DOUBLE) AS t,
+        |    CAST(doc_id % 64 AS DOUBLE) / 64.0 AS z,
+        |    source, lang
+        |  FROM documents)
+        |SELECT doc_id, 0 AS pos, 'text' AS kind, 'hdr ' || lang AS text, '' AS media_ref, 0 AS "offset" FROM d
+        |UNION ALL
+        |SELECT doc_id, 1, 'text',
+        |  'lon=' || format('{:.6f}', lon) || ';lat=' || format('{:.6f}', lat) ||
+        |  ';t=' || format('{:.1f}', t) || ';z=' || format('{:.6f}', z) || ';source=' || source,
+        |  '', 1 FROM d
+        |UNION ALL
+        |SELECT doc_id, 2, 'media', '', 'swath://' || CAST(doc_id AS VARCHAR), 2 FROM d""".stripMargin,
+
     "q22_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count FROM documents GROUP BY text",
 
@@ -1644,6 +1709,31 @@ object SparkEntry {
         |  SELECT a.query_id, a.item_id,
         |    a.ip / (sqrt(list_sum(list_transform(q.qvec, x -> x*x))) * sqrt(r.rn2)) AS cosine
         |  FROM adc a JOIN q ON q.query_id = a.query_id JOIN recon r ON r.item_id = a.item_id)
+        |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin,
+
+    // SQ8 replayed: per-dim bounds, round-to-byte codes, reconstruction
+    // cosine — identical arithmetic order to the Spark expressions
+    "q82_ann_sq8" ->
+      """WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),
+        |ex AS (SELECT i.item_id, t.j, list_extract(i.ivec, t.j) AS x FROM it i, range(1, 65) t(j)),
+        |bounds AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j),
+        |codes AS (
+        |  SELECT e.item_id, e.j, b.mn, b.mx,
+        |    CASE WHEN b.mx = b.mn THEN 0
+        |         ELSE CAST(round((e.x - b.mn) / (b.mx - b.mn) * 255) AS INT) END AS c
+        |  FROM ex e JOIN bounds b USING (j)),
+        |recon AS (
+        |  SELECT item_id, j, mn + CAST(c AS DOUBLE) / 255.0 * (mx - mn) AS r FROM codes),
+        |rnorm AS (SELECT item_id, sqrt(sum(r * r)) AS rn FROM recon GROUP BY item_id),
+        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec FROM embeddings WHERE vec_id < 3),
+        |qn AS (SELECT query_id, sqrt(list_sum(list_transform(qvec, x -> x * x))) AS qnorm, qvec FROM q),
+        |scored AS (
+        |  SELECT qn.query_id, r.item_id,
+        |    sum(list_extract(qn.qvec, r.j) * r.r) / (qn.qnorm * rn.rn) AS cosine
+        |  FROM qn, recon r JOIN rnorm rn USING (item_id)
+        |  GROUP BY qn.query_id, r.item_id, qn.qnorm, rn.rn)
         |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank FROM scored)
         |WHERE rank <= 3""".stripMargin,
@@ -1869,6 +1959,10 @@ object SparkEntry {
     "q72_store_timetravel" ->
       """SELECT event_id, user_id, value FROM events
         | WHERE event_id < 3000 AND event_id % 3 IN (0, 1)""".stripMargin,
+
+    // compaction must not change a row: all three batches
+    "q83_store_compact" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_id < 3000",
 
     // per-date binned means — the (t, y, x) cube must be lossless
     "q69_zarr_3d_roundtrip" ->

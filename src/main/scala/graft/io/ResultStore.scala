@@ -149,7 +149,8 @@ final class ResultStore(spark: SparkSession, root: String) {
       s"$name: snapshots predate file manifests — time travel needs manifested snapshots")
     mine.foldLeft(Seq.empty[String]) { (acc, s) =>
       val names = s.files.map(f => f.name)
-      if (s.mode == "overwrite") names else acc ++ names
+      // overwrite AND compact snapshots reset the valid file set
+      if (s.mode == "overwrite" || s.mode == "compact") names else acc ++ names
     }
   }
 
@@ -177,6 +178,51 @@ final class ResultStore(spark: SparkSession, root: String) {
     drop.foreach(f => Files.delete(Paths.get(path(name), f)))
     logSnapshot(name, "rollback", t0, Nil,
       Map("rolled_back_to" -> id.toString, "deleted_files" -> drop.size.toString))
+  }
+
+  /** Bin-pack compaction (the Iceberg `rewrite_data_files` analog): the
+    * small files buffered appends accumulate are rewritten into
+    * ~`targetFileBytes` files WITHOUT changing a row, committed as a
+    * `compact` snapshot whose manifest RESETS the table's valid file set
+    * (overwrite semantics for time travel). Row counts are re-verified
+    * from the rewritten parquet footers BEFORE the old files are
+    * deleted; a crash mid-rewrite leaves the table untouched (the
+    * rewrite lands in a temp dir). Old files are removed, so traveling
+    * to a pre-compaction snapshot raises the documented expired-snapshot
+    * error — exactly Iceberg's expire behavior.
+    */
+  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024,
+              runInfo: Map[String, String] = Map.empty): Long = {
+    val t0 = System.currentTimeMillis()
+    val before = dataFiles(name)
+    require(before.nonEmpty, s"$name: nothing to compact")
+    val beforePaths = before.toSeq.sorted.map(f => Paths.get(path(name), f))
+    val totalBytes = beforePaths.map(Files.size).sum
+    val rowsBefore = beforePaths.map(footerRows).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = path(name) + ".compact_tmp"
+    table(name).coalesce(n).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val newNames = {
+      val s = Files.list(Paths.get(tmp))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(f => f.endsWith(".parquet") && !f.startsWith(".") && !f.startsWith("_"))
+        .toSeq.sorted
+      finally s.close()
+    }
+    val rowsAfter = newNames.map(f => footerRows(Paths.get(tmp, f))).sum
+    require(rowsAfter == rowsBefore,
+      s"$name: compaction row count $rowsAfter != $rowsBefore — aborting, table untouched")
+    // commit: move rewritten files in (task-UUID names never collide),
+    // drop the old set, clean the temp dir
+    newNames.foreach(f => Files.move(Paths.get(tmp, f), Paths.get(path(name), f)))
+    before.foreach(f => Files.delete(Paths.get(path(name), f)))
+    val ts = Files.list(Paths.get(tmp))
+    try ts.iterator().asScala.toSeq.foreach(Files.delete) finally ts.close()
+    Files.delete(Paths.get(tmp))
+    logSnapshot(name, "compact", t0, manifestOf(name, newNames.toSet),
+      runInfo ++ Map("files_before" -> before.size.toString,
+        "files_after" -> newNames.size.toString,
+        "bytes_before" -> totalBytes.toString))
   }
 
   /** Results reader (reference `get_results_from_h5file`,

@@ -431,4 +431,95 @@ object SimilaritySearch {
     sample.unpersist()
     out
   }
+
+  // ------------------------------------------------------------------
+  // Scalar quantization (the FAISS ScalarQuantizer QT_8bit analog):
+  // per-dimension [min, max] trained over the corpus, each component
+  // stored as one byte — 4x smaller than float32, 8x smaller than the
+  // engine's double vectors, with NO codebook join at score time.
+  // ------------------------------------------------------------------
+
+  /** Exact per-dimension (min, max) bounds: per-partition running
+    * bounds, one tiny row per partition to the driver (never the
+    * vectors).
+    */
+  def sqTrainBounds(items: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    import items.sparkSession.implicits._
+    val partials = items
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next().toArray
+          val mn = first.clone(); val mx = first.clone()
+          it.foreach { v =>
+            var j = 0
+            while (j < mn.length) {
+              val x = v(j)
+              if (x < mn(j)) mn(j) = x
+              if (x > mx(j)) mx(j) = x
+              j += 1
+            }
+          }
+          Iterator((mn.toSeq, mx.toSeq))
+        }
+      }.collect()
+    require(partials.nonEmpty, "sqTrainBounds: no vectors")
+    partials.reduce { (a, b) =>
+      (a._1.lazyZip(b._1).map(math.min).toSeq, a._2.lazyZip(b._2).map(math.max).toSeq)
+    }
+  }
+
+  /** Encode vectors to one-byte-per-dimension codes:
+    * c_j = round((x_j - min_j) / (max_j - min_j) * 255) (0 for constant
+    * dims), plus the reconstruction norm for cosine scoring — a
+    * zero-shuffle projection with the bounds as broadcast literals.
+    */
+  def sqEncode(items: DataFrame, idCol: String, vecCol: String,
+               mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+    val zipped = arrays_zip(
+      transform(col(vecCol), x => x.cast("double")).as("x"),
+      typedLit(mins).as("mn"), typedLit(maxs).as("mx"))
+    val codes = transform(zipped, s =>
+      when(s("mx") === s("mn"), lit(0)).otherwise(
+        round((s("x") - s("mn")) / (s("mx") - s("mn")) * 255).cast("int")))
+    items.select(col(idCol).as("item_id"), codes.as("codes"))
+      .withColumn("recon_norm2", sqReconNorm2(col("codes"), mins, maxs))
+  }
+
+  private def sqReconNorm2(codes: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    aggregate(
+      arrays_zip(codes.as("c"), typedLit(mins).as("mn"), typedLit(maxs).as("mx")),
+      lit(0.0),
+      (acc, s) => {
+        val r = s("mn") + s("c").cast("double") / 255.0 * (s("mx") - s("mn"))
+        acc + r * r
+      })
+
+  /** SQ8 top-k: queries keep exact vectors (asymmetric scoring against
+    * the per-item reconstructions — mn_j + c_j/255*(mx_j - mn_j)), items
+    * are scored from their byte codes alone. Same plan shape as
+    * [[bruteForceTopK]] (broadcast queries, per-partition bounded heaps,
+    * ONE exchange) with the scan reading d bytes, not d doubles.
+    */
+  def sqTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             queryIdCol: String, k: Int,
+             bounds: Option[(Seq[Double], Seq[Double])] = None): DataFrame = {
+    val (mins, maxs) = bounds.getOrElse(sqTrainBounds(items, vecCol))
+    val encoded = sqEncode(items, idCol, vecCol, mins, maxs)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"))
+      .withColumn("_qnorm", sqrt(aggregate(col("qvec"), lit(0.0), (a, x) => a + x * x)))
+    val ip = aggregate(
+      arrays_zip(col("codes").as("c"), col("qvec").as("q"),
+        typedLit(mins).as("mn"), typedLit(maxs).as("mx")),
+      lit(0.0),
+      (acc, s) => acc + s("q") * (s("mn") + s("c").cast("double") / 255.0 * (s("mx") - s("mn"))))
+    val denom = col("_qnorm") * sqrt(col("recon_norm2"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("item_id"),
+        when(denom > 0, ip / denom).otherwise(lit(0.0)).as("cosine"))
+    rankedTopK(scored, k)
+  }
 }

@@ -102,4 +102,20 @@ object ObsDocs {
       .withColumn("x", laea_x(col("lon"), col("lat")))
       .withColumn("y", laea_y(col("lon"), col("lat")))
   }
+
+  /** Inverse span projection: exploded span rows (doc_id, pos, kind,
+    * text, media_ref, offset) back into per-document `spans` arrays. The
+    * sequence is reconstructed from each span's OWN position (array_sort
+    * on the collected structs by pos), NOT from row arrival order — so
+    * the per-row span-sequence invariant (kind, text, media_ref, order)
+    * holds after ANY shuffle/repartition of the exploded rows; one
+    * partial-aggregated groupBy on doc_id is the only exchange.
+    */
+  def reassembleSpans(exploded: DataFrame): DataFrame =
+    exploded.groupBy("doc_id").agg(
+      array_sort(collect_list(struct(col("pos"), col("kind"), col("text"),
+        col("media_ref"), col("offset")))).as("_ps"))
+      .select(col("doc_id"), transform(col("_ps"), p =>
+        struct(p("kind").as("kind"), p("text").as("text"),
+          p("media_ref").as("media_ref"), p("offset").as("offset"))).as("spans"))
 }

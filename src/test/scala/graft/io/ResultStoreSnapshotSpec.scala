@@ -71,4 +71,32 @@ class ResultStoreSnapshotSpec extends AnyFunSuite with SparkTestBase {
     store.append("u", Seq((7L, "x")).toDF("id", "v"))
     assert(store.table("u").count() === 1L)
   }
+  test("compact bin-packs files losslessly; time travel resets to the new manifest") {
+    import spark.implicits._
+    val store = new ResultStore(spark, tmp())
+    val rows = (0 until 200).map(i => (i.toLong, s"v$i"))
+    val s0 = store.append("t", rows.take(80).toDF("id", "v").repartition(4))
+    store.append("t", rows.slice(80, 150).toDF("id", "v").repartition(4))
+    store.append("t", rows.drop(150).toDF("id", "v").repartition(4))
+    val filesBefore = store.snapshots().flatMap(_.files).map(_.name).toSet
+    assert(filesBefore.size >= 12)
+    val cid = store.compact("t") // default target >> data: one output file
+    // rows unchanged, file count collapsed
+    assert(store.table("t").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === rows.toSet)
+    val cSnap = store.snapshots().last
+    assert(cSnap.mode === "compact" && cSnap.id === cid)
+    assert(cSnap.files.size === 1)
+    assert(cSnap.files.map(_.rows).sum === 200L)
+    assert(cSnap.info("files_before").toInt >= 12)
+    // time travel to the compaction = full table, from the NEW manifest
+    assert(store.tableAsOf("t", cid).count() === 200L)
+    // pre-compaction snapshots expired loudly (their files are gone)
+    val e = intercept[IllegalArgumentException](store.tableAsOf("t", s0).count())
+    assert(e.getMessage.contains("expired"))
+    // appends continue on top of the compacted snapshot
+    store.append("t", Seq((999L, "z")).toDF("id", "v"))
+    assert(store.table("t").count() === 201L)
+  }
+
 }

@@ -199,6 +199,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert((0 until 5).forall(i => ivf.contains((i.toLong, i.toLong))), "self must be found")
   }
 
+  test("SQ8: byte codes in range, near-exact recall, one-exchange plan") {
+    val q = items.filter(col("vec_id") < 5)
+    val (mins, maxs) = SimilaritySearch.sqTrainBounds(items, "embedding")
+    assert(mins.length === 16 && maxs.length === 16)
+    assert(mins.lazyZip(maxs).forall(_ <= _))
+    val encoded = SimilaritySearch.sqEncode(items, "vec_id", "embedding", mins, maxs)
+    val codes = encoded.select(explode(col("codes"))).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    assert(codes.max === 255 && codes.min === 0) // bounds are tight
+    // 255 quantization levels: the top-5 should match brute force exactly
+    // on this well-separated fixture, self at rank 1
+    val sq = SimilaritySearch.sqTopK(items.repartition(8), q,
+      "vec_id", "embedding", "vec_id", 5)
+    // capture the plan BEFORE the action (post-AQE strings repeat each
+    // materialized exchange inside its ShuffleQueryStage wrapper)
+    val plan = sq.queryExecution.executedPlan.toString
+    val got = sq.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val recall = got.map(t => (t._1, t._2))
+      .intersect(brute.map(t => (t._1, t._2))).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 recall $recall")
+    assert((0 until 5).forall(i => got.contains((i.toLong, i.toLong, 1))), "self at rank 1")
+    // same plan shape as brute force: the single final-rank exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected one exchange, got $exchanges:\n$plan")
+    // constant dimension: span 0 encodes to 0, no NaN scores
+    val const = items.select(col("vec_id"),
+      transform(col("embedding"), x => lit(1.0f)).as("embedding"))
+    val (cm, cx) = SimilaritySearch.sqTrainBounds(const, "embedding")
+    val cEnc = SimilaritySearch.sqEncode(const, "vec_id", "embedding", cm, cx)
+    assert(cEnc.select(explode(col("codes"))).collect().map(_.getInt(0)).forall(_ == 0))
+  }
+
   test("PQ: codes are m small ints, ADC top-k holds recall vs brute force") {
     val q = items.filter(col("vec_id") < 5)
     // encode: 16-dim vecs -> 4 codes of 8 values each

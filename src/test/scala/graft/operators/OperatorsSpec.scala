@@ -39,6 +39,22 @@ class ObsDocsSpec extends AnyFunSuite with SparkTestBase {
     val after = flat(obs).collect().map(_.toSeq).toSet
     assert(before === after, "span sequences must be carried through untouched")
   }
+
+  test("reassembleSpans rebuilds exact arrays after an adversarial shuffle") {
+    val docs = ObsDocs.synthesize(spark, 400, 42).toDF()
+    // variable span counts (2-4 per doc) make positional slotting non-trivial
+    val exploded = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), col("s.kind").as("kind"),
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"),
+        col("s.offset").as("offset"))
+      .repartition(col("kind")) // interleaves docs, destroys row order
+      .sortWithinPartitions(desc("text")) // actively wrong order
+    val back = ObsDocs.reassembleSpans(exploded)
+    val want = docs.collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val got = back.collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    assert(got === want, "span arrays must come back IDENTICAL, order included")
+  }
 }
 
 class BinningSpec extends AnyFunSuite with SparkTestBase {

@@ -95,6 +95,24 @@ final class ResultStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Full JSON string escaping — one unescaped backslash or newline in a
+    * run-info value would otherwise corrupt the line and brick every
+    * later `snapshots()` parse.
+    */
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
   private def logSnapshot(name: String, mode: String, t0: Long,
                           files: Seq[ManifestFile],
                           runInfo: Map[String, String]): Long = {
@@ -105,7 +123,7 @@ final class ResultStore(spark: SparkSession, root: String) {
       "mode" -> mode,
       "ts_ms" -> t0.toString,
       "wall_ms" -> (System.currentTimeMillis() - t0).toString)).map {
-      case (k, v) => s""""$k":"${v.replace("\"", "'")}""""
+      case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
     }.mkString(",")
     val manifest = files.map(f =>
       s"""{"name":"${f.name}","bytes":${f.bytes},"rows":${f.rows}}""").mkString("[", ",", "]")
@@ -139,18 +157,18 @@ final class ResultStore(spark: SparkSession, root: String) {
   }
 
   /** The table's valid data-file set as of snapshot `id` (manifest
-    * replay: overwrite resets, append accumulates), with the snapshots
-    * that contributed it.
+    * replay: overwrite/compact/rollback RESET the set — a rollback
+    * snapshot's manifest records the full restored file set — appends
+    * accumulate).
     */
   private def filesAsOf(name: String, id: Long): Seq[String] = {
-    val mine = snapshots().filter(s => s.table == name && s.id <= id && s.mode != "rollback")
+    val mine = snapshots().filter(s => s.table == name && s.id <= id)
     require(mine.nonEmpty, s"$name: no snapshot with id <= $id")
-    require(mine.forall(s => s.files.nonEmpty || s.mode == "rollback"),
+    require(mine.forall(_.files.nonEmpty),
       s"$name: snapshots predate file manifests — time travel needs manifested snapshots")
     mine.foldLeft(Seq.empty[String]) { (acc, s) =>
       val names = s.files.map(f => f.name)
-      // overwrite AND compact snapshots reset the valid file set
-      if (s.mode == "overwrite" || s.mode == "compact") names else acc ++ names
+      if (s.mode == "append") acc ++ names else names // others reset
     }
   }
 
@@ -174,9 +192,18 @@ final class ResultStore(spark: SparkSession, root: String) {
   def rollback(name: String, id: Long): Long = {
     val t0 = System.currentTimeMillis()
     val keepSet = filesAsOf(name, id).toSet
+    // refuse BEFORE deleting anything: if the target's files were already
+    // physically removed (by a later overwrite/compact/rollback), deleting
+    // the current set would leave the table empty — unrecoverable
+    val gone = keepSet.filterNot(f => Files.exists(Paths.get(path(name), f)))
+    require(gone.isEmpty,
+      s"$name@$id: cannot roll back — target snapshot's data files already " +
+        s"expired by a later overwrite/compact/rollback: ${gone.mkString(", ")}")
     val drop = dataFiles(name) -- keepSet
     drop.foreach(f => Files.delete(Paths.get(path(name), f)))
-    logSnapshot(name, "rollback", t0, Nil,
+    // the manifest records the RESTORED file set, so later time travel
+    // replays from this reset point instead of the rolled-back files
+    logSnapshot(name, "rollback", t0, manifestOf(name, keepSet),
       Map("rolled_back_to" -> id.toString, "deleted_files" -> drop.size.toString))
   }
 
@@ -239,14 +266,12 @@ final class ResultStore(spark: SparkSession, root: String) {
     t.join(e, coordsCol, "left")
   }
 
-  /** Export result tables into ONE multi-key `.h5` — the reference's
-    * store-file shape (one HDF5 file with run_details / preds / ... keys,
-    * local_experts.py:499-550), so a reference user's downstream
-    * `pd.read_hdf(file, key)` tooling reads this engine's results directly.
-    * Double/long/string columns; driver-side single-file write, the honest
-    * cost for result-store-sized tables.
-    */
-  /** Export store tables to ONE reference-shaped multi-key `.h5`.
+  /** Export store tables to ONE reference-shaped multi-key `.h5` — the
+    * reference's store-file shape (one HDF5 file with run_details /
+    * preds / ... keys, local_experts.py:499-550), so a reference user's
+    * downstream `pd.read_hdf(file, key)` tooling reads this engine's
+    * results directly (driver-side single-file write, the honest cost
+    * for result-store-sized tables).
     * `format = "table"` writes the PyTables format='table' layout the
     * reference itself uses for its result stores (`write_to_hdf`,
     * GPSat/dataloader.py:644-704); "fixed" (default) writes the

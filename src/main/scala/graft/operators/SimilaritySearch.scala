@@ -69,6 +69,9 @@ object SimilaritySearch {
       }
       val best = scala.collection.mutable.Map.empty[Any, scala.collection.mutable.PriorityQueue[(Double, Any)]]
       rows.foreach { r =>
+        require(!r.isNullAt(2),
+          s"null similarity score for item ${r.get(1)} — null or " +
+            "length-mismatched embedding vector in the input")
         val qid = r.get(0)
         val cand = (r.getDouble(2), r.get(1))
         val heap = best.getOrElseUpdate(qid, scala.collection.mutable.PriorityQueue.empty(heapOrd))
@@ -287,11 +290,12 @@ object SimilaritySearch {
       transform(element_at(cbLit, j + lit(1)), cent => dot(sub, cent))
     })
   }
-  private def pqAdcCosine(dt: Column, codes: Column, qnorm: Column, reconNorm2: Column): Column = {
+  private def pqAdcCosine(dt: Column, codes: Column, qnorm: Column, reconNorm2: Column,
+                          ipOffset: Column = lit(0.0)): Column = {
     val adc = aggregate(zip_with(codes, dt,
       (c, row) => element_at(row, c + lit(1))), lit(0.0), _ + _)
     val denom = qnorm * sqrt(reconNorm2)
-    when(denom > 0, adc / denom).otherwise(lit(0.0))
+    when(denom > 0, (ipOffset + adc) / denom).otherwise(lit(0.0))
   }
 
   def pqEncode(items: DataFrame, idCol: String, vecCol: String,
@@ -392,12 +396,10 @@ object SimilaritySearch {
       .select(col("query_id"), col("dt"), col("qnorm"),
         col("p.list_id").as("list_id"),
         (if (residual) dot(col("qvec"), col("p.cvec")) else lit(0.0)).as("clist_ip"))
-    val adc = aggregate(zip_with(col("codes"), col("dt"),
-      (c, row) => element_at(row, c + lit(1))), lit(0.0), _ + _)
-    val denom = col("qnorm") * sqrt(col("recon_norm2"))
     val scored = enc.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("item_id"),
-        when(denom > 0, (col("clist_ip") + adc) / denom).otherwise(lit(0.0)).as("cosine"))
+        pqAdcCosine(col("dt"), col("codes"), col("qnorm"), col("recon_norm2"),
+          ipOffset = col("clist_ip")).as("cosine"))
     rankedTopK(scored, k)
   }
 

@@ -266,6 +266,15 @@ object PklLegacy {
         case dt =>
           val bb = java.nio.ByteBuffer.allocate(n * 8)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          // integer/bool dtypes have no NaN — a null cell would silently
+          // change the column's meaning (pandas promotes to float/object),
+          // so refuse loudly instead
+          def noNull(r: Row): Row = {
+            require(!r.isNullAt(i),
+              s"column ${f.name}: null in a ${dt.simpleString} column — " +
+                "int/bool frame-pickle columns cannot hold nulls")
+            r
+          }
           val descr = dt match {
             case DoubleType =>
               rows.foreach(r => bb.putDouble(
@@ -274,11 +283,12 @@ object PklLegacy {
               rows.foreach(r => bb.putFloat(
                 if (r.isNullAt(i)) Float.NaN else r.getFloat(i))); "f4"
             case LongType =>
-              rows.foreach(r => bb.putLong(r.getLong(i))); "i8"
+              rows.foreach(r => bb.putLong(noNull(r).getLong(i))); "i8"
             case IntegerType =>
-              rows.foreach(r => bb.putInt(r.getInt(i))); "i4"
+              rows.foreach(r => bb.putInt(noNull(r).getInt(i))); "i4"
             case BooleanType =>
-              rows.foreach(r => bb.put(if (r.getBoolean(i)) 1.toByte else 0.toByte)); "b1"
+              rows.foreach(r => bb.put(
+                if (noNull(r).getBoolean(i)) 1.toByte else 0.toByte)); "b1"
             case other => throw new IllegalArgumentException(
               s"column ${f.name}: $other not supported in a frame pickle")
           }
@@ -327,26 +337,27 @@ object PklLegacy {
     keyed.select(col(byCol).cast("string").as("_key"), struct(dataCols.map(col): _*).as("_row"))
       .foreachPartition { it: Iterator[Row] =>
         val conf = confB.value.value
-        it.map(r => (r.getString(0), r.getStruct(1)))
-          .foldLeft(Option.empty[(String, scala.collection.mutable.ArrayBuffer[Row])] -> List.empty[(String, Seq[Row])]) {
-            case ((cur, done), (k, row)) => cur match {
-              case Some((ck, buf)) if ck == k => buf += row; (cur, done)
-              case Some((ck, buf)) =>
-                (Some(k -> scala.collection.mutable.ArrayBuffer(row)), (ck, buf.toSeq) :: done)
-              case None =>
-                (Some(k -> scala.collection.mutable.ArrayBuffer(row)), done)
-            }
-          } match { case (last, done) =>
-            val groups = last.map { case (k, b) => (k, b.toSeq) }.toList ::: done
-            groups.foreach { case (k, rows) =>
-              val p = new org.apache.hadoop.fs.Path(s"$dir/$k.pkl")
-              val fs = p.getFileSystem(conf)
-              fs.setWriteChecksum(false)
-              val out = fs.create(p, true)
-              try out.write(framePickleBytes(dataSchema, rows))
-              finally out.close()
-            }
+        def flush(k: String, rows: Seq[Row]): Unit = {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$k.pkl")
+          val fs = p.getFileSystem(conf)
+          fs.setWriteChecksum(false)
+          val out = fs.create(p, true)
+          try out.write(framePickleBytes(dataSchema, rows))
+          finally out.close()
+        }
+        // rows arrive key-sorted: write each granule the moment its run
+        // closes, so peak memory is ONE granule, not the whole partition
+        var curKey: String = null
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        it.foreach { r =>
+          val k = r.getString(0)
+          if (k != curKey) {
+            if (curKey != null) { flush(curKey, buf.toSeq); buf.clear() }
+            curKey = k
           }
+          buf += r.getStruct(1)
+        }
+        if (curKey != null) flush(curKey, buf.toSeq)
       }
   }
 }

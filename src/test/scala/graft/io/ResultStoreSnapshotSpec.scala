@@ -71,6 +71,38 @@ class ResultStoreSnapshotSpec extends AnyFunSuite with SparkTestBase {
     store.append("u", Seq((7L, "x")).toDF("id", "v"))
     assert(store.table("u").count() === 1L)
   }
+  test("time travel works past a rollback; rollback to an expired target refuses") {
+    import spark.implicits._
+    val store = new ResultStore(spark, tmp())
+    val s0 = store.append("t", Seq((1L, "a")).toDF("id", "v"))
+    store.append("t", Seq((2L, "b")).toDF("id", "v"))
+    val rb = store.rollback("t", s0) // deletes batch 2's files
+    val s3 = store.append("t", Seq((3L, "c")).toDF("id", "v"))
+    // AS OF the post-rollback append: restored set + new batch — the
+    // rollback manifest resets the chain, the deleted files never replay
+    assert(store.tableAsOf("t", s3).collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(store.tableAsOf("t", rb).collect().map(_.getLong(0)).toSet === Set(1L))
+    // overwrite physically removes everything older; rolling back to a
+    // pre-overwrite snapshot must REFUSE (not delete the live files)
+    store.overwrite("t", Seq((9L, "z")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](store.rollback("t", s0))
+    assert(e.getMessage.contains("expired"))
+    assert(store.table("t").collect().map(_.getLong(0)).toSet === Set(9L))
+  }
+
+  test("snapshot log survives hostile run-info values (JSON escaping)") {
+    import spark.implicits._
+    val store = new ResultStore(spark, tmp())
+    store.append("t", Seq((1L, "a")).toDF("id", "v"),
+      Map("path" -> "C:\\tmp\\x.h5", "note" -> "line1\nline2\t\"quoted\""))
+    val snap = store.snapshots().last
+    assert(snap.info("path") === "C:\\tmp\\x.h5")
+    assert(snap.info("note") === "line1\nline2\t\"quoted\"")
+    // and the log still parses for the NEXT commit
+    store.append("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(store.snapshots().length === 2)
+  }
+
   test("compact bin-packs files losslessly; time travel resets to the new manifest") {
     import spark.implicits._
     val store = new ResultStore(spark, tmp())

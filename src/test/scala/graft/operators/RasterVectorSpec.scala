@@ -148,6 +148,26 @@ class RasterVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.toSet.size > 1) // multiple regions exist
   }
 
+  test("plan shape: zone assignment is shuffle-free; zonalStats is one partial-agg exchange") {
+    import spark.implicits._
+    val pts = lattice.map { case (x, y) => (x, y, 1.0) }.toDF("x", "y", "z")
+    // assignZones: pure codegen'd projection — no exchange, no join
+    // repartition keeps the projection from constant-folding into a
+    // LocalTableScan; the op itself must add NO hash exchange and no join
+    val assignPlan = RasterVector.assignZones(pts.repartition(4), zones)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange hashpartitioning"),
+      s"assignZones must not shuffle:\n$assignPlan")
+    assert(!assignPlan.contains("Join"), s"assignZones must not join:\n$assignPlan")
+    assert(assignPlan.contains("point_in_polygon"), "zones ride as codegen'd expressions")
+    // zonalStats: partial HashAggregate -> ONE exchange -> final
+    val statsPlan = RasterVector.zonalStats(pts.repartition(4), zones, "z")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(statsPlan).length
+    assert(exchanges === 1, s"expected one zone-key exchange, got $exchanges:\n$statsPlan")
+    assert("HashAggregate".r.findAllIn(statsPlan).length >= 2, "partial+final aggregation")
+  }
+
   test("rasterize burns the zone map onto cell centers, sparse") {
     val got = RasterVector.rasterize(spark, zones,
       (-750000.0, 750000.0), (-750000.0, 750000.0), 100000.0)

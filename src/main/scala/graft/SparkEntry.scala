@@ -464,6 +464,15 @@ object SparkEntry {
         .select("query_id", "item_id", "rank")
     }),
 
+    // IVF + SQ8 composed (the FAISS "IVF8,SQ8" index-factory shape):
+    // coarse lists prune the scan, candidates score from byte codes
+    "q84_ann_ivfsq" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      SimilaritySearch.ivfSqTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", "vec_id", k = 3, nlist = 8, nprobe = 4)
+        .select("query_id", "item_id", "rank")
+    }),
+
     // full IVF-PQ: coarse lists prune the candidate set AND candidates
     // ship only their PQ codes into the probe join — the combined 100 TB
     // ANN plan (non-residual FAISS-IVFPQ shape)
@@ -1737,6 +1746,43 @@ object SparkEntry {
         |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank FROM scored)
         |WHERE rank <= 3""".stripMargin,
+
+    // q65's IVF coarse CTEs composed with q82's SQ byte-code scoring:
+    // candidates = probed lists only, reconstruction cosine from codes
+    "q84_ann_ivfsq" ->
+      s"""WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),
+         |c AS (SELECT item_id AS list_id, ivec AS cvec FROM it ORDER BY item_id LIMIT 8),
+         |asg AS (
+         |  SELECT item_id, list_id FROM (
+         |    SELECT i.item_id, c.list_id,
+         |      row_number() OVER (PARTITION BY i.item_id ORDER BY ${cosSql("i.ivec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM it i, c) WHERE r = 1),
+         |ex AS (SELECT i.item_id, t.j, list_extract(i.ivec, t.j) AS x FROM it i, range(1, 65) t(j)),
+         |bounds AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j),
+         |codes AS (
+         |  SELECT e.item_id, e.j, b.mn, b.mx,
+         |    CASE WHEN b.mx = b.mn THEN 0
+         |         ELSE CAST(round((e.x - b.mn) / (b.mx - b.mn) * 255) AS INT) END AS cd
+         |  FROM ex e JOIN bounds b USING (j)),
+         |recon AS (
+         |  SELECT item_id, j, mn + CAST(cd AS DOUBLE) / 255.0 * (mx - mn) AS r FROM codes),
+         |rnorm AS (SELECT item_id, sqrt(sum(r * r)) AS rn FROM recon GROUP BY item_id),
+         |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec FROM embeddings WHERE vec_id < 3),
+         |probes AS (
+         |  SELECT query_id, qvec, list_id FROM (
+         |    SELECT q.query_id, q.qvec, c.list_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosSql("q.qvec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM q, c) WHERE r <= 4),
+         |cand AS (SELECT p.query_id, p.qvec, a.item_id FROM asg a JOIN probes p USING (list_id)),
+         |scored AS (
+         |  SELECT ca.query_id, ca.item_id,
+         |    sum(list_extract(ca.qvec, r.j) * r.r)
+         |      / (any_value(sqrt(list_sum(list_transform(ca.qvec, x -> x * x)))) * any_value(rn.rn)) AS cosine
+         |  FROM cand ca JOIN recon r USING (item_id) JOIN rnorm rn USING (item_id)
+         |  GROUP BY ca.query_id, ca.item_id)
+         |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
 
     // IVF coarse assignment (q32's CTEs) composed with the PQ encode/ADC
     // replica (q64's): candidates = probed lists only, scored from codes

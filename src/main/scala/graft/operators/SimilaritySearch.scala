@@ -479,15 +479,28 @@ object SimilaritySearch {
     * zero-shuffle projection with the bounds as broadcast literals.
     */
   def sqEncode(items: DataFrame, idCol: String, vecCol: String,
-               mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
-    val zipped = arrays_zip(
-      transform(col(vecCol), x => x.cast("double")).as("x"),
-      typedLit(mins).as("mn"), typedLit(maxs).as("mx"))
-    val codes = transform(zipped, s =>
-      when(s("mx") === s("mn"), lit(0)).otherwise(
-        round((s("x") - s("mn")) / (s("mx") - s("mn")) * 255).cast("int")))
-    items.select(col(idCol).as("item_id"), codes.as("codes"))
+               mins: Seq[Double], maxs: Seq[Double]): DataFrame =
+    items.select(col(idCol).as("item_id"),
+      sqCodesExpr(transform(col(vecCol), x => x.cast("double")), mins, maxs).as("codes"))
       .withColumn("recon_norm2", sqReconNorm2(col("codes"), mins, maxs))
+
+  private def sqCodesExpr(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    transform(
+      arrays_zip(vec.as("x"), typedLit(mins).as("mn"), typedLit(maxs).as("mx")),
+      s => when(s("mx") === s("mn"), lit(0)).otherwise(
+        round((s("x") - s("mn")) / (s("mx") - s("mn")) * 255).cast("int")))
+
+  /** asymmetric cosine of q against the byte-code reconstruction. */
+  private def sqAdcCosine(codes: Column, qvec: Column, qnorm: Column,
+                          reconNorm2: Column,
+                          mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val ip = aggregate(
+      arrays_zip(codes.as("c"), qvec.as("q"),
+        typedLit(mins).as("mn"), typedLit(maxs).as("mx")),
+      lit(0.0),
+      (acc, s) => acc + s("q") * (s("mn") + s("c").cast("double") / 255.0 * (s("mx") - s("mn"))))
+    val denom = qnorm * sqrt(reconNorm2)
+    when(denom > 0, ip / denom).otherwise(lit(0.0))
   }
 
   private def sqReconNorm2(codes: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
@@ -513,15 +526,48 @@ object SimilaritySearch {
     val q = queries.select(col(queryIdCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qvec"))
       .withColumn("_qnorm", sqrt(aggregate(col("qvec"), lit(0.0), (a, x) => a + x * x)))
-    val ip = aggregate(
-      arrays_zip(col("codes").as("c"), col("qvec").as("q"),
-        typedLit(mins).as("mn"), typedLit(maxs).as("mx")),
-      lit(0.0),
-      (acc, s) => acc + s("q") * (s("mn") + s("c").cast("double") / 255.0 * (s("mx") - s("mn"))))
-    val denom = col("_qnorm") * sqrt(col("recon_norm2"))
     val scored = encoded.crossJoin(broadcast(q))
       .select(col("query_id"), col("item_id"),
-        when(denom > 0, ip / denom).otherwise(lit(0.0)).as("cosine"))
+        sqAdcCosine(col("codes"), col("qvec"), col("_qnorm"),
+          col("recon_norm2"), mins, maxs).as("cosine"))
+    rankedTopK(scored, k)
+  }
+
+  /** IVF + SQ8 composed (the FAISS "IVF<n>,SQ8" index-factory shape):
+    * ONE scan assigns each item's coarse list (broadcast-argmax, zero
+    * shuffle) AND encodes its byte codes; queries probe their nprobe
+    * nearest lists and candidates score from codes alone — the scan
+    * reads ~nprobe/nlist of the table at d BYTES per row.
+    */
+  def ivfSqTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                bounds: Option[(Seq[Double], Seq[Double])] = None,
+                centroids: Option[DataFrame] = None): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"),
+      transform(col(vecCol), x => x.cast("double")).as("ivec"))
+    val centroidArr = centroidArray(centroids.getOrElse(
+      it.orderBy("item_id").limit(nlist)
+        .select(col("item_id").as("list_id"), col("ivec").as("cvec"))))
+    val (mins, maxs) = bounds.getOrElse(sqTrainBounds(items, vecCol))
+    val enc = it.crossJoin(broadcast(centroidArr))
+      .select(col("item_id"), nearestList(col("ivec")).as("list_id"),
+        sqCodesExpr(col("ivec"), mins, maxs).as("codes"))
+      .withColumn("recon_norm2", sqReconNorm2(col("codes"), mins, maxs))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"))
+    val scoredLists = transform(col("cents"), c =>
+      struct((-Dedup.cosine(col("qvec"), c.getField("cvec"))).as("neg_csim"),
+        c.getField("list_id").as("list_id")))
+    val probes = q.crossJoin(broadcast(centroidArr))
+      .select(col("query_id"), col("qvec"),
+        sqrt(aggregate(col("qvec"), lit(0.0), (a, x) => a + x * x)).as("qnorm"),
+        explode(slice(array_sort(scoredLists), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        col("p.list_id").as("list_id"))
+    val scored = enc.join(broadcast(probes), Seq("list_id"))
+      .select(col("query_id"), col("item_id"),
+        sqAdcCosine(col("codes"), col("qvec"), col("qnorm"),
+          col("recon_norm2"), mins, maxs).as("cosine"))
     rankedTopK(scored, k)
   }
 }

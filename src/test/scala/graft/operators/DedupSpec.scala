@@ -233,6 +233,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cEnc.select(explode(col("codes"))).collect().map(_.getInt(0)).forall(_ == 0))
   }
 
+  test("IVF-SQ8: coarse pruning + byte-code scoring keeps recall, self found") {
+    val q = items.filter(col("vec_id") < 5)
+    val got = SimilaritySearch.ivfSqTopK(items, q, "vec_id", "embedding",
+      "vec_id", 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(items, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF-SQ8 recall $recall")
+    assert((0 until 5).forall(i => got.contains((i.toLong, i.toLong))), "self must be found")
+    // pruning is real: IVF-SQ candidates per query <= the probed share
+    val ivfOnly = SimilaritySearch.ivfTopK(items, q, "vec_id", "embedding",
+      "vec_id", 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.intersect(ivfOnly).size.toDouble / ivfOnly.size >= 0.6,
+      "SQ scoring should mostly agree with exact scoring over the same candidates")
+  }
+
   test("PQ: codes are m small ints, ADC top-k holds recall vs brute force") {
     val q = items.filter(col("vec_id") < 5)
     // encode: 16-dim vecs -> 4 codes of 8 values each

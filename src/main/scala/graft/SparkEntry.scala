@@ -473,6 +473,56 @@ object SparkEntry {
         .select("query_id", "item_id", "rank")
     }),
 
+    // Gopher/MassiveText repetition filters at word granularity — computed
+    // per row with a sort + one O(n) aggregate pass (zero shuffle; the
+    // explode->groupBy plan would shuffle the full token stream)
+    "q85_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(pq(s, dir, "documents"), "doc_id", "text")),
+
+    // incremental archive dedup (daily-crawl-vs-corpus): broadcast Bloom
+    // prefilter over archive text hashes + exact confirm anti-join on the
+    // positives only. Batch = odd ids with ~10% of rows deterministically
+    // overwritten by the preceding (archived) doc's text so the drop path
+    // is exercised; archive = even ids.
+    "q86_archive_dedup" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val prevTxt = docs.select((col("doc_id") + 1).as("doc_id"), col("text").as("ptext"))
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .join(prevTxt, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 10 === 1 && col("ptext").isNotNull, col("ptext"))
+            .otherwise(col("text")))
+        .select("doc_id", "text", "source")
+      val archive = docs.filter(col("doc_id") % 2 === 0)
+      Dedup.dedupAgainstArchive(batch, archive, "text",
+          expectedArchiveItems = 100000L, fpp = 0.001)
+        .select("doc_id", "source")
+    }),
+
+    // PII scan + redaction: deterministic email/phone/ipv4 injections
+    // (the synthetic corpus has no digits or @, so every match is the
+    // injected one) counted on the original text and redacted in order
+    "q87_pii_redact" -> ((s, dir) => {
+      val injected = pq(s, dir, "documents").withColumn("text2",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" mail bob"), col("doc_id").cast("string"), lit("@example.org now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" call (555) 123-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" soon")))
+          .otherwise(concat(lit(" host 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string"), lit(" up")))))
+      TextAnalysis.redactPii(injected, "text2")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ipv4"),
+          col("text_redacted"))
+    }),
+
+    // per-source mixture weights for corpus re-balancing (uniform target):
+    // one partial-aggregated groupBy + single-row broadcast totals
+    "q88_mixture_weights" -> ((s, dir) =>
+      TextAnalysis.mixtureWeights(pq(s, dir, "documents"), "source")
+        .select("source", "n_docs", "actual_frac", "target_frac", "weight")),
+
     // full IVF-PQ: coarse lists prune the candidate set AND candidates
     // ship only their PQ codes into the probe join — the combined 100 TB
     // ANN plan (non-residual FAISS-IVFPQ shape)
@@ -1783,6 +1833,68 @@ object SparkEntry {
          |SELECT query_id, item_id, CAST(rank AS INT) AS rank FROM (
          |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin,
+
+    // word + bigram repetition stats replayed with explode/groupBy (the
+    // oracle may shuffle; the engine side must not)
+    "q85_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, max(c) AS mx, sum(c) AS n,
+        |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+        |       FROM t, unnest(range(1, len(tk))) AS u(i)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, max(c) AS mx FROM bc GROUP BY 1)
+        |SELECT t.doc_id, CAST(ta.n AS BIGINT) AS n_tokens,
+        |  CAST(ta.mx AS DOUBLE) / ta.n AS top_token_frac,
+        |  CAST(ta.dup AS DOUBLE) / ta.n AS dup_token_frac,
+        |  COALESCE(CAST(ba.mx AS DOUBLE) / (ta.n - 1), 0.0) AS top_bigram_frac
+        |FROM t JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)""".stripMargin,
+
+    // the Bloom prefilter + confirm join must equal the plain anti-join
+    "q86_archive_dedup" ->
+      """WITH batch AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 10 = 1 AND p.text IS NOT NULL THEN p.text
+        |         ELSE b.text END AS text,
+        |    b.source
+        |  FROM documents b LEFT JOIN documents p ON p.doc_id = b.doc_id - 1
+        |  WHERE b.doc_id % 2 = 1),
+        |arch AS (SELECT text FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id, source FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM arch a WHERE a.text = b.text)""".stripMargin,
+
+    // identical injection CASE, counts on the original text, then the
+    // same three global regexp_replaces in the same order
+    "q87_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN ' mail bob' || CAST(doc_id AS VARCHAR) || '@example.org now'
+        |         WHEN doc_id % 3 = 1
+        |           THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon'
+        |         ELSE ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+        |              || CAST(doc_id % 250 AS VARCHAR) || ' up'
+        |    END AS t2 FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t2, '\(\d{3}\) \d{3}-\d{4}')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+        |  regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+        |FROM inj""".stripMargin,
+
+    "q88_mixture_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total, count(*) AS k FROM c)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_docs AS DOUBLE) / total AS actual_frac,
+        |  1.0 / k AS target_frac,
+        |  (1.0 / k) / (CAST(n_docs AS DOUBLE) / total) AS weight
+        |FROM c, t""".stripMargin,
 
     // IVF coarse assignment (q32's CTEs) composed with the PQ encode/ADC
     // replica (q64's): candidates = probed lists only, scored from codes

@@ -39,6 +39,37 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .select(idCol, textCol, "dup_count")
 
+  /** Incremental dedup of a new `batch` against an existing `archive`
+    * (the daily-crawl-vs-corpus shape): keep exactly the batch rows whose
+    * text does not appear in the archive.
+    *
+    * Scale shape: a Bloom filter over the archive's 8-byte text hashes is
+    * built with one treeAggregate and broadcast; batch rows that test
+    * NEGATIVE are definitely new and never enter a join, so the exact
+    * confirmation anti-join (which repairs the filter's false positives)
+    * processes only `true_dupes + fpp * |batch|` rows. The archive itself
+    * is scanned once for hashes and never shuffled against the batch.
+    * At ~10^9 archive docs and fpp 1 % the filter is ~1.2 GB — fine to
+    * broadcast; past that, shard the archive and apply per shard, or fall
+    * back to the plain hash semi-join (the [[exact]] plan), which this
+    * function equals semantically.
+    */
+  def dedupAgainstArchive(batch: DataFrame, archive: DataFrame,
+                          textCol: String, expectedArchiveItems: Long = 1000000L,
+                          fpp: Double = 0.01): DataFrame = {
+    val archHash = archive.select(xxhash64(col(textCol)).as("_arch_hash"))
+    val bloom = archHash.stat.bloomFilter("_arch_hash", expectedArchiveItems, fpp)
+    val bloomBc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val probed = batch
+      .withColumn("_h", xxhash64(col(textCol)))
+      .withColumn("_maybe_dup", mightContain(col("_h")))
+    val definitelyNew = probed.filter(!col("_maybe_dup"))
+    val confirmedNew = probed.filter(col("_maybe_dup"))
+      .join(archHash.withColumnRenamed("_arch_hash", "_h"), Seq("_h"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).drop("_h", "_maybe_dup")
+  }
+
   /** Banding parameters for a target Jaccard threshold: among (bands,
     * rows) factorizations of the signature length `k`, pick the pair
     * whose S-curve midpoint (1/b)^(1/r) sits closest to `threshold` —

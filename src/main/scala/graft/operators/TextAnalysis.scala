@@ -83,6 +83,140 @@ object TextAnalysis {
         when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0) +
         col("distinct_token_ratio") * 0.3))
 
+  /** Per-document repetition metrics (the Gopher / MassiveText repetition
+    * filters, Rae et al. 2021 appendix A1.1, at word granularity):
+    *
+    *  - `top_token_frac`   — occurrences of the most frequent token / n
+    *  - `dup_token_frac`   — tokens whose value occurs >= 2 times / n
+    *  - `top_bigram_frac`  — occurrences of the most frequent word bigram
+    *                         / (n - 1)
+    *
+    * Scale shape: everything is computed PER ROW with higher-order
+    * functions — sort the token array once, then a single O(n) `aggregate`
+    * pass carries (prev, run, maxRun, dupCount) through the sorted runs.
+    * No explode, no shuffle, no UDF; a 100 TB corpus pays exactly one
+    * projection. (The obvious explode → groupBy(doc, token) plan shuffles
+    * the full token stream — ~7x the corpus bytes — to compute a per-row
+    * number.)
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // run-length stats over a SORTED array: struct(maxRun, dupCount)
+    def runStats(arr: Column): Column =
+      aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("maxRun"), lit(0L).as("dup")),
+        (acc, x) => {
+          val same = acc.getField("prev").isNotNull && acc.getField("prev") === x
+          val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("maxRun"), run).as("maxRun"),
+            (acc.getField("dup") +
+              when(run === 2L, 2L).when(run > 2L, 1L).otherwise(0L)).as("dup"))
+        },
+        acc => struct(acc.getField("maxRun").as("maxRun"), acc.getField("dup").as("dup")))
+
+    val toks = col("__toks")
+    val n = col("n_tokens")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(col(idCol),
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")).as("__toks"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__ts", runStats(toks))
+      .withColumn("__bs", runStats(bigrams))
+      .select(col(idCol), n,
+        when(n > 0, col("__ts.maxRun").cast("double") / n).otherwise(0.0).as("top_token_frac"),
+        when(n > 0, col("__ts.dup").cast("double") / n).otherwise(0.0).as("dup_token_frac"),
+        when(n > 1, col("__bs.maxRun").cast("double") / (n - 1)).otherwise(0.0).as("top_bigram_frac"))
+  }
+
+  /** PII patterns shared by [[redactPii]] and the generated oracle SQL —
+    * restricted to syntax with identical semantics in Java regex and RE2
+    * (no backrefs, no lookaround).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\(\\d{3}\\) \\d{3}-\\d{4}", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII scan + redaction: per-type match counts (on the ORIGINAL text)
+    * plus a redacted text column with every match replaced by its tag,
+    * applied in [[piiPatterns]] order (emails first, so an address can
+    * never be half-eaten by the ip rule). Pure regexp expressions —
+    * codegen'd, zero shuffle; the 100 TB shape is one projection.
+    */
+  def redactPii(df: DataFrame, textCol: String,
+                outCol: String = "text_redacted"): DataFrame = {
+    val t = col(textCol)
+    val counted = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(t, lit(pat)))
+    }
+    val redacted = piiPatterns.foldLeft(t) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+    counted.withColumn(outCol, redacted)
+  }
+
+  /** Per-group mixture weights for corpus re-balancing: for each value of
+    * `byCol`, its document count, actual fraction, target fraction
+    * (uniform over the observed groups unless an explicit map is given),
+    * and the sampling weight `target_frac / actual_frac` that
+    * [[sampleToMixture]] applies. One partial-aggregated groupBy; the
+    * totals ride a single-row cross join (broadcast).
+    */
+  def mixtureWeights(df: DataFrame, byCol: String,
+                     target: Map[String, Double] = Map.empty): DataFrame = {
+    val counts = df.groupBy(byCol).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum("n_docs").as("__total"), count(lit(1)).as("__k"))
+    val targetFrac =
+      if (target.isEmpty) lit(1.0) / col("__k")
+      else {
+        val m = map(target.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        coalesce(element_at(m, col(byCol)), lit(0.0))
+      }
+    counts.crossJoin(broadcast(totals))
+      .withColumn("actual_frac", col("n_docs").cast("double") / col("__total"))
+      .withColumn("target_frac", targetFrac)
+      .withColumn("weight", col("target_frac") / col("actual_frac"))
+      .drop("__total", "__k")
+  }
+
+  /** Deterministic hash sampling: keep a row iff
+    * `xxhash64(key, seed) mod 2^20 < frac * 2^20`. Unlike `df.sample`,
+    * membership is a pure function of the key — stable across partitioning,
+    * retries, and cluster size (the property a resumable 100 TB job needs),
+    * and the SAME row set is selected when the job re-runs on an appended
+    * table.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, frac: Double,
+                          seed: Int = 42): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0,1], got $frac")
+    val M = 1L << 20
+    df.filter(pmod(xxhash64(col(keyCol), lit(seed)), lit(M)) < (lit(frac) * M).cast("long"))
+  }
+
+  /** Re-balance a corpus toward the [[mixtureWeights]] target mixture:
+    * each group is down-sampled with probability `baseFrac * weight`
+    * (capped at 1 — up-weighting beyond availability needs repetition,
+    * which stays the trainer's call). Weights join in broadcast; the
+    * per-row decision is the same deterministic hash as
+    * [[deterministicSample]].
+    */
+  def sampleToMixture(df: DataFrame, byCol: String, keyCol: String,
+                      weights: DataFrame, baseFrac: Double,
+                      seed: Int = 42): DataFrame = {
+    val M = 1L << 20
+    df.join(broadcast(weights.select(col(byCol), col("weight"))), Seq(byCol))
+      .filter(pmod(xxhash64(col(keyCol), lit(seed)), lit(M)) <
+        (least(lit(baseFrac) * col("weight"), lit(1.0)) * M).cast("long"))
+      .drop("weight")
+  }
+
   /** language-marker token sets for the n-gram/stopword language-ID
     * heuristic (top function words per language).
     */

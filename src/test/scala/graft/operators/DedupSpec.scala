@@ -53,6 +53,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(closure === Set(1L, 9L))
   }
 
+  test("dedupAgainstArchive equals the plain anti-join, and the bloom prefilter screens") {
+    // archive: 500 docs; batch: 400 docs of which 100 duplicate archive texts
+    val archive = (0L until 500L).map(i => (i, s"archived document number $i with shared words"))
+      .toDF("doc_id", "text")
+    val batch = (1000L until 1400L).map { i =>
+      val txt = if (i % 4 == 0) s"archived document number ${i % 500} with shared words"
+                else s"fresh batch document $i never seen before"
+      (i, txt)
+    }.toDF("doc_id", "text")
+
+    val got = Dedup.dedupAgainstArchive(batch, archive, "text",
+      expectedArchiveItems = 1000L, fpp = 0.001)
+      .select("doc_id").as[Long].collect().toSet
+    val want = batch.join(archive.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(got.size === 300)
+
+    // the prefilter really screens: at fpp 0.001 on 300 fresh texts the
+    // bloom-positive set is the 100 true dupes plus at most a few false
+    // positives — the confirm anti-join never sees most of the batch
+    val archHash = archive.select(xxhash64(col("text")).as("_arch_hash"))
+    val bloom = archHash.stat.bloomFilter("_arch_hash", 1000L, 0.001)
+    val positives = batch.withColumn("_h", xxhash64(col("text")))
+      .as[(Long, String, Long)].collect().count(r => bloom.mightContainLong(r._3))
+    assert(positives >= 100 && positives <= 110,
+      s"bloom positives should be ~the 100 true dupes, got $positives")
+  }
+
   test("connected components: labels over a multi-hop chain, union-find AND distributed paths") {
     // chain 5-4, 4-2, 2-7 plus isolated pair 10-11: components {2,4,5,7}->2, {10,11}->10
     val pairs = Seq((4L, 5L), (2L, 4L), (2L, 7L), (10L, 11L)).toDF("idA", "idB")

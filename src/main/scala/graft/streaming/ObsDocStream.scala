@@ -59,6 +59,47 @@ object ObsDocStream {
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
 
+  /** Streaming incremental dedup against a STATIC archive — the streaming
+    * half of [[graft.operators.Dedup.dedupAgainstArchive]], composed with
+    * [[dedupStream]]'s in-stream dedup:
+    *
+    *  1. a Bloom filter over the archive's 8-byte content hashes (one
+    *     batch treeAggregate at stream start, broadcast) screens every
+    *     arriving row STATELESSLY — bloom-negative rows are definitely
+    *     new and never touch a join;
+    *  2. bloom-positive rows (true dupes + fpp of the stream) confirm
+    *     against the distinct archive hash table via a stream-static
+    *     left_outer join + null filter (the supported anti-join form);
+    *  3. the survivors pass through the same watermark-bounded
+    *     `dropDuplicatesWithinWatermark` as [[dedupStream]], so in-batch
+    *     repeats are also dropped.
+    *
+    * Content identity = `xxhash64(to_json(spans))`, identical to
+    * [[dedupStream]] and the batch operator; streaming state stays
+    * 8 bytes + timestamp per distinct NEW document, watermark-evicted,
+    * regardless of archive size.
+    */
+  def dedupStreamAgainstArchive(docs: DataFrame, archive: DataFrame,
+                                archiveContentCol: String,
+                                expectedArchiveItems: Long = 1000000L,
+                                fpp: Double = 0.01,
+                                watermark: String = "10 minutes"): DataFrame = {
+    val archHash = archive
+      .select(xxhash64(col(archiveContentCol)).as("__h")).distinct()
+    val bloom = archHash.stat.bloomFilter("__h", expectedArchiveItems, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val maybeDup = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val hashed = docs.withColumn("__h", xxhash64(to_json(col("spans"))))
+    val fresh = hashed.filter(!maybeDup(col("__h")))
+    val confirmed = hashed.filter(maybeDup(col("__h")))
+      .join(archHash.withColumn("__dup", lit(1)), Seq("__h"), "left_outer")
+      .filter(col("__dup").isNull).drop("__dup")
+    fresh.unionByName(confirmed)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+  }
+
   /** Streaming tile routing — the stream-static half of `local_select`
     * (SURVEY §2.4): every arriving observation joins the (small, static)
     * expert grid through the SAME cell-bucketed radius join as the batch

@@ -129,6 +129,37 @@ class ObsDocStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStreamAgainstArchive: archived content drops, fresh passes, in-stream repeats drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new Timestamp(1700000000000L)
+    val archivedDoc = ObsDocs.makeDoc(1L, 42)
+    val freshDoc = ObsDocs.makeDoc(2L, 42)
+    val freshDoc2 = ObsDocs.makeDoc(3L, 42)
+    // static archive: content strings matching xxhash64(to_json(spans))
+    val archive = Seq(Tuple1(archivedDoc)).toDF("d")
+      .select(to_json(col("d.spans")).as("content"))
+    val input = MemoryStream[StreamDoc]
+    val deduped = ObsDocStream.dedupStreamAgainstArchive(
+      input.toDF(), archive, "content",
+      expectedArchiveItems = 100L, fpp = 0.001, watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("arch_dedup_stream")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      input.addData(
+        StreamDoc("a", archivedDoc.spans, ts),                              // in archive -> dropped
+        StreamDoc("b", freshDoc.spans, new Timestamp(ts.getTime + 1000)),   // new -> kept
+        StreamDoc("c", freshDoc.spans, new Timestamp(ts.getTime + 2000)))   // in-batch repeat -> dropped
+      q.processAllAvailable()
+      input.addData(
+        StreamDoc("d", archivedDoc.spans, new Timestamp(ts.getTime + 3000)), // archived -> dropped
+        StreamDoc("e", freshDoc2.spans, new Timestamp(ts.getTime + 4000)))   // new -> kept
+      q.processAllAvailable()
+      val kept = spark.table("arch_dedup_stream").select("doc_id").as[String].collect().sorted
+      assert(kept.toSeq === Seq("b", "e"), s"got ${kept.toSeq}")
+    } finally q.stop()
+  }
+
   case class EdgePoint(x: Double, y: Double, t: Double, z: Double,
                        source: String, event_time: Timestamp)
 

@@ -523,6 +523,39 @@ object SparkEntry {
       TextAnalysis.mixtureWeights(pq(s, dir, "documents"), "source")
         .select("source", "n_docs", "actual_frac", "target_frac", "weight")),
 
+    // substring-level exact dedup stats (Lee et al. 2022 at word
+    // granularity): token positions covered by any corpus-duplicated
+    // word 5-gram, interval-unioned per document; only the 8-byte gram
+    // hashes shuffle
+    "q89_dup_passages" -> ((s, dir) =>
+      Dedup.duplicatedPassageStats(pq(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_tokens", "n_dup_tokens", "dup_frac")),
+
+    // char-trigram LM perplexity scoring (CCNet-style quality filter):
+    // model trained on the doc_id%10==0 slice, scored corpus-wide via a
+    // broadcast model join; avg_logprob rounded to 4 decimals so the
+    // cross-engine float-sum order cannot flip the comparison
+    "q90_trigram_lm" -> ((s, dir) =>
+      TextAnalysis.trigramLmScore(pq(s, dir, "documents"), "doc_id", "text",
+        sampleFilter = col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_logprob"), 4).as("avg_logprob"))),
+
+    // leakage-free train/val split: near-dup components (q59's pair
+    // graph) land whole on one side; the split key is the Knuth
+    // multiplicative hash of the component representative so the oracle
+    // can recompute it (the operator default is salted xxhash64)
+    "q91_leakage_split" -> ((s, dir) => {
+      val ids = pq(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 2000)
+      val pairs = ids.filter(col("doc_id") % 50 < 43)
+        .select(col("doc_id").as("idA"), (col("doc_id") + 7).as("idB"))
+        .join(ids.select(col("doc_id").as("idB")), Seq("idB"))
+        .select("idA", "idB")
+      Dedup.leakageFreeSplit(ids, "doc_id", pairs, valFrac = 0.1,
+        splitKey = c => pmod(c * lit(2654435761L), lit(1L << 20)))
+        .select("doc_id", "split")
+    }),
+
     // full IVF-PQ: coarse lists prune the candidate set AND candidates
     // ship only their PQ codes into the probe join — the combined 100 TB
     // ANN plan (non-residual FAISS-IVFPQ shape)
@@ -1895,6 +1928,74 @@ object SparkEntry {
         |  1.0 / k AS target_frac,
         |  (1.0 / k) / (CAST(n_docs AS DOUBLE) / total) AS weight
         |FROM c, t""".stripMargin,
+
+    // duplicated-passage stats: grams via lead() windows, dup = count>=2
+    // corpus-wide, coverage = window-max of the dup-start flag over the
+    // trailing (n-1) positions
+    "q89_dup_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(trim(text), ' ')) AS word,
+        |         unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |    word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+        |         || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g2 AS (SELECT doc_id, pos, gram FROM grams WHERE gram IS NOT NULL),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |starts AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT t.doc_id,
+        |         max(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks t LEFT JOIN starts s ON s.doc_id = t.doc_id AND s.pos = t.pos)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(c) AS BIGINT) AS n_dup_tokens,
+        |       CAST(sum(c) AS DOUBLE) / count(*) AS dup_frac
+        |FROM cov GROUP BY doc_id""".stripMargin,
+
+    // trigram LM: counts from the doc_id%10==0 slice, add-one smoothing
+    // with V = distinct sample trigrams; same round(4) as the Spark side
+    "q90_trigram_lm" ->
+      """WITH tri AS (
+        |  SELECT doc_id, substr(text, i, 3) AS g, substr(text, i, 2) AS p2
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 1)) AS i) t
+        |  WHERE len(text) >= 3),
+        |c3 AS (SELECT g, count(*) AS c3 FROM tri WHERE doc_id % 10 = 0 GROUP BY g),
+        |c2 AS (SELECT p2, count(*) AS c2 FROM tri WHERE doc_id % 10 = 0 GROUP BY p2),
+        |v AS (SELECT count(*) AS v FROM c3)
+        |SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |       round(avg(ln(CAST(coalesce(c3.c3, 0) + 1 AS DOUBLE)
+        |                    / (coalesce(c2.c2, 0) + v.v))), 4) AS avg_logprob
+        |FROM tri LEFT JOIN c3 USING (g) LEFT JOIN c2 USING (p2), v
+        |GROUP BY tri.doc_id""".stripMargin,
+
+    // leakage-free split: q59's recursive-CTE components, representative
+    // = coalesce(component min id, own id), Knuth multiplicative hash
+    // into 2^20 buckets, val iff bucket < floor(0.1 * 2^20)
+    "q91_leakage_split" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT d.doc_id AS idA, d.doc_id + 7 AS idB
+        |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 7
+        |  WHERE d.doc_id < 2000 AND e.doc_id < 2000 AND d.doc_id % 50 < 43),
+        |edges AS (SELECT idA AS src, idB AS dst FROM pairs
+        |          UNION SELECT idB, idA FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+        |rep AS (
+        |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS rep
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 2000) d
+        |  LEFT JOIN labels l ON l.id = d.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN (rep * 2654435761) % 1048576 < 104857
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM rep""".stripMargin,
 
     // IVF coarse assignment (q32's CTEs) composed with the PQ encode/ADC
     // replica (q64's): candidates = probed lists only, scored from codes

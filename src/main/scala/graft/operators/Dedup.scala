@@ -353,4 +353,99 @@ object Dedup {
         (graft.functions.TextHash.mix64(seed + p * 1000003L + j) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
       }
     }
+
+  /** Duplicated-passage statistics (substring-level exact dedup, the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" shape at word granularity): a token position is DUPLICATED
+    * when any word `n`-gram covering it occurs at least `minCount` times
+    * across the whole corpus. Returns one row per document with
+    * `n_tokens`, `n_dup_tokens` (positions covered by at least one
+    * duplicated n-gram, overlaps unioned), and `dup_frac` — the inputs a
+    * pipeline needs to cut repeated boilerplate passages or drop
+    * high-overlap documents entirely.
+    *
+    * Scale shape: each row computes its n-gram xxhash64 array with one
+    * in-codegen `transform` (the text is never re-tokenized per gram);
+    * the ONLY wide exchanges are keyed by the 8-byte gram hash — the
+    * partial-aggregated occurrence count and the start-position join
+    * back — and the per-document interval union runs as a declarative
+    * `aggregate` over that document's (typically short) sorted
+    * start-position array, not a window over the full token stream.
+    * Gram survivors ship as bare (id, pos) pairs; document text crosses
+    * the wire zero times.
+    */
+  def duplicatedPassageStats(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 5, minCount: Long = 2L): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__nt", when(length(concat_ws("", col("__toks"))) === 0, 0)
+        .otherwise(size(col("__toks"))).cast("long"))
+    val grams = base.select(
+      col(idCol), col("__nt"),
+      when(col("__nt") >= n,
+        transform(sequence(lit(0), col("__nt").cast("int") - n),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>")).as("__ghs"))
+    val gramStream = grams
+      .select(col(idCol), posexplode(col("__ghs")).as(Seq("pos", "gh")))
+    val dupGrams = gramStream.groupBy("gh")
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= minCount).select("gh")
+    val dupStarts = gramStream.join(dupGrams, Seq("gh"))
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("pos"))).as("__ps"))
+    // union of [p, p+n) intervals: one pass over the sorted starts
+    val acc0 = struct(lit(-1L).as("lastEnd"), lit(0L).as("tot"))
+    val covered = aggregate(col("__ps"), acc0,
+      (acc, p0) => {
+        val p = p0.cast("long")
+        struct(
+          greatest(acc.getField("lastEnd"), p + n).as("lastEnd"),
+          (acc.getField("tot") +
+            greatest(lit(0L), p + n - greatest(acc.getField("lastEnd"), p))).as("tot"))
+      },
+      _.getField("tot"))
+    base.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col("__nt").as("n_tokens"),
+        coalesce(covered, lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") > 0,
+          col("n_dup_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+  }
+
+  /** Leakage-free train/validation split: every document in the same
+    * near-duplicate connected component (from a verified `(idA, idB)`
+    * pair table) is assigned to the SAME side, so no near-duplicate of a
+    * validation document can leak into the training set. The component
+    * representative (its min id, via [[connectedComponents]]; a document
+    * in no pair represents itself) is hashed through `splitKey` and the
+    * row goes to "val" iff `splitKey(rep) mod 2^20 < valFrac * 2^20`.
+    *
+    * `splitKey` defaults to the salted `xxhash64` of
+    * [[TextAnalysis.deterministicSample]] — membership is a pure function
+    * of the representative id, stable across partitioning, retries, and
+    * appends. Pass e.g. `pmod(_, lit(1000))` when the split must be
+    * reproducible by an external system without xxhash64.
+    *
+    * Scale shape: the component labels exist only for documents that
+    * appear in a pair (orders of magnitude fewer than the corpus); they
+    * broadcast-join back onto the table, and the split decision is a
+    * per-row expression — the corpus itself is never shuffled.
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       valFrac: Double, seed: Int = 42,
+                       splitKey: Column => Column = null,
+                       driverMaxEdges: Long = 5000000L): DataFrame = {
+    require(valFrac >= 0 && valFrac <= 1, s"valFrac must be in [0,1], got $valFrac")
+    val key: Column => Column =
+      if (splitKey != null) splitKey else (c: Column) => xxhash64(c, lit(seed))
+    val M = 1L << 20
+    val labels = connectedComponents(pairs, driverMaxEdges)
+      .withColumnRenamed("id", idCol)
+    df.join(broadcast(labels), Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("label"), col(idCol)))
+      .withColumn("split",
+        when(pmod(key(col("__rep")), lit(M)) < (lit(valFrac) * M).cast("long"), "val")
+          .otherwise("train"))
+      .drop("label", "__rep")
+  }
 }

@@ -259,4 +259,54 @@ object TextAnalysis {
         .when(best.getField("score") > 0, best.getField("lang"))
         .otherwise(lit("und")))
   }
+
+  /** Character-trigram language-model scoring (the CCNet/KenLM-style
+    * perplexity quality filter, with a deterministic in-engine model
+    * instead of an external binary): a trigram model with add-one
+    * smoothing is trained on the sampled slice `sampleFilter`, then every
+    * document is scored with its mean trigram log-probability
+    *   avg over positions i of  ln((c3(t[i..i+2]) + 1) / (c2(t[i..i+1]) + V))
+    * where c3/c2 are trigram / prefix-bigram counts in the sample and V is
+    * the sample's distinct-trigram count (the smoothing denominator).
+    * Low `avg_logprob` = high perplexity = out-of-distribution text — the
+    * standard pre-training quality cut.
+    *
+    * Scale shape: the model is ONE partial-aggregated groupBy over the
+    * sample slice's trigrams (bounded by alphabet^3, checked against
+    * `maxModelEntries` so a pathological alphabet fails loudly rather
+    * than building an unbroadcastable model); scoring explodes each
+    * document's trigrams in place (no re-read, rows stay in their
+    * partition), broadcast-joins the model, and partial-aggregates the
+    * per-document mean — the only wide exchange carries one row per
+    * document. Documents shorter than 3 chars have no trigrams and are
+    * dropped (score undefined), matching the SQL oracle's inner-join
+    * semantics.
+    */
+  def trigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                     sampleFilter: Column, maxModelEntries: Long = 1L << 20): DataFrame = {
+    val t = col(textCol)
+    val tri = df.filter(length(t) >= 3)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), length(t) - 2),
+          i => t.substr(i, lit(3)))).as("__g"))
+      .withColumn("__p2", col("__g").substr(1, 2))
+    val sampleTri = df.filter(sampleFilter).filter(length(t) >= 3)
+      .select(explode(transform(sequence(lit(1), length(t) - 2),
+        i => t.substr(i, lit(3)))).as("__g"))
+      .withColumn("__p2", col("__g").substr(1, 2))
+    val c3 = sampleTri.groupBy("__g").agg(count(lit(1)).as("__c3"))
+    val c2 = sampleTri.groupBy("__p2").agg(count(lit(1)).as("__c2"))
+    val vRow = c3.agg(count(lit(1)).as("__v"))
+    val vCount = vRow.head().getLong(0)
+    require(vCount <= maxModelEntries,
+      s"trigram model has $vCount entries > maxModelEntries=$maxModelEntries — " +
+        "not a bounded-alphabet corpus; raise the cap only if the model still broadcasts")
+    tri.join(broadcast(c3), Seq("__g"), "left")
+      .join(broadcast(c2), Seq("__p2"), "left")
+      .select(col(idCol),
+        log((coalesce(col("__c3"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__c2"), lit(0L)) + vCount)).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("__lp")).as("avg_logprob"))
+  }
 }

@@ -174,6 +174,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
+
+  test("duplicatedPassageStats: shared passage coverage, interval union, intra-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // shares "a b c d e" + "b c d e f" with doc 2
+      (2L, "x a b c d e f y"),
+      (3L, "p q r s t u"),           // all grams unique -> 0 covered
+      (4L, "m n o p2 q2 m n o p2 q2"), // intra-doc repeat of "m n o p2 q2" -> fully covered
+      (5L, "t u v")                  // shorter than n -> no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedPassageStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc1: dup starts {0,1} -> [0,6) = 6; doc2: starts {1,2} -> [1,7) = 6;
+    // doc4: starts {0,5} -> [0,5)+[5,10) = 10
+    assert(got === Seq((1L, 8L, 6L), (2L, 8L, 6L), (3L, 6L, 0L),
+      (4L, 10L, 10L), (5L, 3L, 0L)))
+    val fr = Dedup.duplicatedPassageStats(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1).head().getDouble(3)
+    assert(math.abs(fr - 0.75) < 1e-12)
+  }
+
+  test("duplicatedPassageStats: repartitioning does not change the stats") {
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until 20).map(j => s"w${(i * 7 + j * 3) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Dedup.duplicatedPassageStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.duplicatedPassageStats(docs.repartition(11), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("leakageFreeSplit: every component lands whole on one side; fraction tracks valFrac") {
+    val n = 20000L
+    val docs = (0L until n).toDF("doc_id")
+    // chains of 4: (4k, 4k+1), (4k+1, 4k+2), (4k+2, 4k+3)
+    val pairs = (0L until n by 4).flatMap(k =>
+      Seq((k, k + 1), (k + 1, k + 2), (k + 2, k + 3))).toDF("idA", "idB")
+    val out = Dedup.leakageFreeSplit(docs, "doc_id", pairs, valFrac = 0.25)
+    val sides = out.withColumn("comp", col("doc_id") - col("doc_id") % 4)
+      .groupBy("comp").agg(countDistinct("split").as("k"))
+      .agg(max("k")).head().getLong(0)
+    assert(sides === 1L, "a component straddled the split")
+    val valFrac = out.filter(col("split") === "val").count().toDouble / n
+    assert(math.abs(valFrac - 0.25) < 0.02, s"val fraction $valFrac")
+    // stable across partitioning (pure function of the representative)
+    val again = Dedup.leakageFreeSplit(docs.repartition(13), "doc_id", pairs, valFrac = 0.25)
+    assert(again.filter(col("split") === "val").count() ===
+      out.filter(col("split") === "val").count())
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

@@ -165,4 +165,34 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestBase
     val again = TextAnalysis.sampleToMixture(docs.repartition(7), "source", "doc_id", w, baseFrac = 0.4)
     assert(again.count() === out.count())
   }
+
+  test("trigramLmScore: hand-computed add-one smoothed log-probs, short docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd"), // the sample: trigrams abc,bcd -> c3=1 each; c2(ab)=c2(bc)=1; V=2
+      (2L, "abc"),  // ln((1+1)/(1+2))
+      (3L, "xbcd"), // xbc: ln(1/(0+2)); bcd: ln(2/3)
+      (4L, "ab")    // < 3 chars -> no score row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramLmScore(docs, "doc_id", "text",
+        sampleFilter = col("doc_id") === 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+    val eps = 1e-12
+    assert(math.abs(got(0)._3 - math.log(2.0 / 3)) < eps)
+    assert(math.abs(got(1)._3 - math.log(2.0 / 3)) < eps)
+    assert(math.abs(got(2)._3 - (math.log(0.5) + math.log(2.0 / 3)) / 2) < eps)
+  }
+
+  test("trigramLmScore: in-distribution text outscores out-of-alphabet text") {
+    import spark.implicits._
+    val docs = ((0L until 50L).map(i => (i, s"spark query plan number ${i % 7} runs fast")) :+
+      (99L, "zzqx jjvv qqww kkxx zzyy")).toDF("doc_id", "text")
+    val scores = TextAnalysis.trigramLmScore(docs, "doc_id", "text",
+        sampleFilter = col("doc_id") % 5 === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val inDist = (0L until 50L).map(scores).min
+    assert(scores(99L) < inDist, s"gibberish ${scores(99L)} must score below $inDist")
+  }
 }

@@ -477,7 +477,9 @@ object SparkEntry {
     // per row with a sort + one O(n) aggregate pass (zero shuffle; the
     // explode->groupBy plan would shuffle the full token stream)
     "q85_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionMetrics(pq(s, dir, "documents"), "doc_id", "text")),
+      TextAnalysis.repetitionMetrics(pq(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_tokens", "top_token_frac", "dup_token_frac",
+          "top_bigram_frac")),
 
     // incremental archive dedup (daily-crawl-vs-corpus): broadcast Bloom
     // prefilter over archive text hashes + exact confirm anti-join on the
@@ -555,6 +557,15 @@ object SparkEntry {
         splitKey = c => pmod(c * lit(2654435761L), lit(1L << 20)))
         .select("doc_id", "split")
     }),
+
+    // greedy in-order sequence packing (training-batch construction):
+    // chunk = doc_id/100 is the parallelism unit; packing inside a chunk
+    // is the secondary-sort single-pass mapPartitions
+    "q92_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(pq(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        (col("doc_id") / 100).cast("long"), budget = 600L)
+        .select("doc_id", "chunk", "n_tokens", "bin", "bin_fill")),
 
     // full IVF-PQ: coarse lists prune the candidate set AND candidates
     // ship only their PQ codes into the probe join — the combined 100 TB
@@ -1996,6 +2007,24 @@ object SparkEntry {
         |  CASE WHEN (rep * 2654435761) % 1048576 < 104857
         |       THEN 'val' ELSE 'train' END AS split
         |FROM rep""".stripMargin,
+
+    // greedy packing is a sequential recurrence within each chunk — the
+    // oracle replays it with a recursive CTE over the in-chunk row number
+    "q92_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 100 AS chunk,
+        |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack(chunk, rn, doc_id, n_tokens, bin, bin_fill) AS (
+        |  SELECT chunk, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.chunk, d.rn, d.doc_id, d.n_tokens,
+        |         CASE WHEN p.bin_fill + d.n_tokens <= 600 THEN p.bin ELSE p.bin + 1 END,
+        |         CASE WHEN p.bin_fill + d.n_tokens <= 600 THEN p.bin_fill + d.n_tokens ELSE d.n_tokens END
+        |  FROM pack p JOIN d ON d.chunk = p.chunk AND d.rn = p.rn + 1)
+        |SELECT doc_id, chunk, n_tokens, bin, bin_fill FROM pack""".stripMargin,
 
     // IVF coarse assignment (q32's CTEs) composed with the PQ encode/ADC
     // replica (q64's): candidates = probed lists only, scored from codes

@@ -122,16 +122,21 @@ object TextAnalysis {
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
-    df.select(col(idCol),
+    // metrics are APPENDED to the input row (like qualityMetrics), so the
+    // operator composes in a filter chain without losing the text column
+    df.withColumn("__toks",
         when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
-          .otherwise(split(trim(col(textCol)), "\\s+")).as("__toks"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("__ts", runStats(toks))
       .withColumn("__bs", runStats(bigrams))
-      .select(col(idCol), n,
-        when(n > 0, col("__ts.maxRun").cast("double") / n).otherwise(0.0).as("top_token_frac"),
-        when(n > 0, col("__ts.dup").cast("double") / n).otherwise(0.0).as("dup_token_frac"),
-        when(n > 1, col("__bs.maxRun").cast("double") / (n - 1)).otherwise(0.0).as("top_bigram_frac"))
+      .withColumn("top_token_frac",
+        when(n > 0, col("__ts.maxRun").cast("double") / n).otherwise(0.0))
+      .withColumn("dup_token_frac",
+        when(n > 0, col("__ts.dup").cast("double") / n).otherwise(0.0))
+      .withColumn("top_bigram_frac",
+        when(n > 1, col("__bs.maxRun").cast("double") / (n - 1)).otherwise(0.0))
+      .drop("__toks", "__ts", "__bs")
   }
 
   /** PII patterns shared by [[redactPii]] and the generated oracle SQL —
@@ -308,5 +313,55 @@ object TextAnalysis {
           (coalesce(col("__c2"), lit(0L)) + vCount)).as("__lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"), avg(col("__lp")).as("avg_logprob"))
+  }
+
+  /** Greedy in-order sequence packing (training-batch construction):
+    * within each `chunkCol` group, documents are visited in ascending
+    * `idCol` order and appended to the current bin while it stays within
+    * `budget` tokens; a document that does not fit starts the next bin
+    * (so a document longer than the budget gets a bin of its own — the
+    * packer never splits documents). Returns
+    * `(idCol, chunkCol, n_tokens, bin, bin_fill)` where `bin` is 0-based
+    * within the chunk and `bin_fill` is the bin's running token total
+    * after this document.
+    *
+    * Scale shape: the CHUNK is the unit of parallelism — packing is
+    * inherently sequential inside a chunk (each decision depends on the
+    * previous fill), so the plan is the canonical secondary sort: one
+    * hash exchange on the chunk key, an in-partition sort by (chunk, id),
+    * and a single streaming `mapPartitions` pass that resets its (bin,
+    * fill) state at chunk boundaries — no per-group materialisation, no
+    * window over the token stream, memory O(1) per task. Choose chunks
+    * sized to the shuffle-writer sweet spot (e.g. a crawl shard); skew is
+    * bounded by the largest chunk, not the largest bin.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: Column,
+                    chunkCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .select(col(idCol).cast("long").as("id"),
+        chunkCol.cast("long").as("chunk"),
+        tokenCountCol.cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartition(col("chunk"))
+      .sortWithinPartitions(col("chunk"), col("id"))
+    prepared.mapPartitions { rows =>
+      var curChunk = Long.MinValue
+      var bin = -1L
+      var fill = 0L
+      var first = true
+      rows.map { case (id, chunk, n) =>
+        if (first || chunk != curChunk) {
+          curChunk = chunk; bin = 0L; fill = n; first = false
+        } else if (fill + n <= budget) {
+          fill += n
+        } else {
+          bin += 1L; fill = n
+        }
+        (id, chunk, n, bin, fill)
+      }
+    }.toDF(idCol, "chunk", "n_tokens", "bin", "bin_fill")
   }
 }

@@ -18,6 +18,7 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestBase
       (4L, "")             // empty: all zero
     ).toDF("doc_id", "text")
     val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "top_token_frac", "dup_token_frac", "top_bigram_frac")
       .orderBy("doc_id").collect()
 
     assert(m(0).getLong(1) === 6L)
@@ -183,6 +184,35 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestBase
     assert(math.abs(got(0)._3 - math.log(2.0 / 3)) < eps)
     assert(math.abs(got(1)._3 - math.log(2.0 / 3)) < eps)
     assert(math.abs(got(2)._3 - (math.log(0.5) + math.log(2.0 / 3)) / 2) < eps)
+  }
+
+  test("packSequences: greedy fill, oversized doc gets its own bin, chunk resets state") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, 0L, 4L), (1L, 0L, 5L),   // bin 0: 4 -> 9
+      (2L, 0L, 2L),                 // 9+2 > 10 -> bin 1: 2
+      (3L, 0L, 9L),                 // bin 2: 9
+      (4L, 0L, 10L),                // bin 3: 10 (exactly budget)
+      (5L, 0L, 11L),                // oversized -> bin 4 alone: 11
+      (6L, 1L, 7L), (7L, 1L, 3L)    // new chunk -> bin 0: 7 -> 10
+    ).toDF("doc_id", "chunk0", "ntok")
+    val got = TextAnalysis.packSequences(docs, "doc_id", col("ntok"), col("chunk0"), budget = 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((0L, 0L, 4L), (1L, 0L, 9L), (2L, 1L, 2L), (3L, 2L, 9L),
+      (4L, 3L, 10L), (5L, 4L, 11L), (6L, 0L, 7L), (7L, 0L, 10L)))
+  }
+
+  test("packSequences: bins never exceed budget except single oversized docs; stable across partitioning") {
+    import spark.implicits._
+    val docs = (0L until 5000L).map(i => (i, i / 250L, 1L + (i * 37) % 90)).toDF("doc_id", "c", "n")
+    val out = TextAnalysis.packSequences(docs, "doc_id", col("n"), col("c"), budget = 128L).cache()
+    val binTotals = out.groupBy("chunk", "bin")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("k"))
+    assert(binTotals.filter(col("tot") > 128 && col("k") > 1).count() === 0L)
+    val again = TextAnalysis.packSequences(docs.repartition(17), "doc_id", col("n"), col("c"), budget = 128L)
+    assert(again.orderBy("doc_id").collect().toSeq === out.orderBy("doc_id").collect().toSeq)
+    out.unpersist()
   }
 
   test("trigramLmScore: in-distribution text outscores out-of-alphabet text") {

@@ -225,4 +225,52 @@ class ObsDocStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(batch === Set((9.5, 9.5), (0.5, 0.5)))
     } finally q.stop()
   }
+
+  test("stateless text-quality gate runs unchanged on a stream: quality + langId + PII + repetition + sampling") {
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new Timestamp(1700000000000L)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    // the batch operators compose directly on the streaming frame -- all
+    // are per-row expressions (no shuffle, no state), so the SAME code
+    // serves batch backfill and live ingest
+    val gated = graft.operators.TextAnalysis.deterministicSample(
+      graft.operators.TextAnalysis.redactPii(
+        graft.operators.TextAnalysis.langId(
+          graft.operators.TextAnalysis.repetitionMetrics(
+            graft.operators.TextAnalysis.qualityScore(
+              input.toDF().toDF("doc_id", "text", "event_time"), "text")
+              .filter(col("quality_score") > 0.2),
+            "doc_id", "text").filter(col("top_token_frac") < 0.9),
+          "text"), "text"),
+      "doc_id", frac = 1.0)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("quality_gate_stream")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog and runs far away to the hills today with many other animals in tow"
+      input.addData(
+        (1L, good, ts),
+        (2L, "a a a a a a a a a a a a a a a a a a a a", new Timestamp(ts.getTime + 1000)), // repetition-killed
+        (3L, good + " mail bob@example.org now", new Timestamp(ts.getTime + 2000)))
+      q.processAllAvailable()
+      val rows = spark.table("quality_gate_stream")
+        .select("doc_id", "text_redacted").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L, 3L), s"got ${rows.keySet}")
+      assert(rows(3L).contains("<EMAIL>") && !rows(3L).contains("@"))
+      // batch run over the same rows selects the same survivors
+      val batchIn = Seq((1L, good), (2L, "a a a a a a a a a a a a a a a a a a a a"),
+        (3L, good + " mail bob@example.org now")).toDF("doc_id", "text")
+      val batch = graft.operators.TextAnalysis.deterministicSample(
+        graft.operators.TextAnalysis.redactPii(
+          graft.operators.TextAnalysis.langId(
+            graft.operators.TextAnalysis.repetitionMetrics(
+              graft.operators.TextAnalysis.qualityScore(batchIn, "text")
+                .filter(col("quality_score") > 0.2),
+              "doc_id", "text").filter(col("top_token_frac") < 0.9),
+            "text"), "text"),
+        "doc_id", frac = 1.0)
+      assert(batch.select("doc_id").collect().map(_.getLong(0)).toSet === rows.keySet)
+    } finally q.stop()
+  }
 }

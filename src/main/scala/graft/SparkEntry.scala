@@ -567,6 +567,12 @@ object SparkEntry {
         (col("doc_id") / 100).cast("long"), budget = 600L)
         .select("doc_id", "chunk", "n_tokens", "bin", "bin_fill")),
 
+    // destructive passage cut: q89's candidate plan, survivors re-joined
+    // per row (indexed array filter against the doc's dup-start list)
+    "q93_cut_passages" -> ((s, dir) =>
+      Dedup.cutDuplicatedPassages(pq(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "text_deduped")),
+
     // full IVF-PQ: coarse lists prune the candidate set AND candidates
     // ship only their PQ codes into the probe join — the combined 100 TB
     // ANN plan (non-residual FAISS-IVFPQ shape)
@@ -2025,6 +2031,33 @@ object SparkEntry {
         |         CASE WHEN p.bin_fill + d.n_tokens <= 600 THEN p.bin_fill + d.n_tokens ELSE d.n_tokens END
         |  FROM pack p JOIN d ON d.chunk = p.chunk AND d.rn = p.rn + 1)
         |SELECT doc_id, chunk, n_tokens, bin, bin_fill FROM pack""".stripMargin,
+
+    // q89's coverage replay, but keeping the UNcovered words and
+    // re-joining them in position order
+    "q93_cut_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(trim(text), ' ')) AS word,
+        |         unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS pos
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |    word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+        |         || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g2 AS (SELECT doc_id, pos, gram FROM grams WHERE gram IS NOT NULL),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |starts AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT t.doc_id, t.pos, t.word,
+        |         max(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks t LEFT JOIN starts s ON s.doc_id = t.doc_id AND s.pos = t.pos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE c = 0), '')
+        |    AS text_deduped
+        |FROM cov GROUP BY doc_id""".stripMargin,
 
     // IVF coarse assignment (q32's CTEs) composed with the PQ encode/ADC
     // replica (q64's): candidates = probed lists only, scored from codes

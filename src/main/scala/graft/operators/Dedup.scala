@@ -376,23 +376,7 @@ object Dedup {
     */
   def duplicatedPassageStats(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 5, minCount: Long = 2L): DataFrame = {
-    require(n >= 2, s"n-gram order must be >= 2, got $n")
-    val toks = split(trim(col(textCol)), "\\s+")
-    val base = df.select(col(idCol), toks.as("__toks"))
-      .withColumn("__nt", when(length(concat_ws("", col("__toks"))) === 0, 0)
-        .otherwise(size(col("__toks"))).cast("long"))
-    val grams = base.select(
-      col(idCol), col("__nt"),
-      when(col("__nt") >= n,
-        transform(sequence(lit(0), col("__nt").cast("int") - n),
-          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
-        .otherwise(array().cast("array<bigint>")).as("__ghs"))
-    val gramStream = grams
-      .select(col(idCol), posexplode(col("__ghs")).as(Seq("pos", "gh")))
-    val dupGrams = gramStream.groupBy("gh")
-      .agg(count(lit(1)).as("__c")).filter(col("__c") >= minCount).select("gh")
-    val dupStarts = gramStream.join(dupGrams, Seq("gh"))
-      .groupBy(col(idCol)).agg(sort_array(collect_list(col("pos"))).as("__ps"))
+    val (base, dupStarts) = dupPassageStarts(df, idCol, textCol, n, minCount)
     // union of [p, p+n) intervals: one pass over the sorted starts
     val acc0 = struct(lit(-1L).as("lastEnd"), lit(0L).as("tot"))
     val covered = aggregate(col("__ps"), acc0,
@@ -410,6 +394,54 @@ object Dedup {
       .withColumn("dup_frac",
         when(col("n_tokens") > 0,
           col("n_dup_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+  }
+
+  /** Shared candidate machinery for the duplicated-passage family:
+    * returns (`base` = (id, __toks, __nt), `dupStarts` = (id, __ps) with
+    * the sorted start positions of corpus-duplicated n-grams per doc).
+    * See [[duplicatedPassageStats]] for the scale shape.
+    */
+  private def dupPassageStarts(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, minCount: Long): (DataFrame, DataFrame) = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__nt", when(length(concat_ws("", col("__toks"))) === 0, 0)
+        .otherwise(size(col("__toks"))).cast("long"))
+    val grams = base.select(
+      col(idCol), col("__nt"),
+      when(col("__nt") >= n,
+        transform(sequence(lit(0), col("__nt").cast("int") - n),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>")).as("__ghs"))
+    val gramStream = grams
+      .select(col(idCol), posexplode(col("__ghs")).as(Seq("pos", "gh")))
+    val dupGrams = gramStream.groupBy("gh")
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= minCount).select("gh")
+    val dupStarts = gramStream.join(dupGrams, Seq("gh"))
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("pos"))).as("__ps"))
+    (base, dupStarts)
+  }
+
+  /** Cut duplicated passages OUT of the text (the destructive half of
+    * [[duplicatedPassageStats]]): every token position covered by a
+    * corpus-duplicated n-gram is removed and the survivors are re-joined
+    * with single spaces into `text_deduped` (empty string when the whole
+    * document was duplicated passages). Same candidate plan as the stats
+    * variant — the only additional work is a per-row indexed `filter`
+    * over the token array against that row's (short, sorted) dup-start
+    * list, so the text still never shuffles.
+    */
+  def cutDuplicatedPassages(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, minCount: Long = 2L): DataFrame = {
+    val (base, dupStarts) = dupPassageStarts(df, idCol, textCol, n, minCount)
+    val starts = coalesce(col("__ps"), array().cast("array<int>"))
+    val kept = filter(col("__toks"),
+      (w, i) => !exists(starts, p => p <= i && i < p + n))
+    base.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__nt") === 0, lit("")).otherwise(concat_ws(" ", kept))
+          .as("text_deduped"))
   }
 
   /** Leakage-free train/validation split: every document in the same

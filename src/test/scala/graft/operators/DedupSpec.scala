@@ -195,6 +195,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(fr - 0.75) < 1e-12)
   }
 
+  test("cutDuplicatedPassages: covered tokens removed, survivors re-joined in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e f y"),
+      (3L, "p q r s t u"),
+      (4L, "m n o p2 q2 m n o p2 q2"),
+      (5L, "t u v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutDuplicatedPassages(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "g h"), (2L, "x y"), (3L, "p q r s t u"),
+      (4L, ""), (5L, "t u v")))
+  }
+
+  test("duplicated-passage plans shuffle 8-byte gram keys and bare (id, pos) pairs, never text") {
+    val big = Seq.tabulate(20) { i =>
+      (i.toLong, ("lorem ipsum dolor sit amet " * 400) + (i % 5))
+    }.toDF("doc_id", "text")
+    for (out <- Seq(Dedup.duplicatedPassageStats(big, "doc_id", "text"),
+                    Dedup.cutDuplicatedPassages(big, "doc_id", "text"))) {
+      val plan = out.queryExecution.executedPlan.toString
+      val parts = "hashpartitioning\\(([^,]+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(parts.nonEmpty && parts.forall(p =>
+        !p.startsWith("text#") && !p.startsWith("__toks#")),
+        s"shuffle keys must be gram hashes or ids, got $parts")
+      // every wide exchange ships longs/ints (gh, id, pos) — the token
+      // array re-enters only via the post-aggregation join on the id
+      assert(parts.forall(p => p.endsWith("L") || p.startsWith("doc_id#")),
+        s"shuffle keys must be 8-byte keys or the doc id, got $parts")
+    }
+  }
+
   test("duplicatedPassageStats: repartitioning does not change the stats") {
     val docs = (0L until 200L).map(i =>
       (i, (0 until 20).map(j => s"w${(i * 7 + j * 3) % 13}").mkString(" ")))

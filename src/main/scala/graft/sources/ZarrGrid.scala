@@ -192,7 +192,7 @@ object ZarrGrid extends Serializable {
     if (cons.contains(s"$name/.zarray") ||
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name/.zarray")))
       parseZarray(metaJson(spark, dir, s"$name/.zarray", cons), name)
-    else parseZarrayV3(new String(readSmall(spark, s"$dir/$name/zarr.json"), "UTF-8"), name)
+    else parseZarrayV3(metaJson(spark, dir, s"$name/zarr.json", cons), name)
   }
 
   /** chunk-file name of chunk (ci, cj) for this array's key encoding. */
@@ -390,19 +390,41 @@ object ZarrGrid extends Serializable {
     * object-store round-trip killer on stores with many arrays.
     */
   private def consolidated(spark: SparkSession, dir: String): Map[String, String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/.zmetadata")
-    if (!fsFor(spark, dir).exists(p)) Map.empty
-    else {
-      val root = JsonMethods.parse(new String(readSmall(spark, s"$dir/.zmetadata"), "UTF-8"))
-      val fmt = (root \ "zarr_consolidated_format").extractOpt[Int]
-      require(fmt.contains(1), s"$dir/.zmetadata: consolidated format $fmt not supported (1 only)")
-      (root \ "metadata") match {
-        case JObject(fields) =>
-          fields.map { case (k, v) => k -> JsonMethods.compact(JsonMethods.render(v)) }.toMap
-        case other => throw new IllegalArgumentException(
-          s"$dir/.zmetadata: 'metadata' is ${other.getClass.getSimpleName}, expected an object")
+    val fs = fsFor(spark, dir)
+    val v2 = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/.zmetadata")
+      if (!fs.exists(p)) Map.empty[String, String]
+      else {
+        val root = JsonMethods.parse(new String(readSmall(spark, s"$dir/.zmetadata"), "UTF-8"))
+        val fmt = (root \ "zarr_consolidated_format").extractOpt[Int]
+        require(fmt.contains(1), s"$dir/.zmetadata: consolidated format $fmt not supported (1 only)")
+        (root \ "metadata") match {
+          case JObject(fields) =>
+            fields.map { case (k, v) => k -> JsonMethods.compact(JsonMethods.render(v)) }.toMap
+          case other => throw new IllegalArgumentException(
+            s"$dir/.zmetadata: 'metadata' is ${other.getClass.getSimpleName}, expected an object")
+        }
       }
     }
+    // zarr v3: `zarr.consolidate_metadata()` (see [[consolidateMetadataV3]])
+    // inlines every child node's metadata into the ROOT zarr.json under
+    // consolidated_metadata — entries are keyed here as "<name>/zarr.json"
+    // (disjoint from the v2 "<name>/.zarray" keys, so both can coexist)
+    val v3 = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/zarr.json")
+      if (!fs.exists(p)) Map.empty[String, String]
+      else {
+        val root = JsonMethods.parse(new String(readSmall(spark, s"$dir/zarr.json"), "UTF-8"))
+        (root \ "consolidated_metadata" \ "metadata") match {
+          case JObject(fields) =>
+            fields.map { case (k, v) =>
+              s"$k/zarr.json" -> JsonMethods.compact(JsonMethods.render(v))
+            }.toMap
+          case _ => Map.empty[String, String]
+        }
+      }
+    }
+    v2 ++ v3
   }
 
   /** Metadata JSON for `rel` ("x/.zarray"): the consolidated entry when
@@ -411,6 +433,35 @@ object ZarrGrid extends Serializable {
   private def metaJson(spark: SparkSession, dir: String, rel: String,
                        cons: Map[String, String]): String =
     cons.getOrElse(rel, new String(readSmall(spark, s"$dir/$rel"), "UTF-8"))
+
+  /** The v3 analog of `zarr.consolidate_metadata()`: inline every child
+    * node's `zarr.json` into the root's `consolidated_metadata` so one
+    * root read serves all array metadata — the per-array round trips are
+    * the object-store latency killer on stores with many arrays. Readers
+    * here (and zarr-python with `use_consolidated=True`) then never touch
+    * the per-array files; [[appendGridNdDistributed]] keeps the inlined
+    * entries in sync when the store grows.
+    */
+  def consolidateMetadataV3(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val rootP = new org.apache.hadoop.fs.Path(s"$dir/zarr.json")
+    require(fs.exists(rootP), s"$dir: no root zarr.json — not a zarr v3 store")
+    val rootJ = JsonMethods.parse(new String(readSmall(spark, s"$dir/zarr.json"), "UTF-8"))
+      .asInstanceOf[JObject]
+    val children = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d/zarr.json")))
+    val md = JObject(children.map(d =>
+      d -> JsonMethods.parse(new String(readSmall(spark, s"$dir/$d/zarr.json"), "UTF-8"))).toList)
+    val cm: JValue = JObject(List(
+      "kind" -> JString("inline"), "must_understand" -> JBool(false),
+      "metadata" -> (md: JValue)))
+    val newRoot = JObject(
+      rootJ.obj.filterNot(_._1 == "consolidated_metadata") :+ ("consolidated_metadata" -> cm))
+    val out = fs.create(rootP, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(newRoot)).getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** Driver-side full read of a small (coordinate) array; absent chunk
     * files resolve to fill_value (or raise if none declared).
@@ -1262,6 +1313,32 @@ object ZarrGrid extends Serializable {
       val merged = consolidated(spark, dir) ++ newEntries
       writeFile(".zmetadata", consolidatedJson(merged.toSeq).getBytes("UTF-8"))
     }
+    // v3 consolidated root: patch the inlined child entries so readers
+    // that trust consolidated_metadata see the grown shapes
+    if (v3) {
+      val rootRel = "zarr.json"
+      val rootP = new org.apache.hadoop.fs.Path(s"$dir/$rootRel")
+      if (fs.exists(rootP)) {
+        val rootJ = JsonMethods.parse(new String(readSmall(spark, s"$dir/$rootRel"), "UTF-8"))
+        (rootJ \ "consolidated_metadata" \ "metadata") match {
+          case JObject(fields) =>
+            val newMd = JObject(fields.map { case (k, v) =>
+              newEntries.get(s"$k/zarr.json")
+                .map(s => k -> JsonMethods.parse(s)).getOrElse(k -> v)
+            })
+            val newRoot = JObject(rootJ.asInstanceOf[JObject].obj.map {
+              case ("consolidated_metadata", cm: JObject) =>
+                "consolidated_metadata" -> JObject(cm.obj.map {
+                  case ("metadata", _) => "metadata" -> (newMd: JValue)
+                  case f => f
+                })
+              case f => f
+            })
+            writeFile(rootRel, JsonMethods.compact(JsonMethods.render(newRoot)).getBytes("UTF-8"))
+          case _ => () // unconsolidated v3 root — nothing to sync
+        }
+      }
+    }
   }
 
   /** Read a whole xarray-shaped zarr store: data variables are the 2-d
@@ -1303,8 +1380,12 @@ object ZarrGrid extends Serializable {
     val v3 = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/zarr.json"))
     val arrays =
       if (cons.nonEmpty)
-        cons.keys.collect { case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray") }
-          .toArray.sorted
+        cons.collect {
+          case (k, _) if k.endsWith("/.zarray") => k.stripSuffix("/.zarray")
+          case (k, v) if k.endsWith("/zarr.json") &&
+            (JsonMethods.parse(v) \ "node_type").extractOpt[String].contains("array") =>
+            k.stripSuffix("/zarr.json")
+        }.toArray.sorted
       else {
         val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
           .filter(_.isDirectory).map(_.getPath.getName).sorted
@@ -1314,6 +1395,10 @@ object ZarrGrid extends Serializable {
       }
     require(arrays.nonEmpty, s"$dir: no zarr arrays found")
     def dimsOf(a: String): Seq[String] = {
+      // v3 consolidated entry first (zero per-array reads), then the file
+      if (cons.contains(s"$a/zarr.json"))
+        return (JsonMethods.parse(cons(s"$a/zarr.json")) \
+          "dimension_names").extractOpt[Seq[String]].getOrElse(Seq.empty)
       if (v3 && !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$a/.zattrs"))) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/$a/zarr.json")
         if (!fs.exists(p)) return Seq.empty

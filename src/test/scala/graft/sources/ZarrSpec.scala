@@ -576,6 +576,37 @@ class ZarrSpec extends AnyFunSuite with SparkTestBase {
     assert(zm.contains("\"shape\":[2,4,5]"), zm)
   }
 
+  test("v3 consolidated metadata: consolidated-only reads work; append keeps the root in sync") {
+    import spark.implicits._
+    def cube(ts: Seq[Double]) =
+      (for { t <- ts; iy <- 0 until 4; ix <- 0 until 5 }
+        yield (t, 100.0 * iy, 10.0 * ix, t + iy * 10 + ix)).toDF("t", "y", "x", "v")
+    val dir = Files.createTempDirectory("zarr_v3cons_").resolve("c.zarr").toString
+    ZarrGrid.writeGridNdDistributed(cube(Seq(1000.0, 1001.0)), dir, Seq("t", "y", "x"),
+      Seq("v"), compressor = "zstd", zarrFormat = 3)
+    ZarrGrid.consolidateMetadataV3(spark, dir)
+    val root = new String(Files.readAllBytes(Paths.get(dir, "zarr.json")), "UTF-8")
+    assert(root.contains("consolidated_metadata") && root.contains("\"node_type\":\"array\""))
+    // delete every per-array zarr.json: reads must survive on the root alone
+    def dropChildMeta(): Unit =
+      Seq("t", "y", "x", "v").foreach(a => Files.deleteIfExists(Paths.get(dir, a, "zarr.json")))
+    dropChildMeta()
+    val back = ZarrGrid.readGridNd(spark, dir, Seq("t", "y", "x"), Seq("v"))
+    assert(back.count() === 2 * 4 * 5)
+    val want = cube(Seq(1000.0, 1001.0)).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(back.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet === want)
+    // append: metadata comes from the consolidated root, per-array files
+    // are rewritten, and the inlined entries are PATCHED to the new shape
+    ZarrGrid.appendGridNdDistributed(cube(Seq(1002.0)), dir, Seq("t", "y", "x"), Seq("v"))
+    val rootAfter = new String(Files.readAllBytes(Paths.get(dir, "zarr.json")), "UTF-8")
+    assert(rootAfter.contains("\"shape\":[3,4,5]"),
+      s"consolidated root must see the grown shape:\n$rootAfter")
+    dropChildMeta()
+    assert(ZarrGrid.readGridNd(spark, dir, Seq("t", "y", "x"), Seq("v")).count() === 3 * 4 * 5)
+  }
+
   private def mkCube(bias: Double) = {
     import spark.implicits._
     // (t, y, x) cube: 3 x 4 x 5 with v = bias + it*100 + iy*10 + ix

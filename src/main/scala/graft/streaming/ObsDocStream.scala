@@ -214,4 +214,51 @@ object ObsDocStream {
       }
       .start()
 
+  /** Persistent per-chunk packer state: the currently-open bin index and
+    * its token fill. 16 bytes per ACTIVE chunk — the packer's whole
+    * streaming footprint.
+    */
+  final case class PackState(bin: Long, fill: Long)
+
+  /** Streaming greedy sequence packing — the continuous half of
+    * [[graft.operators.TextAnalysis.packSequences]]: documents arrive as
+    * (doc_id, chunk, n_tokens) and are packed into fixed `budget`-token
+    * bins per chunk, with the open bin's (index, fill) carried ACROSS
+    * micro-batches in `flatMapGroupsWithState` custom state, so a bin
+    * that was part-filled in one batch keeps filling in the next — the
+    * training-batch constructor that never re-reads the corpus.
+    *
+    * In-batch order is ascending doc_id per chunk (micro-batches are
+    * sorted in-group before packing); across batches, order is arrival
+    * order — feeding the same rows in one batch or many yields the SAME
+    * packing when batch boundaries respect doc_id order (spec-checked
+    * against the batch operator). State is 16 bytes per active chunk and
+    * independent of document count; chunks that stop arriving can be
+    * evicted by recreating the query with a timeout if the chunk key
+    * space is unbounded.
+    */
+  def packStream(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    docs.selectExpr("CAST(doc_id AS LONG) doc_id", "CAST(chunk AS LONG) chunk",
+        "CAST(n_tokens AS LONG) n_tokens")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (chunk: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[PackState]) => {
+          var st = state.getOption.getOrElse(PackState(-1L, 0L))
+          val out = rows.toArray.sortBy(_._1).map { case (id, _, n) =>
+            st =
+              if (st.bin < 0) PackState(0L, n)
+              else if (st.fill + n <= budget) PackState(st.bin, st.fill + n)
+              else PackState(st.bin + 1L, n)
+            (id, chunk, n, st.bin, st.fill)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF("doc_id", "chunk", "n_tokens", "bin", "bin_fill")
+  }
 }

@@ -273,4 +273,40 @@ class ObsDocStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(batch.select("doc_id").collect().map(_.getLong(0)).toSet === rows.keySet)
     } finally q.stop()
   }
+
+  test("packStream: flatMapGroupsWithState packing continues bins across micro-batches, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // two chunks, token counts chosen so a bin is part-filled at the batch
+    // boundary: chunk 0 docs (4,5,2,9), chunk 1 docs (7,3,6)
+    val rows = Seq(
+      (0L, 0L, 4L), (1L, 0L, 5L), (10L, 1L, 7L),        // batch 1
+      (2L, 0L, 2L), (3L, 0L, 9L), (11L, 1L, 3L), (12L, 1L, 6L)) // batch 2
+    val input = MemoryStream[(Long, Long, Long)]
+    val packed = ObsDocStream.packStream(
+      input.toDF().toDF("doc_id", "chunk", "n_tokens"), budget = 10L)
+    val q = packed.writeStream.outputMode("append")
+      .format("memory").queryName("pack_stream")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("pack_stream")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+      // chunk 0: 4 -> bin0 fill4; 5 -> bin0 fill9; (next batch) 2 -> 9+2>10
+      // bin1 fill2; 9 -> bin2 fill9. chunk 1: 7 -> bin0; 3 -> bin0 fill10
+      // (CROSS-BATCH continuation); 6 -> bin1.
+      assert(got === Seq((0L, 0L, 4L), (1L, 0L, 9L), (2L, 1L, 2L), (3L, 2L, 9L),
+        (10L, 0L, 7L), (11L, 0L, 10L), (12L, 1L, 6L)))
+      // parity: the batch operator over the same rows in one pass agrees
+      val batchIn = rows.toDF("doc_id", "c", "n")
+      val batch = graft.operators.TextAnalysis.packSequences(
+          batchIn, "doc_id", col("n"), col("c"), budget = 10L)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+      assert(batch === got)
+    } finally q.stop()
+  }
 }

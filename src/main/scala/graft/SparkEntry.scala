@@ -573,6 +573,35 @@ object SparkEntry {
       Dedup.cutDuplicatedPassages(pq(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "text_deduped")),
 
+    // perceptual image hashing through a REAL codec roundtrip: two-tone
+    // PNGs (left k*10 of 80 columns white) encode via ImageIO and decode
+    // through aHash64; the 8x8 grid aligns with the tone boundary, so the
+    // hash is the closed form (2^k - 1) * 0x0101010101010101 the oracle
+    // recomputes — q56's roundtrip idea extended to the perceptual key
+    "q94_image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = pq(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 97 === 0).as[Long].map { id =>
+          val k = (id % 8).toInt
+          val img = new java.awt.image.BufferedImage(80, 80,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 80) {
+            var x = 0
+            while (x < 80) {
+              img.setRGB(x, y, if (x < k * 10) 0xFFFFFF else 0x000000); x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          graft.operators.Multimodal.MediaRow(id.toString, s"png://$id", bos.toByteArray, "image")
+        }
+      graft.operators.Multimodal.imageHashes(media)
+        .select(col("doc_id").cast("long").as("doc_id"), col("media_ref"), col("ahash"))
+    }),
+
     // full IVF-PQ: coarse lists prune the candidate set AND candidates
     // ship only their PQ codes into the probe join — the combined 100 TB
     // ANN plan (non-residual FAISS-IVFPQ shape)
@@ -2058,6 +2087,16 @@ object SparkEntry {
         |  coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE c = 0), '')
         |    AS text_deduped
         |FROM cov GROUP BY doc_id""".stripMargin,
+
+    // white cells (cx < k) sit strictly above the global mean, black
+    // strictly below, and k=0 is all-black -> 0; per grid row the set
+    // bits are (2^k - 1), replicated at 8-bit strides
+    "q94_image_ahash" ->
+      """SELECT doc_id, 'png://' || CAST(doc_id AS VARCHAR) AS media_ref,
+        |  CASE WHEN doc_id % 8 = 0 THEN 0
+        |       ELSE ((CAST(1 AS BIGINT) << CAST(doc_id % 8 AS INT)) - 1)
+        |            * 72340172838076673 END AS ahash
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
 
     // IVF coarse assignment (q32's CTEs) composed with the PQ encode/ADC
     // replica (q64's): candidates = probed lists only, scored from codes

@@ -170,4 +170,71 @@ object Multimodal {
     }
     def newContext(): Context = new Context
   }
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint of an image
+    * payload: decode (any JDK codec), reduce to an 8x8 grid of mean
+    * luminances (Rec.601 weights; proportional pixel binning maps any
+    * resolution onto the same grid), set bit `cy*8+cx` iff that cell's
+    * mean exceeds the global mean. Re-encodes and rescales of the same
+    * picture land at small hamming distance — the standard image
+    * near-dup key. None for undecodable payloads.
+    */
+  def aHash64(content: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 8 / w).toInt
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val c = cy * 8 + cx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    val mean = means.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (means(i) > mean) bits |= 1L << i; i += 1 }
+    Some(bits)
+  }
+
+  /** Per-image aHash table (doc_id, media_ref, ahash); undecodable
+    * payloads are dropped (they have no perceptual identity to match).
+    * One typed mapPartitions pass — the decode cost IS the job; the
+    * 8-byte hash is all that ever reaches a shuffle.
+    */
+  def imageHashes(media: Dataset[MediaRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => aHash64(r.content).map(h => (r.doc_id, r.media_ref, h)))
+    }.toDF("doc_id", "media_ref", "ahash")
+  }
+
+  /** Image near-duplicate pairs: hamming(aHash) <= maxHamming through the
+    * SAME pigeonhole banding as SimHash text near-dup
+    * ([[graft.operators.Dedup.simhashPairsFromSig]]) — candidate
+    * generation is an equi join on (band index, band value) with the
+    * bucket-size skew cap, so the image table shuffles 8-byte signatures,
+    * never pixels.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 5,
+                        maxBucketSize: Int = 1000)
+                       (implicit spark: SparkSession): DataFrame =
+    Dedup.simhashPairsFromSig(
+      imageHashes(media).select(col("media_ref").as("id"), col("ahash").as("sig")),
+      maxHamming, maxBucketSize)
 }

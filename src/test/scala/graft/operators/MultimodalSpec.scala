@@ -109,4 +109,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val out = Multimodal.probeMedia(rows).collect().map(p => p.media_ref -> p.kind).toMap
     assert(out === Map("png://x" -> "image", "bogus://y" -> "unknown"))
   }
+
+  private def gradientPng(w: Int, h: Int, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g0 = ((x.toDouble / w) * 255).toInt
+        val g = if (invert) 255 - g0 else g0
+        img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash64 golden: top-black / bottom-white splits the grid at bit 32") {
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      img.setRGB(x, y, if (y < 32) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.aHash64(bos.toByteArray) === Some(0xFFFFFFFF00000000L))
+    assert(Multimodal.aHash64(Array[Byte](9, 9, 9)) === None)
+  }
+
+  test("imageNearDupPairs: a rescale of the same picture matches, an inverted one does not") {
+    val rows = Seq(
+      Multimodal.MediaRow("a", "img://base", gradientPng(64, 64), "image"),
+      Multimodal.MediaRow("b", "img://scaled", gradientPng(128, 96), "image"), // same picture, other resolution
+      Multimodal.MediaRow("c", "img://inverted", gradientPng(64, 64, invert = true), "image"),
+      Multimodal.MediaRow("d", "bogus://junk", Array[Byte](1, 2), "image")    // undecodable -> dropped
+    ).toDS()
+    val pairs = Multimodal.imageNearDupPairs(rows, maxHamming = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("img://base", "img://scaled")), s"got $pairs")
+  }
 }

@@ -602,6 +602,37 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("media_ref"), col("ahash"))
     }),
 
+    // audio twin of q94 through the REAL javax.sound WAV codec: a ±8000
+    // square wave fills the first k*800 of 6400 samples (k*8 of the 64
+    // energy windows, exactly window-aligned), so the fingerprint is the
+    // closed form 2^(8k) - 1
+    "q95_audio_hash" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = pq(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 89 === 0).as[Long].map { id =>
+          val k = (id % 8).toInt
+          val n = 6400
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < k * 800) {
+            val v: Short = if (i % 2 == 0) 8000 else -8000
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          graft.operators.Multimodal.MediaRow(id.toString, s"wav://$id", bos.toByteArray, "audio")
+        }
+      graft.operators.Multimodal.audioHashes(media)
+        .select(col("doc_id").cast("long").as("doc_id"), col("media_ref"), col("audiohash"))
+    }),
+
     // full IVF-PQ: coarse lists prune the candidate set AND candidates
     // ship only their PQ codes into the probe join — the combined 100 TB
     // ANN plan (non-residual FAISS-IVFPQ shape)
@@ -2097,6 +2128,13 @@ object SparkEntry {
         |       ELSE ((CAST(1 AS BIGINT) << CAST(doc_id % 8 AS INT)) - 1)
         |            * 72340172838076673 END AS ahash
         |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // loud windows (w < 8k) sit strictly above the mean window energy,
+    // silence strictly below; k=0 degenerates to 0 through the same form
+    "q95_audio_hash" ->
+      """SELECT doc_id, 'wav://' || CAST(doc_id AS VARCHAR) AS media_ref,
+        |  (CAST(1 AS BIGINT) << CAST(8 * (doc_id % 8) AS INT)) - 1 AS audiohash
+        |FROM documents WHERE doc_id % 89 = 0""".stripMargin,
 
     // IVF coarse assignment (q32's CTEs) composed with the PQ encode/ADC
     // replica (q64's): candidates = probed lists only, scored from codes

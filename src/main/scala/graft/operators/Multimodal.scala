@@ -212,6 +212,43 @@ object Multimodal {
     Some(bits)
   }
 
+  /** 64-bit audio energy fingerprint — the WAV twin of [[aHash64]]:
+    * decode 16-bit little-endian PCM via `javax.sound`, split the sample
+    * stream into 64 proportional windows, set bit `w` iff window `w`'s
+    * mean-square energy exceeds the mean of the window energies. Loud
+    * and quiet passages survive re-encoding; hamming distance keys audio
+    * near-dup exactly like the image path. None for undecodable or
+    * non-16-bit-LE payloads.
+    */
+  def audioHash64(content: Array[Byte]): Option[Long] = {
+    val bytes =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
+        else in.readAllBytes()
+      } catch { case _: Exception => null }
+    if (bytes == null || bytes.length < 2) return None
+    val n = bytes.length / 2
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = (((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort).toDouble
+      val w = (i.toLong * 64 / n).toInt
+      sums(w) += s * s
+      counts(w) += 1
+      i += 1
+    }
+    val means = Array.tabulate(64)(w => if (counts(w) == 0) 0.0 else sums(w) / counts(w))
+    val mean = means.sum / 64
+    var bits = 0L
+    var w = 0
+    while (w < 64) { if (means(w) > mean) bits |= 1L << w; w += 1 }
+    Some(bits)
+  }
+
   /** Per-image aHash table (doc_id, media_ref, ahash); undecodable
     * payloads are dropped (they have no perceptual identity to match).
     * One typed mapPartitions pass — the decode cost IS the job; the
@@ -237,4 +274,16 @@ object Multimodal {
     Dedup.simhashPairsFromSig(
       imageHashes(media).select(col("media_ref").as("id"), col("ahash").as("sig")),
       maxHamming, maxBucketSize)
+
+  /** Per-clip audio fingerprint table (doc_id, media_ref, audiohash) —
+    * the [[imageHashes]] analog over [[audioHash64]]; non-PCM payloads
+    * drop. Near-dup pairs compose through the same
+    * `Dedup.simhashPairsFromSig` banding on the `audiohash` column.
+    */
+  def audioHashes(media: Dataset[MediaRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => audioHash64(r.content).map(h => (r.doc_id, r.media_ref, h)))
+    }.toDF("doc_id", "media_ref", "audiohash")
+  }
 }

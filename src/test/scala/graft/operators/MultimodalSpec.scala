@@ -137,6 +137,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.aHash64(Array[Byte](9, 9, 9)) === None)
   }
 
+  test("audioHash64 golden: loud first half / silent second half splits at bit 32") {
+    val n = 6400
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val v: Short = if (i % 2 == 0) 8000 else -8000
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.audioHash64(bos.toByteArray) === Some(0x00000000FFFFFFFFL))
+    assert(Multimodal.audioHash64(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.audioHash64(pngBytes(4, 4, 0x112233)) === None,
+      "an image payload has no PCM fingerprint")
+  }
+
   test("imageNearDupPairs: a rescale of the same picture matches, an inverted one does not") {
     val rows = Seq(
       Multimodal.MediaRow("a", "img://base", gradientPng(64, 64), "image"),

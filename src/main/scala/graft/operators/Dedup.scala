@@ -466,14 +466,19 @@ object Dedup {
   def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                        valFrac: Double, seed: Int = 42,
                        splitKey: Column => Column = null,
-                       driverMaxEdges: Long = 5000000L): DataFrame = {
+                       driverMaxEdges: Long = 5000000L,
+                       broadcastLabels: Boolean = true): DataFrame = {
     require(valFrac >= 0 && valFrac <= 1, s"valFrac must be in [0,1], got $valFrac")
     val key: Column => Column =
       if (splitKey != null) splitKey else (c: Column) => xxhash64(c, lit(seed))
     val M = 1L << 20
-    val labels = connectedComponents(pairs, driverMaxEdges)
+    val labels0 = connectedComponents(pairs, driverMaxEdges)
       .withColumnRenamed("id", idCol)
-    df.join(broadcast(labels), Seq(idCol), "left")
+    // labels exist only for paired docs — normally broadcast-sized; pass
+    // broadcastLabels=false when the pair graph itself is huge and the
+    // join should shuffle instead of forcing a giant broadcast
+    val labels = if (broadcastLabels) broadcast(labels0) else labels0
+    df.join(labels, Seq(idCol), "left")
       .withColumn("__rep", coalesce(col("label"), col(idCol)))
       .withColumn("split",
         when(pmod(key(col("__rep")), lit(M)) < (lit(valFrac) * M).cast("long"), "val")

@@ -161,6 +161,16 @@ object SparkEntry {
         .select(col("obs_id"),
           cell_encode(col("x"), col("y"), 300000.0, -800000.0, -800000.0).as("cell"))),
 
+    // hierarchical rollup: fine cells -> level-2 parents (4x coarser per
+    // axis) in ONE partial-aggregated groupBy — the H3-style
+    // multi-resolution aggregation the cell_parent prefix exists for
+    "q96_cell_rollup" -> ((s, dir) =>
+      obsDerived(s, dir)
+        .groupBy(cell_parent(
+          cell_encode(col("x"), col("y"), 100000.0, -800000.0, -800000.0), 2)
+          .as("parent_cell"))
+        .agg(count(lit(1)).as("n"), sum("z").as("z_sum"))),
+
     "q05_bin_counts" -> ((s, dir) =>
       obsDerived(s, dir)
         .groupBy(cell_encode(col("x"), col("y"), 100000.0, -800000.0, -800000.0).as("cell"), col("t"))
@@ -1500,6 +1510,15 @@ object SparkEntry {
       s"""SELECT CAST((FLOOR((x - (-800000.0))/100000.0) + 1048576) * 2097152
          | + (FLOOR((y - (-800000.0))/100000.0) + 1048576) AS BIGINT) AS cell, t,
          | count(*) AS n, sum(z) AS z_sum FROM ($ObsSql) GROUP BY 1, 2""".stripMargin,
+
+    // per-axis index >> 2 == DuckDB floor division by 4
+    "q96_cell_rollup" ->
+      s"""SELECT CAST(((ix // 4) + 1048576) * 2097152 + ((iy // 4) + 1048576) AS BIGINT)
+         |  AS parent_cell, count(*) AS n, sum(z) AS z_sum
+         |FROM (SELECT CAST(FLOOR((x - (-800000.0))/100000.0) AS BIGINT) AS ix,
+         |             CAST(FLOOR((y - (-800000.0))/100000.0) AS BIGINT) AS iy, z
+         |      FROM ($ObsSql))
+         |GROUP BY 1""".stripMargin,
 
     "q06_bin_mean_centers" ->
       s"""SELECT -800000.0 + (ix + 0.5) * 100000.0 AS x, -800000.0 + (iy + 0.5) * 100000.0 AS y,

@@ -454,6 +454,17 @@ object SparkEntry {
         .select("query_id", "item_id", "rank")
     }),
 
+    // domain-cluster corpus balance: zero-shuffle centroid assignment
+    // (q32's codebook) composed with q88's mixture-weight math — the
+    // embedding-domain re-balancing step of a training-data pipeline
+    "q97_cluster_balance" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      TextAnalysis.mixtureWeights(
+          SimilaritySearch.assignClusters(e, "vec_id", "embedding", nlist = 8),
+          "cluster_id")
+        .select("cluster_id", "n_docs", "actual_frac", "target_frac", "weight")
+    }),
+
     // IVF-PQ-style asymmetric-distance top-k: items scored from 8 one-byte
     // PQ codes via per-query distance tables (the 100 TB payload shape —
     // ~32x smaller than the raw float vectors); deterministic per-subspace
@@ -1510,6 +1521,24 @@ object SparkEntry {
       s"""SELECT CAST((FLOOR((x - (-800000.0))/100000.0) + 1048576) * 2097152
          | + (FLOOR((y - (-800000.0))/100000.0) + 1048576) AS BIGINT) AS cell, t,
          | count(*) AS n, sum(z) AS z_sum FROM ($ObsSql) GROUP BY 1, 2""".stripMargin,
+
+    // q32's assignment CTEs feeding q88's weight math
+    "q97_cluster_balance" ->
+      s"""WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),
+         |c AS (SELECT item_id AS list_id, ivec AS cvec FROM it ORDER BY item_id LIMIT 8),
+         |asg AS (
+         |  SELECT item_id, list_id FROM (
+         |    SELECT i.item_id, c.list_id,
+         |      row_number() OVER (PARTITION BY i.item_id
+         |        ORDER BY ${cosSql("i.ivec", "c.cvec")} DESC, c.list_id ASC) AS r
+         |    FROM it i, c) WHERE r = 1),
+         |cc AS (SELECT list_id AS cluster_id, count(*) AS n_docs FROM asg GROUP BY 1),
+         |t AS (SELECT sum(n_docs) AS total, count(*) AS k FROM cc)
+         |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_docs AS DOUBLE) / total AS actual_frac,
+         |  1.0 / k AS target_frac,
+         |  (1.0 / k) / (CAST(n_docs AS DOUBLE) / total) AS weight
+         |FROM cc, t""".stripMargin,
 
     // per-axis index >> 2 == DuckDB floor division by 4
     "q96_cell_rollup" ->

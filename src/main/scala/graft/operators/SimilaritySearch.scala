@@ -130,6 +130,26 @@ object SimilaritySearch {
   private def nearestList(vec: Column): Column =
     nearestListStruct(vec).getField("list_id")
 
+  /** Cluster assignment (item -> nearest centroid by cosine, argmax):
+    * the domain-clustering step of a corpus-balancing pipeline. Returns
+    * (item_id, cluster_id). `centroids` = trained ([[trainCentroids]]) or
+    * the data-independent smallest-id default. Zero shuffle of the item
+    * table — the codebook broadcasts as one array row and assignment is a
+    * per-row expression inside the scan stage; feed the result to
+    * `TextAnalysis.mixtureWeights` / `sampleToMixture` to re-balance a
+    * corpus by embedding domain.
+    */
+  def assignClusters(items: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int = 16, centroids: Option[DataFrame] = None): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"),
+      transform(col(vecCol), x => x.cast("double")).as("ivec"))
+    val centroidArr = centroidArray(centroids.getOrElse(
+      it.orderBy("item_id").limit(nlist)
+        .select(col("item_id").as("list_id"), col("ivec").as("cvec"))))
+    it.crossJoin(broadcast(centroidArr))
+      .select(col("item_id"), nearestList(col("ivec")).as("cluster_id"))
+  }
+
   def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               centroids: Option[DataFrame] = None): DataFrame = {

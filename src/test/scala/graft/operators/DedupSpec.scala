@@ -282,6 +282,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.head === 7L) // self is most similar
   }
 
+  test("assignClusters: every item gets its argmax centroid; item table never hash-shuffles") {
+    val out = SimilaritySearch.assignClusters(items.repartition(8), "vec_id", "embedding", nlist = 4)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === items.count())
+    // brute-force argmax replay (ties -> smaller centroid id)
+    val vecs = items.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (u, v) => u * v }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = vecs.keys.toSeq.sorted.take(4).map(id => id -> vecs(id))
+    for ((id, v) <- vecs) {
+      val best = cents.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+      assert(got(id) === best, s"item $id")
+    }
+    // scale shape: assignment is a per-row expression over the broadcast
+    // codebook — zero hash exchange of the item table
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 0, s"assignment must not shuffle items:\n$plan")
+  }
+
   test("brute-force plan: one Exchange total — per-partition heaps bound the rank input") {
     val q = items.filter(col("vec_id") < 3)
     // many partitions + multiple queries: the old global per-query window

@@ -683,6 +683,15 @@ object SparkEntry {
           col("media_ref"), col("width"), col("height"), col("n_frames"))
     }),
 
+    // per-frame fan-out (every 2nd frame of each clip becomes a row):
+    // q33's stub decode, so the expansion is oracle-pinned end-to-end
+    "q98_frame_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(Multimodal.mediaTable(docsDerived(s, dir)), everyN = 2)
+        .toDF().select(col("doc_id").cast("long").as("doc_id"),
+          col("media_ref"), col("frame_idx"), col("frame_sig"))
+    }),
+
     // ----- the GP engine run over oracle-checkable windows -----
     // real exact-GP fits on the derived obs table (x > 0 half-plane leaves
     // the ex<0 experts with ZERO observations, exercising the stub-row
@@ -1875,6 +1884,17 @@ object SparkEntry {
         |  CAST(64 + ((s1 * 31 + n) % 64) * 16 AS INT) AS height,
         |  CAST(1 + (s1 % 8) AS INT) AS n_frames
         |FROM s""".stripMargin,
+
+    // q33's checksum replayed per sampled frame index
+    "q98_frame_sample" ->
+      """WITH m AS (SELECT doc_id, 'swath://' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents),
+        |s AS (SELECT doc_id, media_ref,
+        |  list_sum(list_transform(string_split(media_ref, ''), c -> ascii(c))) AS s1 FROM m),
+        |f AS (SELECT doc_id, media_ref, s1,
+        |      CAST(1 + (s1 % 8) AS BIGINT) AS n_frames FROM s)
+        |SELECT doc_id, media_ref, CAST(i AS INT) AS frame_idx,
+        |  CAST((s1 * (i + 7)) % 100000 AS BIGINT) AS frame_sig
+        |FROM f, LATERAL (SELECT unnest(range(CAST(0 AS BIGINT), n_frames, CAST(2 AS BIGINT))) AS i) t""".stripMargin,
 
     "q32_ann_ivf" -> {
       s"""WITH it AS (SELECT vec_id AS item_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ivec FROM embeddings),

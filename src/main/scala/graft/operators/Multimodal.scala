@@ -212,6 +212,70 @@ object Multimodal {
     Some(bits)
   }
 
+  /** REAL image resize via Java2D bilinear scaling, re-encoded as PNG —
+    * the thumbnail / input-normalization step before feature extraction.
+    * Undecodable payloads drop (there is nothing to resize). Per-partition
+    * typed pass like every decode stage; constant-colour images resize to
+    * the exact same channel means (bilinear of a constant is the
+    * constant), which the spec pins through [[probeMedia]].
+    */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int)
+                  (implicit spark: SparkSession): Dataset[MediaRow] = {
+    require(width > 0 && height > 0, s"bad target ${width}x$height")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(r.copy(content = bos.toByteArray))
+        }
+      }
+    }
+  }
+
+  /** One sampled frame of a video-like payload. */
+  final case class FrameSample(doc_id: String, media_ref: String,
+                               frame_idx: Int, frame_sig: Long)
+
+  /** Frame sampling: every `everyN`-th frame of each clip fans out to its
+    * own row — the one-to-many expansion a video pipeline needs before
+    * per-frame feature extraction. The JDK ships no video codec, so the
+    * DECODE itself is the documented deterministic stub (frame count and
+    * per-frame signature from the byte-sum checksum — SQL-expressible, so
+    * the whole fan-out is oracle-pinned end-to-end); the Spark-side
+    * plumbing — typed mapPartitions, per-frame row schema, partition-local
+    * expansion with no shuffle — is the real scale path an FFmpeg/JNI
+    * binding would drop into.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int = 2)
+                  (implicit spark: SparkSession): Dataset[FrameSample] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val ctx = DecodeStub.newContext()
+      rows.flatMap { r =>
+        val (_, _, frames, _) = ctx.decode(r.content)
+        var s1 = 0L
+        var i = 0
+        while (i < r.content.length) { s1 += r.content(i) & 0xff; i += 1 }
+        (0 until frames by everyN).iterator.map(idx =>
+          FrameSample(r.doc_id, r.media_ref, idx, (s1 * (idx + 7)) % 100000L))
+      }
+    }
+  }
+
   /** 64-bit audio energy fingerprint — the WAV twin of [[aHash64]]:
     * decode 16-bit little-endian PCM via `javax.sound`, split the sample
     * stream into 64 proportional windows, set bit `w` iff window `w`'s

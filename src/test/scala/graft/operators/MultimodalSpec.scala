@@ -137,6 +137,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.aHash64(Array[Byte](9, 9, 9)) === None)
   }
 
+  test("resizeImages: real bilinear rescale — target dims, constant colour preserved, junk drops") {
+    val rows = Seq(
+      Multimodal.MediaRow("d0", "png://c", pngBytes(13, 7, 0x4080C0), "image"),
+      Multimodal.MediaRow("d1", "bogus://x", Array[Byte](1, 2, 3), "image")).toDS()
+    val resized = Multimodal.resizeImages(rows, 8, 6).collect()
+    assert(resized.map(_.media_ref).toSeq === Seq("png://c"))
+    val p = Multimodal.RealDecoders.probe(resized.head.content)
+    assert((p.width, p.height) === ((8, 6)))
+    // bilinear of a constant is the constant: exact channel means survive
+    assert(p.mean.toSeq === Seq(0x40.toDouble, 0x80.toDouble, 0xC0.toDouble))
+  }
+
+  test("sampleFrames: every-Nth-frame fan-out matches the stub decode replay") {
+    val media = Multimodal.mediaTable(docs)
+    val got = Multimodal.sampleFrames(media, everyN = 2).collect()
+      .map(f => (f.media_ref, f.frame_idx) -> f.frame_sig).toMap
+    val want = media.collect().flatMap { r =>
+      val s1 = r.content.map(_ & 0xff).map(_.toLong).sum
+      val frames = 1 + (s1 % 8).toInt
+      (0 until frames by 2).map(i => (r.media_ref, i) -> (s1 * (i + 7)) % 100000L)
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("audioHash64 golden: loud first half / silent second half splits at bit 32") {
     val n = 6400
     val pcm = new Array[Byte](n * 2)

@@ -585,7 +585,7 @@ object SparkEntry {
     "q92_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(pq(s, dir, "documents"), "doc_id",
         TextAnalysis.tokenCount(col("text")),
-        (col("doc_id") / 100).cast("long"), budget = 600L)
+        expr("doc_id div 100"), budget = 600L)
         .select("doc_id", "chunk", "n_tokens", "bin", "bin_fill")),
 
     // destructive passage cut: q89's candidate plan, survivors re-joined

@@ -227,6 +227,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats-vs-cut consistency: kept token count always equals n_tokens - n_dup_tokens") {
+    val docs = (0L until 300L).map(i =>
+      (i, (0 until 15 + (i % 9).toInt).map(j => s"v${(i * 5 + j * 2) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val stats = Dedup.duplicatedPassageStats(docs, "doc_id", "text")
+      .select(col("doc_id"), (col("n_tokens") - col("n_dup_tokens")).as("kept"))
+    val cut = Dedup.cutDuplicatedPassages(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        when(length(trim(col("text_deduped"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text_deduped")), "\\s+")).cast("long")).as("kept2"))
+    val diff = stats.join(cut, Seq("doc_id"))
+      .filter(col("kept") =!= col("kept2")).count()
+    assert(diff === 0L)
+  }
+
   test("duplicatedPassageStats: repartitioning does not change the stats") {
     val docs = (0L until 200L).map(i =>
       (i, (0 until 20).map(j => s"w${(i * 7 + j * 3) % 13}").mkString(" ")))

@@ -162,6 +162,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("aHash64 robustness: lossy JPEG re-encode of the same picture stays within hamming 5") {
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val g = ((x + y) * 255 / 126)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val (Some(hp), Some(hj)) = (Multimodal.aHash64(enc("png")), Multimodal.aHash64(enc("jpg")))
+    val ham = java.lang.Long.bitCount(hp ^ hj)
+    assert(ham <= 5, s"png-vs-jpeg hamming $ham")
+  }
+
   test("audioHash64 golden: loud first half / silent second half splits at bit 32") {
     val n = 6400
     val pcm = new Array[Byte](n * 2)

@@ -203,6 +203,17 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestBase
       (4L, 3L, 10L), (5L, 4L, 11L), (6L, 0L, 7L), (7L, 0L, 10L)))
   }
 
+  test("packSequences conserves tokens: per-chunk sum of n_tokens equals the input sum") {
+    import spark.implicits._
+    val docs = (0L until 3000L).map(i => (i, i / 300L, 1L + (i * 13) % 50)).toDF("doc_id", "c", "n")
+    val out = TextAnalysis.packSequences(docs, "doc_id", col("n"), col("c"), budget = 97L)
+    val got = out.groupBy("chunk").agg(sum("n_tokens").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy("c").agg(sum("n").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("packSequences: bins never exceed budget except single oversized docs; stable across partitioning") {
     import spark.implicits._
     val docs = (0L until 5000L).map(i => (i, i / 250L, 1L + (i * 37) % 90)).toDF("doc_id", "c", "n")

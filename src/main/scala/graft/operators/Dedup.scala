@@ -171,32 +171,46 @@ object Dedup {
     * periodically to bound lineage.
     */
   def connectedComponents(pairs: DataFrame, driverMaxEdges: Long = 5000000L): DataFrame = {
-    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
-      .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
-      .distinct().cache()
-    if (edges.count() <= driverMaxEdges) {
-      val spark = pairs.sparkSession
-      val es = pairs.select(col("idA").cast("long"), col("idB").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val spark = pairs.sparkSession
+    // Size probe and edge fetch in ONE job (optimization round — the old
+    // shape ran a distinct+count job over the doubled edge list and then
+    // RE-COMPUTED the pair plan for the collect): pull at most
+    // driverMaxEdges + 1 directed pairs; an overflow row means "too big,
+    // go distributed". The doubled/distinct edge frame is only built (and
+    // cached) on the distributed path.
+    val probeCap = math.min(driverMaxEdges + 1, (Int.MaxValue - 8).toLong).toInt
+    val es = pairs.select(col("idA").cast("long"), col("idB").cast("long"))
+      .limit(probeCap).collect()
+    if (es.length < probeCap || driverMaxEdges >= Int.MaxValue - 8) {
+      // primitive open-addressed parent table (~16 B/slot at <=50% load vs
+      // several hundred MB of boxed map entries at the 5M-edge ceiling)
+      val parent = new LongLongMap(es.length * 2 + 16)
       def find(x: Long): Long = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent.put(c, r); c = n
+        }
         r
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+      es.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent.put(a, a)
+        if (!parent.contains(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
         if (ra != rb) { // union by min: smaller root wins (the label semantics)
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
       import spark.implicits._
-      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.foreachKey(id => out += ((id, find(id))))
+      return out.toSeq.toDF("id", "label")
     }
+    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var prevSum = labels.agg(sum("label")).head().getLong(0)
@@ -484,5 +498,63 @@ object Dedup {
         when(pmod(key(col("__rep")), lit(M)) < (lit(valFrac) * M).cast("long"), "val")
           .otherwise("train"))
       .drop("label", "__rep")
+  }
+}
+
+/** Open-addressed long -> long hash map (linear probing, power-of-two
+  * capacity, <= 50% load): the driver union-find's parent table. ~16 B per
+  * occupied slot + the table overhead, vs hundreds of bytes per entry for
+  * a boxed `mutable.Map[Long, Long]` at the 5M-edge ceiling.
+  */
+private[operators] final class LongLongMap(initialEntries: Int) {
+  private var cap = {
+    var c = 16
+    val want = math.max(16, initialEntries)
+    while (c < want * 2 && c < (1 << 30)) c <<= 1
+    c
+  }
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var occ = new Array[Boolean](cap)
+  private var n = 0
+
+  private def slot(k: Long): Int = {
+    var h = k * -7046029254386353131L // Stafford mix
+    h ^= (h >>> 32)
+    var i = (h & (cap - 1)).toInt
+    while (occ(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  def contains(k: Long): Boolean = occ(slot(k))
+
+  def getOrElse(k: Long, dflt: Long): Long = {
+    val i = slot(k)
+    if (occ(i)) vals(i) else dflt
+  }
+
+  def put(k: Long, v: Long): Unit = {
+    val i = slot(k)
+    if (!occ(i)) {
+      occ(i) = true; keys(i) = k; n += 1
+      vals(i) = v
+      if (n.toLong * 2 > cap) grow()
+    } else vals(i) = v
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val oo = occ; val ocap = cap
+    cap <<= 1
+    keys = new Array[Long](cap); vals = new Array[Long](cap); occ = new Array[Boolean](cap)
+    var i = 0
+    while (i < ocap) {
+      if (oo(i)) { val s = slot(ok(i)); occ(s) = true; keys(s) = ok(i); vals(s) = ov(i) }
+      i += 1
+    }
+  }
+
+  def foreachKey(f: Long => Unit): Unit = {
+    var i = 0
+    while (i < cap) { if (occ(i)) f(keys(i)); i += 1 }
   }
 }

@@ -106,7 +106,12 @@ object Postprocess {
             rightPrefix = "__s_"))
             .withColumnRenamed("__s___xs", "__xs").withColumnRenamed("__s___ys", "__ys")
             .withColumnRenamed("__s___v", "__v"))
-        near.unionByName(aggregate(allPairs(tgtNaN)))
+        // NaN targets are rare-to-absent (failed fits): probe with a
+        // limit-1 job and skip the all-pairs union subtree entirely when
+        // there are none (optimization round — the empty union still cost
+        // a full second aggregate's worth of stages)
+        if (tgtNaN.isEmpty) near
+        else near.unionByName(aggregate(allPairs(tgtNaN)))
       case None => aggregate(allPairs(tgt))
     }
 

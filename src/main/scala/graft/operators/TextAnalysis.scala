@@ -276,43 +276,122 @@ object TextAnalysis {
     * Low `avg_logprob` = high perplexity = out-of-distribution text — the
     * standard pre-training quality cut.
     *
-    * Scale shape: the model is ONE partial-aggregated groupBy over the
-    * sample slice's trigrams (bounded by alphabet^3, checked against
-    * `maxModelEntries` so a pathological alphabet fails loudly rather
-    * than building an unbroadcastable model); scoring explodes each
-    * document's trigrams in place (no re-read, rows stay in their
-    * partition), broadcast-joins the model, and partial-aggregates the
-    * per-document mean — the only wide exchange carries one row per
-    * document. Documents shorter than 3 chars have no trigrams and are
-    * dropped (score undefined), matching the SQL oracle's inner-join
-    * semantics.
+    * Scale shape (optimization round: the previous form exploded every
+    * document's trigrams into rows, broadcast-joined the model twice and
+    * re-grouped by document — three alphabet- or corpus-wide exchanges
+    * plus two broadcast builds for what is a per-row computation): the
+    * model is one mapPartitions pass over the sample slice emitting
+    * PRE-AGGREGATED (trigram, count) partials (rows per task bounded by
+    * alphabet^3, checked against `maxModelEntries` so a pathological
+    * alphabet fails loudly rather than building an unbroadcastable
+    * model), summed in one tiny exchange and collected; prefix-bigram
+    * counts and the vocabulary size derive from the trigram table on the
+    * driver (c2(p) = sum of c3 over trigrams with prefix p — both count
+    * the same sample positions). Scoring is a single NARROW mapPartitions
+    * pass against the broadcast count maps — zero joins, zero wide
+    * exchanges, one output row per document; per-document log-prob sums
+    * accumulate left-to-right exactly like the exploded plan did, so
+    * results are bit-identical. Documents shorter than 3 chars have no
+    * trigrams and are dropped (score undefined), matching the SQL
+    * oracle's inner-join semantics.
     */
+  /** Visit every length-3 CODE-POINT window of `s` left to right (the
+    * semantics of the SQL `substr` the exploded plan used); the common
+    * surrogate-free case runs on plain char indexing.
+    */
+  private def foreachTrigram(s: String)(f: String => Unit): Unit = {
+    val n = s.length
+    var hasSurrogate = false
+    var k = 0
+    while (k < n && !hasSurrogate) { if (Character.isHighSurrogate(s.charAt(k))) hasSurrogate = true; k += 1 }
+    if (!hasSurrogate) {
+      var i = 0
+      val last = n - 3
+      while (i <= last) { f(s.substring(i, i + 3)); i += 1 }
+    } else {
+      val cps = s.codePointCount(0, n)
+      if (cps >= 3) {
+        val offs = new Array[Int](cps + 1)
+        var ci = 0; var off = 0
+        while (ci < cps) { offs(ci) = off; off = s.offsetByCodePoints(off, 1); ci += 1 }
+        offs(cps) = n
+        var i = 0
+        while (i <= cps - 3) { f(s.substring(offs(i), offs(i + 3))); i += 1 }
+      }
+    }
+  }
+
+  /** First 2 code points of a 3-code-point gram (= SQL substr(g, 1, 2)). */
+  private def prefix2(g: String): String =
+    if (g.length == 3) g.substring(0, 2) // 3 chars = 3 code points
+    else g.substring(0, g.offsetByCodePoints(0, 2))
+
   def trigramLmScore(df: DataFrame, idCol: String, textCol: String,
                      sampleFilter: Column, maxModelEntries: Long = 1L << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val t = col(textCol)
-    val tri = df.filter(length(t) >= 3)
-      .select(col(idCol),
-        explode(transform(sequence(lit(1), length(t) - 2),
-          i => t.substr(i, lit(3)))).as("__g"))
-      .withColumn("__p2", col("__g").substr(1, 2))
-    val sampleTri = df.filter(sampleFilter).filter(length(t) >= 3)
-      .select(explode(transform(sequence(lit(1), length(t) - 2),
-        i => t.substr(i, lit(3)))).as("__g"))
-      .withColumn("__p2", col("__g").substr(1, 2))
-    val c3 = sampleTri.groupBy("__g").agg(count(lit(1)).as("__c3"))
-    val c2 = sampleTri.groupBy("__p2").agg(count(lit(1)).as("__c2"))
-    val vRow = c3.agg(count(lit(1)).as("__v"))
-    val vCount = vRow.head().getLong(0)
+    // model: per-partition trigram counts (HashMap bounded by the alphabet),
+    // one tiny exchange to merge, collected for broadcast (the model was
+    // always driver-materialised — the old plan collected it into two
+    // broadcast relations)
+    val partials = df.filter(sampleFilter).filter(length(t) >= 3)
+      .select(t.cast("string")).as[String]
+      .mapPartitions { texts =>
+        val m = new java.util.HashMap[String, Long]()
+        texts.foreach(s => foreachTrigram(s)(g => m.merge(g, 1L, (a, b) => a + b)))
+        val it = m.entrySet().iterator()
+        new Iterator[(String, Long)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (String, Long) = { val e = it.next(); (e.getKey, e.getValue) }
+        }
+      }
+    val c3Rows = partials.groupBy("_1").agg(sum("_2").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vCount = c3Rows.length.toLong
+    require(vCount > 0, "trigramLmScore: sampleFilter matched no scoreable text " +
+      "(empty training sample would make every score NULL)")
     require(vCount <= maxModelEntries,
       s"trigram model has $vCount entries > maxModelEntries=$maxModelEntries — " +
         "not a bounded-alphabet corpus; raise the cap only if the model still broadcasts")
-    tri.join(broadcast(c3), Seq("__g"), "left")
-      .join(broadcast(c2), Seq("__p2"), "left")
-      .select(col(idCol),
-        log((coalesce(col("__c3"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("__c2"), lit(0L)) + vCount)).as("__lp"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_trigrams"), avg(col("__lp")).as("avg_logprob"))
+    val c3Map = new java.util.HashMap[String, Long](c3Rows.length * 2)
+    val c2Map = new java.util.HashMap[String, Long](c3Rows.length)
+    c3Rows.foreach { case (g, c) =>
+      c3Map.put(g, c)
+      val p = prefix2(g)
+      c2Map.put(p, c2Map.getOrDefault(p, 0L) + c)
+    }
+    val c3B = spark.sparkContext.broadcast(c3Map)
+    val c2B = spark.sparkContext.broadcast(c2Map)
+    val v = vCount
+
+    // scoring: one narrow pass, no explode / join / re-group; the log-prob
+    // sum runs left-to-right over each document exactly as the exploded
+    // rows did, so avg_logprob is bit-identical
+    val in = df.filter(length(t) >= 3).select(col(idCol), t.cast("string").as("__t"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.head,
+      org.apache.spark.sql.types.StructField("n_trigrams",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("avg_logprob",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      val c3m = c3B.value
+      val c2m = c2B.value
+      rows.map { r =>
+        val s = r.getString(1)
+        var sum = 0.0
+        var n = 0L
+        foreachTrigram(s) { g =>
+          val cg = c3m.getOrDefault(g, 0L)
+          val cp = c2m.getOrDefault(prefix2(g), 0L)
+          sum += math.log((cg + 1).toDouble / (cp + v))
+          n += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), n, sum / n)
+      }
+    }(enc)
   }
 
   /** Greedy in-order sequence packing (training-batch construction):

@@ -357,8 +357,12 @@ object NetCdfGrid {
                              valCols: Seq[String],
                              gattrs: Map[String, String] = Map.empty): Unit = {
     require(dimCols.length >= 2, s"need >= 2 dims, got $dimCols")
-    val axes = dimCols.map(d => df.select(d).distinct().collect().map(_.getDouble(0)).sorted)
-    writeSlices(df, dir, dimCols, valCols, gattrs, axes, indexOffset = 0)
+    GridAxes.withPersisted(df) {
+      // all axes + row count in ONE job (was rank + 1 input passes)
+      val (axes, total) = GridAxes.axesAndCount(df, dimCols)
+      writeSlices(df, dir, dimCols, valCols, gattrs, axes, indexOffset = 0,
+        totalRows = total)
+    }
   }
 
   /** The dim-0 coordinate values already present across a granule
@@ -459,31 +463,37 @@ object NetCdfGrid {
     val first = existing.minBy(_.getPath.getName)
     val firstNc = headerOf(first)
     val tailAxes = dimCols.tail.map(d => rangedCoord(first, firstNc, d))
-    dimCols.tail.zip(tailAxes).foreach { case (d, ax) =>
-      val got = df.select(d).distinct().collect().map(_.getDouble(0)).sorted
-      require(java.util.Arrays.equals(got, ax), s"append $d axis differs from the archive's")
+    GridAxes.withPersisted(df) {
+      // all dims + row count in ONE job (was rank + 1 input passes)
+      val (newAxes, total) = GridAxes.axesAndCount(df, dimCols)
+      dimCols.tail.zipWithIndex.foreach { case (d, i) =>
+        require(java.util.Arrays.equals(newAxes(i + 1), tailAxes(i)),
+          s"append $d axis differs from the archive's")
+      }
+      val existingD0 = archivedDim0(spark, dir, dimCols.head)
+      val newVals = newAxes.head
+      require(!newVals.exists(existingD0.contains),
+        s"append ${dimCols.head} values overlap the archive: " +
+          newVals.filter(existingD0.contains).take(3).mkString(", "))
+      // next free part number, so filenames never collide
+      val partRe = "part-(\\d+)\\.nc".r
+      val offset = existing.map(_.getPath.getName).foldLeft(-1) {
+        case (m, partRe(n)) => math.max(m, n.toInt)
+        case (m, _) => m
+      } + 1
+      writeSlices(df, dir, dimCols, valCols, gattrs, newVals +: tailAxes, offset,
+        totalRows = total)
     }
-    val existingD0 = archivedDim0(spark, dir, dimCols.head)
-    val newVals = df.select(dimCols.head).distinct().collect().map(_.getDouble(0)).sorted
-    require(!newVals.exists(existingD0.contains),
-      s"append ${dimCols.head} values overlap the archive: " +
-        newVals.filter(existingD0.contains).take(3).mkString(", "))
-    // next free part number, so filenames never collide
-    val partRe = "part-(\\d+)\\.nc".r
-    val offset = existing.map(_.getPath.getName).foldLeft(-1) {
-      case (m, partRe(n)) => math.max(m, n.toInt)
-      case (m, _) => m
-    } + 1
-    writeSlices(df, dir, dimCols, valCols, gattrs, newVals +: tailAxes, offset)
   }
 
   private def writeSlices(df: DataFrame, dir: String, dimCols: Seq[String],
                           valCols: Seq[String], gattrs: Map[String, String],
-                          axes: Seq[Array[Double]], indexOffset: Int): Unit = {
+                          axes: Seq[Array[Double]], indexOffset: Int,
+                          totalRows: Long = -1L): Unit = {
     val spark = df.sparkSession
     val rank = dimCols.length
     val shape = axes.map(_.length)
-    val total = df.count()
+    val total = if (totalRows >= 0) totalRows else df.count()
     require(total == shape.map(_.toLong).product,
       s"rows $total != full ${shape.mkString(" x ")} lattice (duplicates or gaps)")
     val idxMaps = axes.map(_.zipWithIndex.toMap)
@@ -578,9 +588,11 @@ object NetCdfGrid {
                              gattrs: Map[String, String] = Map.empty): Unit = {
     require(bandRows > 0, "bandRows must be positive")
     val spark = df.sparkSession
-    val xs = df.select(xCol).distinct().collect().map(_.getDouble(0)).sorted
-    val ys = df.select(yCol).distinct().collect().map(_.getDouble(0)).sorted
-    val total = df.count()
+    GridAxes.withPersisted(df) {
+    // both axes + row count in ONE job (was 3 input passes)
+    val (axesXY, total) = GridAxes.axesAndCount(df, Seq(xCol, yCol))
+    val xs = axesXY(0)
+    val ys = axesXY(1)
     require(total == xs.length.toLong * ys.length,
       s"rows $total != full ${xs.length} x ${ys.length} lattice (duplicates or gaps)")
     val br = math.min(bandRows, ys.length)
@@ -630,5 +642,6 @@ object NetCdfGrid {
           try out.write(bytes) finally out.close()
         }
       }
+    }
   }
 }

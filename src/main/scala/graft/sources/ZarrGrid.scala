@@ -1111,10 +1111,11 @@ object ZarrGrid extends Serializable {
     require(shardInnerRows == 0 || zarrFormat == 3, "sharding is a zarr v3 feature")
     val spark = df.sparkSession
     val rank = dimCols.length
-    // axes: dim-axis-sized driver work (the only driver-side data)
-    val axes = dimCols.map(d => df.select(d).distinct().collect().map(_.getDouble(0)).sorted)
+    GridAxes.withPersisted(df) {
+    // axes: dim-axis-sized driver work (the only driver-side data), all
+    // dims + row count in ONE job (was rank + 1 input passes)
+    val (axes, total) = GridAxes.axesAndCount(df, dimCols)
     val shape = axes.map(_.length)
-    val total = df.count()
     require(total == shape.map(_.toLong).product,
       s"rows $total != full ${shape.mkString(" x ")} lattice (duplicates or gaps)")
     val chunks = 1 +: shape.tail
@@ -1171,6 +1172,7 @@ object ZarrGrid extends Serializable {
           }
         }
       }
+    }
   }
 
   // row -> first-dim slice index (used only to co-locate a slice's rows)
@@ -1213,19 +1215,21 @@ object ZarrGrid extends Serializable {
       case o => throw new IllegalArgumentException(
         s"$dir: cannot append with compressor '$o' (zlib/gzip/zstd/blosc)")
     }
-    // new dim-0 values + tail-lattice equality (axis-sized driver work)
-    val newVals = df.select(dimCols.head).distinct().collect().map(_.getDouble(0)).sorted
+    // new dim-0 values + tail-lattice equality (axis-sized driver work),
+    // all dims + row count in ONE job (was rank + 1 input passes); input
+    // persisted across the axis pass and the write pass
+    val appendScope = new GridAxes.Scope(df)
+    val (newAxes, total) = appendScope.axesAndCount(dimCols)
+    val newVals = newAxes.head
     require(newVals.nonEmpty, "nothing to append")
     val oldSet = oldAxes.head.toSet
     require(!newVals.exists(oldSet.contains),
       s"append ${dimCols.head} values overlap the store: ${newVals.filter(oldSet.contains).take(3).mkString(", ")}")
     dimCols.tail.zipWithIndex.foreach { case (d, i) =>
-      val got = df.select(d).distinct().collect().map(_.getDouble(0)).sorted
-      require(java.util.Arrays.equals(got, oldAxes(i + 1)),
+      require(java.util.Arrays.equals(newAxes(i + 1), oldAxes(i + 1)),
         s"append $d axis differs from the store's")
     }
     val tailShape = oldAxes.tail.map(_.length)
-    val total = df.count()
     require(total == newVals.length.toLong * tailShape.map(_.toLong).product,
       s"rows $total != full ${newVals.length} x ${tailShape.mkString(" x ")} lattice")
 
@@ -1273,6 +1277,7 @@ object ZarrGrid extends Serializable {
           }
         }
       }
+    appendScope.close()
 
     // metadata LAST (commit point): grown dim-0 axis + per-array shapes
     val newAxis0 = oldAxes.head ++ newVals
@@ -1574,10 +1579,12 @@ object ZarrGrid extends Serializable {
     require(zarrFormat == 2 || zarrFormat == 3, s"zarrFormat $zarrFormat (2 or 3)")
     require(shardInnerRows == 0 || zarrFormat == 3, "sharding is a zarr v3 feature")
     val spark = df.sparkSession
-    // axes: grid-axis-sized driver work (the only driver-side data)
-    val xs = df.select(xCol).distinct().collect().map(_.getDouble(0)).sorted
-    val ys = df.select(yCol).distinct().collect().map(_.getDouble(0)).sorted
-    val total = df.count()
+    GridAxes.withPersisted(df) {
+    // axes: grid-axis-sized driver work (the only driver-side data), both
+    // axes + row count in ONE job (was 3 input passes)
+    val (axesXY, total) = GridAxes.axesAndCount(df, Seq(xCol, yCol))
+    val xs = axesXY(0)
+    val ys = axesXY(1)
     require(total == xs.length.toLong * ys.length,
       s"rows $total != full ${xs.length} x ${ys.length} lattice (duplicates or gaps)")
     val cr = math.min(chunkRows, ys.length)
@@ -1636,6 +1643,7 @@ object ZarrGrid extends Serializable {
           }
         }
       }
+    }
   }
 
   // row -> chunk-band index (used only to co-locate a band's rows)

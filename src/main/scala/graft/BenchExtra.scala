@@ -36,6 +36,72 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
 
+    // optional per-job breakdown: prints one line per Spark job with its
+    // wall time and stage/task counts, to attribute a query's seconds to
+    // jobs vs driver-side gaps (planning/codegen/collect)
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Int, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            js.stageInfos.length, js.stageInfos.map(_.numTasks).sum,
+            js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ").take(160)))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null)
+            println(f"JOB ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3f s stages=${s._2}%2d tasks=${s._3}%4d  ${s._4}")
+        }
+      })
+    }
+
+    // optional pipeline phase profile (same config as Bench's headline
+    // pipeline run): times binnedObs / fit / sinks / smooth separately
+    if (sys.env.get("SPARK_GRAFT_PIPELINE").contains("1")) {
+      val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val cfg = graft.plans.GpSatPipeline.PipelineConfig(
+        nDocs = liRows * 10,
+        predSpacing = 25000.0,
+        expertRange = (-2100000.0, 2100000.0),
+        oi = graft.plans.GpSatPipeline.PipelineConfig().oi.copy(
+          maxObsPerTile = 400, maxIter = 50, minObs = 3))
+      def t[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        r
+      }
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+      (1 to reps).foreach { _ =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_bx_").toString
+        val store = new graft.io.ResultStore(spark, dir)
+        t("runAll_smooth") {
+          val binned = t("binnedObs")(
+            { val b = graft.plans.GpSatPipeline.binnedObs(spark, cfg).persist(); b.count(); b })
+          val el = graft.plans.GpSatPipeline.experts(spark, binned, cfg)
+          val pg = graft.plans.GpSatPipeline.predGrid(spark, cfg)
+          val results = t("fit")(
+            { val r = graft.plans.LocalExpertOI.run(spark, binned, el, pg, cfg.oi); r.count(); r })
+          t("sinks") {
+            store.append("run_details", graft.plans.LocalExpertOI.runDetails(results))
+            store.append("preds", graft.plans.LocalExpertOI.preds(results))
+            store.append("lengthscales", graft.plans.LocalExpertOI.lengthscales(results))
+            store.append("kernel_variance", graft.plans.LocalExpertOI.kernelVariance(results))
+            store.append("likelihood_variance", graft.plans.LocalExpertOI.likelihoodVariance(results))
+          }
+          t("counts") {
+            results.filter(_.num_obs < cfg.oi.minObs).count()
+            results.toDF().select(org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.col("preds"))).count()
+          }
+          results.unpersist()
+          t("smooth")(graft.plans.GpSatPipeline.smoothAndRerun(spark, store, binned, pg, cfg))
+          binned.unpersist()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val wanted = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val noop = sys.env.get("SPARK_GRAFT_NOOP").contains("1")

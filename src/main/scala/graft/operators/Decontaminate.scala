@@ -24,10 +24,12 @@ object Decontaminate {
   private def gramsOf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("id"), explode(transform(
+      // per-document dedup is per-ROW work (grams only repeat within a
+      // document) — array_distinct in the scan stage, not a corpus-wide
+      // distinct exchange
+      .select(col("id"), explode(array_distinct(transform(
         sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("gram"))
-      .distinct()
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("gram"))
 
   /** Corpus documents sharing at least one normalized n-gram with the
     * benchmark: (id, contaminated_grams = distinct colliding n-grams).

@@ -286,12 +286,27 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxNgramFreq: Int = 1000): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val spark = df.sparkSession
+    val toks0 = df.select(col(idCol).as("id"),
       split(trim(col(textCol)), "\\s+").as("toks"))
+    // a small-file input arrives in fewer partitions than cores and would
+    // serialize the gram fan-out on one task — widen ONLY under-parallel
+    // inputs (guide §2.5; wide inputs pass through untouched)
+    val toks =
+      if (toks0.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        toks0.repartition(spark.sparkContext.defaultParallelism)
+      else toks0
+    // per-document gram dedup is per-ROW work (a gram only repeats within
+    // one document's (id, gram) pairs) — array_distinct in the scan
+    // stage instead of a corpus-wide distinct exchange. The gram table
+    // feeds four consumers (sizes, frequency cap, both self-join sides);
+    // the old plan shared it through the distinct's exchange files, so
+    // materialize it ONCE via localCheckpoint (same disk-backed reuse,
+    // no 256-way exchange of every gram).
     val grams = toks.select(col("id"),
-      explode(transform(sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("gram"))
-      .distinct()
+      explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("gram"))
+      .localCheckpoint()
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("setSize"))
 
     val common = grams.join(grams.groupBy("gram").count()

@@ -88,14 +88,20 @@ object GpSatPipeline {
     val tiles = results.count() // materialises the persisted fit pass
     val fitSec = (System.nanoTime() - t0) / 1e9
 
-    store.append("run_details", LocalExpertOI.runDetails(results))
-    store.append("preds", LocalExpertOI.preds(results))
-    store.append("lengthscales", LocalExpertOI.lengthscales(results))
-    store.append("kernel_variance", LocalExpertOI.kernelVariance(results))
-    store.append("likelihood_variance", LocalExpertOI.likelihoodVariance(results))
-
     val skipped = results.filter(_.num_obs < cfg.oi.minObs).count()
     val predRows = results.toDF().select(explode(col("preds"))).count()
+    // result tables inherit the fit cogroup's shuffle-partition count;
+    // written as-is each snapshot sprays one KB-sized parquet file per
+    // partition (and the store manifest then footer-reads every one).
+    // Coalesce to ~128 MB target files from the KNOWN row counts
+    // (guide §6 output sizing) — the counts above are needed anyway.
+    def sized(df: DataFrame, rows: Long, bytesPerRow: Long): DataFrame =
+      df.coalesce(math.max(1L, math.min(10000L, rows * bytesPerRow / (128L << 20) + 1)).toInt)
+    store.append("run_details", sized(LocalExpertOI.runDetails(results), tiles, 120))
+    store.append("preds", sized(LocalExpertOI.preds(results), predRows, 80))
+    store.append("lengthscales", sized(LocalExpertOI.lengthscales(results), tiles * 3, 60))
+    store.append("kernel_variance", sized(LocalExpertOI.kernelVariance(results), tiles, 40))
+    store.append("likelihood_variance", sized(LocalExpertOI.likelihoodVariance(results), tiles, 40))
     results.unpersist()
 
     if (smooth) smoothAndRerun(spark, store, binned, pg, cfg)
@@ -109,6 +115,28 @@ object GpSatPipeline {
     */
   def smoothAndRerun(spark: SparkSession, store: ResultStore, binned: DataFrame,
                      pg: DataFrame, cfg: PipelineConfig): Unit = {
+    // Post-processing runs over EXPERT-sized tables (hyperparameter
+    // fields, glued predictions) through many small exchanges; let AQE
+    // coalesce those tiny shuffle partitions (the guide-recommended
+    // production default, scale-adaptive by construction — partition
+    // count follows the bytes). The session-level bench setting disables
+    // coalescing because FIT tile cost is not proportional to bytes; that
+    // reasoning is specific to the fit cogroup, so this stage scopes the
+    // enable and restores the session value on exit. parallelismFirst
+    // (default true) keeps the rerun's per-tile predict spread across
+    // default-parallelism cores.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "true")
+    try smoothAndRerunInner(spark, store, binned, pg, cfg)
+    finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
+
+  private def smoothAndRerunInner(spark: SparkSession, store: ResultStore, binned: DataFrame,
+                                  pg: DataFrame, cfg: PipelineConfig): Unit = {
     val l = cfg.smoothLengthscale
     // smooth_config_dict of the inline example: max clamps on variances
     val lsSm = Postprocess.smoothHyperparameters(store.table("lengthscales"),

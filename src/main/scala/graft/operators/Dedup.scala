@@ -404,8 +404,16 @@ object Dedup {
     * the wire zero times.
     */
   def duplicatedPassageStats(df: DataFrame, idCol: String, textCol: String,
-                             n: Int = 5, minCount: Long = 2L): DataFrame = {
-    val (base, dupStarts) = dupPassageStarts(df, idCol, textCol, n, minCount)
+                             n: Int = 5, minCount: Long = 2L,
+                             broadcastStarts: Boolean = true): DataFrame = {
+    val (base, dupStarts0) = dupPassageStarts(df, idCol, textCol, n, minCount)
+    // dupStarts holds only documents carrying duplicated grams — normally
+    // far smaller than the corpus. Broadcast it EXPLICITLY so the join
+    // back onto `base` cannot plan as a sort-merge that ships the __toks
+    // token arrays (the "text never shuffles" claim); pass
+    // broadcastStarts=false for a pathological corpus where most
+    // documents are duplicated and the starts table is itself huge.
+    val dupStarts = if (broadcastStarts) broadcast(dupStarts0) else dupStarts0
     // union of [p, p+n) intervals: one pass over the sorted starts
     val acc0 = struct(lit(-1L).as("lastEnd"), lit(0L).as("tot"))
     val covered = aggregate(col("__ps"), acc0,
@@ -462,8 +470,11 @@ object Dedup {
     * list, so the text still never shuffles.
     */
   def cutDuplicatedPassages(df: DataFrame, idCol: String, textCol: String,
-                            n: Int = 5, minCount: Long = 2L): DataFrame = {
-    val (base, dupStarts) = dupPassageStarts(df, idCol, textCol, n, minCount)
+                            n: Int = 5, minCount: Long = 2L,
+                            broadcastStarts: Boolean = true): DataFrame = {
+    val (base, dupStarts0) = dupPassageStarts(df, idCol, textCol, n, minCount)
+    // see duplicatedPassageStats: keep the token arrays out of any shuffle
+    val dupStarts = if (broadcastStarts) broadcast(dupStarts0) else dupStarts0
     val starts = coalesce(col("__ps"), array().cast("array<int>"))
     val kept = filter(col("__toks"),
       (w, i) => !exists(starts, p => p <= i && i < p + n))

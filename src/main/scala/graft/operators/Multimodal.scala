@@ -290,7 +290,11 @@ object Multimodal {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(content))
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
+        // PCM_SIGNED required: a 16-bit PCM_UNSIGNED stream would decode
+        // "validly" with every sample offset by 32768 — a wrong but
+        // plausible-looking fingerprint instead of the documented None
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
         else in.readAllBytes()
       } catch { case _: Exception => null }
     if (bytes == null || bytes.length < 2) return None

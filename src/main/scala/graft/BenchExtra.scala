@@ -54,6 +54,32 @@ object BenchExtra {
       })
     }
 
+    // optional synthesis decomposition: times synthesize / extractObs /
+    // bin separately over the bench's 6M-doc obs table
+    if (sys.env.get("SPARK_GRAFT_SYNTH").contains("1")) {
+      val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val n = liRows * 10
+      def t(label: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"SYNTH $label ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+      (1 to 2).foreach { _ =>
+        t("synthesize")(graft.sources.ObsDocs.synthesize(spark, n).toDF()
+          .write.format("noop").mode("overwrite").save())
+        t("synth+extract")(graft.sources.ObsDocs.extractObs(
+          graft.sources.ObsDocs.synthesize(spark, n).toDF())
+          .write.format("noop").mode("overwrite").save())
+        t("binnedObs")({
+          val cfg = graft.plans.GpSatPipeline.PipelineConfig(nDocs = n)
+          graft.plans.GpSatPipeline.binnedObs(spark, cfg)
+            .write.format("noop").mode("overwrite").save()
+        })
+      }
+      spark.stop()
+      return
+    }
+
     // optional pipeline phase profile (same config as Bench's headline
     // pipeline run): times binnedObs / fit / sinks / smooth separately
     if (sys.env.get("SPARK_GRAFT_PIPELINE").contains("1")) {

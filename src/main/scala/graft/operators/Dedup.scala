@@ -365,11 +365,41 @@ object Dedup {
     val candidates = a.join(b, Seq("grp", "bucket"))
       .filter(col("idA") < col("idB"))
       .select("idA", "idB").distinct()
-    candidates
+    // exact verification as a typed kernel (optimization round): the
+    // expression-fold cosine allocates per lambda step across every
+    // candidate pair; the loop below replicates its evaluation order
+    // (dot, then each norm, left-to-right) and Spark's NaN-as-largest
+    // `>=` semantics bit for bit, in one narrow pass after the joins.
+    val joined = candidates
       .join(v.select(col("id").as("idA"), col("vec").as("vecA")), Seq("idA"))
       .join(v.select(col("id").as("idB"), col("vec").as("vecB")), Seq("idB"))
-      .select(col("idA"), col("idB"), cosine(col("vecA"), col("vecB")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), col("vecA"), col("vecB"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      joined.schema.head, joined.schema(1),
+      org.apache.spark.sql.types.StructField("cosine",
+        org.apache.spark.sql.types.DoubleType)))
+    val th = threshold
+    joined.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val av = r.getSeq[Double](2)
+        val bv = r.getSeq[Double](3)
+        // a length mismatch nulls the expression cosine, and null fails
+        // the >= filter — replicate by dropping the pair
+        if (av == null || bv == null || av.length != bv.length) None
+        else {
+          var dot = 0.0; var i = 0
+          while (i < av.length) { dot += av(i) * bv(i); i += 1 }
+          var na = 0.0; i = 0
+          while (i < av.length) { na += av(i) * av(i); i += 1 }
+          var nb = 0.0; i = 0
+          while (i < bv.length) { nb += bv(i) * bv(i); i += 1 }
+          val c = dot / (math.sqrt(na) * math.sqrt(nb))
+          // Spark double `>=`: NaN is the largest value
+          if ((c != c) || c >= th) Some(org.apache.spark.sql.Row(r.get(0), r.get(1), c))
+          else None
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Deterministic random-hyperplane directions (plane p component j from a

@@ -58,8 +58,14 @@ object Postprocess {
     // least(NaN, max) evaluates to max, which would turn NaN values into
     // maxVal-valued smoothing sources instead of skipping them
     // (postprocessing.py:305-311 semantics).
+    // The clamped field feeds the target side, the source side, and the
+    // NaN-target probe — three to four computations of the caller's
+    // upstream plan (for q18 a 600k-row radius join + aggregate).
+    // Hyperparameter fields are expert-sized by design, so materialize
+    // ONCE (eager localCheckpoint) and fan out from the cached blocks.
     val clamped = df.withColumn("__v",
       when(isnan(col(cfg.valCol)), col(cfg.valCol)).otherwise(clamp(col(cfg.valCol))))
+      .localCheckpoint()
 
     val tgtAll = clamped.select(
       (Seq(col(cfg.xCol).as("__x0"), col(cfg.yCol).as("__y0"), col("__v").as("__tv")) ++

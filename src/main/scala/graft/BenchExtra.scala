@@ -54,6 +54,66 @@ object BenchExtra {
       })
     }
 
+    // optional operator scale-stress: the optimization round's changed
+    // operators on a ~20x corpus (documents replicated with perturbed
+    // text / shifted ids; embeddings likewise), timing each operator's
+    // count. Run against both this round's code and the r05 worktree for
+    // the before/after scaling evidence in OPTIMIZATION_r06.md.
+    if (sys.env.get("SPARK_GRAFT_SCALE").contains("1")) {
+      import org.apache.spark.sql.functions._
+      val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "20").toInt
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val docsBig = (0 until mult).map { i =>
+        docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text",
+            if (i == 0) col("text") else concat(lit(s"rep$i marker "), col("text")))
+      }.reduce(_ unionByName _).repartition(64).localCheckpoint()
+      val embBig = (0 until mult).map { i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _).repartition(64).localCheckpoint()
+      println(s"SCALE docs=${docsBig.count()} embeddings=${embBig.count()}")
+      def t(label: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%8.3f s rows=$n")
+      }
+      (1 to 2).foreach { _ =>
+        t("trigram_lm")(graft.operators.TextAnalysis.trigramLmScore(
+          docsBig, "doc_id", "text", sampleFilter = col("doc_id") % 10 === 0).count())
+        t("decontaminate")(graft.operators.Decontaminate.contaminatedIds(
+          docsBig, docsBig.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 3).count())
+        t("ngram_jaccard")(graft.operators.Dedup.ngramJaccardPairs(
+          docsBig.filter(col("doc_id") % 1000 < 10), "doc_id", "text",
+          n = 1, threshold = 0.8, maxNgramFreq = 100000).count())
+        t("ivfpq_residual_topk")(graft.operators.SimilaritySearch.ivfPqTopK(
+          embBig, embBig.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+          k = 3, nlist = 8, nprobe = 4, m = 8, ksub = 16, residual = true).count())
+        t("sq8_topk")(graft.operators.SimilaritySearch.sqTopK(
+          embBig, embBig.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+          k = 3).count())
+        t("connected_components_1m")({
+          val ids = spark.range(1000000L)
+          val pairs = ids.select(col("id").as("idA"), (col("id") + 7).as("idB"))
+            .filter(col("idA") % 50 < 43)
+          graft.operators.Dedup.connectedComponents(pairs).count()
+        })
+        t("zarr_cube_write_read")({
+          val nT = 9 * mult
+          val cube = spark.range(nT).select(col("id").cast("double").as("t"))
+            .crossJoin(spark.range(40).select((col("id") * 40000.0 - 800000.0).as("y")))
+            .crossJoin(spark.range(40).select((col("id") * 40000.0 - 800000.0).as("x")))
+            .withColumn("z_mean", col("t") * 1e-3 + col("x") * 1e-9 + col("y") * 1e-9)
+          val tmp = java.nio.file.Files.createTempDirectory("graft_scale_").toString + "/cube.zarr"
+          graft.sources.ZarrGrid.writeGridNdDistributed(cube, tmp, Seq("t", "y", "x"), Seq("z_mean"))
+          graft.core.ConfigExpr.load(spark, graft.core.ConfigExpr.DataConfig(
+            source = tmp, colSelect = Seq("t", "x", "y", "z_mean"))).count()
+        })
+      }
+      spark.stop()
+      return
+    }
+
     // optional synthesis decomposition: times synthesize / extractObs /
     // bin separately over the bench's 6M-doc obs table
     if (sys.env.get("SPARK_GRAFT_SYNTH").contains("1")) {
